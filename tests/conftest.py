@@ -7,13 +7,19 @@ code without a cluster). Must run before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the ambient environment points at a real TPU:
+# on TPU hosts a sitecustomize registers the TPU PJRT plugin and pins
+# the platform via jax config, which overrides the JAX_PLATFORMS env
+# var — so pin it back through jax.config below. Unit tests must be
+# hardware-independent and use the 8-device virtual mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np  # noqa: E402
