@@ -1,0 +1,130 @@
+"""DenseRetriever: encoder + collator + device index + corpus facade.
+
+The TPU counterpart of the reference `DenseRetriever`
+(`retriever/retrievers.py:155-291`): the same public surface
+(``calculate_query_embeddings``, ``calculate_document_embeddings``,
+``batch_retrieve``, ``get_documents``, callable forward), but retrieval is
+encode -> on-device sharded top-k -> id join with NO GPU->CPU index round-trip
+(the boundary the reference crosses at `retrievers.py:253-261`).
+
+Also provides :meth:`encode_score_rank` — the fused primitive behind the
+KiRAG aligner's candidate-triple filtering (`knowledge_graph/models.py:
+1514-1542`): embed queries and triples and take per-query top-k in ONE device
+program.
+"""
+
+from __future__ import annotations
+
+from copy import deepcopy
+from typing import Dict, List, Optional, Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from kirag_tpu.ops.mips import topk_mips
+
+
+def _pad_rows(arrays: Dict[str, np.ndarray], target: int) -> Dict[str, np.ndarray]:
+    cur = len(next(iter(arrays.values())))
+    if cur == target:
+        return arrays
+    return {k: np.pad(v, ((0, target - cur),) + ((0, 0),) * (v.ndim - 1)) for k, v in arrays.items()}
+
+
+class DenseRetriever:
+    def __init__(self, encoder, collator, indexer=None, corpus=None,
+                 batch_size: int = 32, temperature: float = 1.0, **kwargs):
+        self.encoder = encoder
+        self.collator = collator
+        self.indexer = indexer
+        self.corpus = corpus
+        self.batch_size = batch_size
+        self.temperature = temperature
+        self.kwargs = kwargs
+
+    # -- embedding ------------------------------------------------------------
+
+    def _embed_texts(self, texts: List[str], encode_fn, max_length: Optional[int]) -> np.ndarray:
+        assert isinstance(texts, list) and len(texts) > 0, "must provide a non-empty list"
+        out = []
+        for start in range(0, len(texts), self.batch_size):
+            batch = texts[start: start + self.batch_size]
+            kwargs = {"max_length": max_length} if max_length else {}
+            args = encode_fn(batch, **kwargs)
+            n_real = len(batch)
+            # pad the tail batch to the full batch size: stable jit shapes
+            args = _pad_rows(args, self.batch_size if len(texts) > self.batch_size else len(batch))
+            emb = np.asarray(self.encoder(args["input_ids"], args["attention_mask"]))
+            out.append(emb[:n_real])
+        return np.concatenate(out, axis=0)
+
+    def calculate_query_embeddings(self, queries: List[str], max_length: Optional[int] = None,
+                                   **kwargs) -> np.ndarray:
+        return self._embed_texts(queries, self.collator.encode_query, max_length)
+
+    def calculate_document_embeddings(self, documents: List[str], max_length: Optional[int] = None,
+                                      **kwargs) -> np.ndarray:
+        return self._embed_texts(documents, self.collator.encode_doc, max_length)
+
+    # -- scoring ---------------------------------------------------------------
+
+    def score(self, query_embeddings: np.ndarray, doc_embeddings: np.ndarray) -> np.ndarray:
+        """Temperature-scaled similarity (reference `retrievers.py:86-92`)."""
+        q, d = np.asarray(query_embeddings), np.asarray(doc_embeddings)
+        if self.temperature == "sqrt":
+            return (q @ d.T) / np.sqrt(q.shape[-1])
+        return (q @ d.T) / self.temperature
+
+    def encode_score_rank(self, queries: List[str], documents: List[str], k: int,
+                          query_maxlength: Optional[int] = None,
+                          doc_maxlength: Optional[int] = None
+                          ) -> Tuple[List[List[int]], List[List[float]]]:
+        """Fused embed-queries + embed-docs + matmul + top-k, all on device.
+
+        Returns (indices, scores) per query — the contract of the aligner's
+        `filter_candidate_triples` (`knowledge_graph/models.py:1531-1542`).
+        """
+        q_emb = jnp.asarray(self.calculate_query_embeddings(queries, max_length=query_maxlength))
+        d_emb = jnp.asarray(self.calculate_document_embeddings(documents, max_length=doc_maxlength))
+        k_eff = min(k, len(documents))
+        vals, idx = topk_mips(q_emb, d_emb, k_eff, chunk_size=max(8, len(documents)))
+        return np.asarray(idx).tolist(), np.asarray(vals).tolist()
+
+    # -- retrieval ---------------------------------------------------------------
+
+    def get_documents(self, docid_list: Union[List[str], Dict[str, float]]) -> List[dict]:
+        documents = []
+        if isinstance(docid_list, list):
+            for docid in docid_list:
+                documents.append(deepcopy(self.corpus.get_document(docid)))
+        elif isinstance(docid_list, dict):
+            for docid, score in sorted(docid_list.items(), key=lambda x: x[1], reverse=True):
+                doc = deepcopy(self.corpus.get_document(docid))
+                doc["score"] = float(score)
+                documents.append(doc)
+        else:
+            raise ValueError(f"{type(docid_list)} is not a supported type for docid_list")
+        return documents
+
+    def batch_retrieve(self, queries: List[str], topk: int, verbose: bool = False,
+                       **kwargs) -> List[List[dict]]:
+        assert self.indexer is not None, "must provide an indexer"
+        embeddings = self.calculate_query_embeddings(queries, **kwargs)
+        knn_results = self.indexer.search_knn(embeddings, top_docs=topk)
+        retrieval_results = []
+        for db_ids, scores in knn_results:
+            one = []
+            for docid, score in zip(db_ids, scores):
+                if self.corpus is not None:
+                    doc = deepcopy(self.corpus.get_document(docid))
+                    doc["score"] = float(score)
+                else:
+                    doc = {"id": docid, "score": float(score)}
+                one.append(doc)
+            retrieval_results.append(one)
+        return retrieval_results
+
+    def __call__(self, queries: Union[str, List[str]], topk: int, **kwargs):
+        if isinstance(queries, str):
+            return self.batch_retrieve([queries], topk=topk, **kwargs)[0]
+        return self.batch_retrieve(queries, topk=topk, **kwargs)

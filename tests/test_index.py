@@ -1,0 +1,122 @@
+"""TPUIndexer parity tests vs numpy oracles (the FAISS-flat contract)."""
+
+import numpy as np
+import pytest
+
+from kirag_tpu.index import TPUIndexer
+
+
+def oracle_ip(q, c, k):
+    scores = q @ c.T
+    order = np.lexsort((np.arange(c.shape[0])[None].repeat(len(q), 0), -scores), axis=-1)[:, :k]
+    return np.take_along_axis(scores, order, -1), order
+
+
+def oracle_l2(q, c, k):
+    d = ((q[:, None, :] - c[None]) ** 2).sum(-1)
+    order = np.lexsort((np.arange(c.shape[0])[None].repeat(len(q), 0), d), axis=-1)[:, :k]
+    return np.take_along_axis(d, order, -1), order
+
+
+class TestInnerProduct:
+    def test_search_matches_oracle(self, rng):
+        c = rng.randn(333, 16).astype(np.float32)
+        q = rng.randn(9, 16).astype(np.float32)
+        indexer = TPUIndexer(16, chunk_size=64)
+        indexer.index_data([str(i) for i in range(333)], c)
+        results = indexer.search_knn(q, top_docs=7)
+        vals, idx = oracle_ip(q, c, 7)
+        assert len(results) == 9
+        for row, (db_ids, scores) in enumerate(results):
+            assert db_ids == [str(i) for i in idx[row]]
+            np.testing.assert_allclose(scores, vals[row], rtol=1e-4, atol=1e-4)
+
+    def test_incremental_add(self, rng):
+        c1 = rng.randn(50, 8).astype(np.float32)
+        c2 = rng.randn(70, 8).astype(np.float32)
+        indexer = TPUIndexer(8)
+        indexer.index_data(range(50), c1)
+        indexer.index_data(range(50, 120), c2)
+        assert len(indexer) == 120
+        q = rng.randn(2, 8).astype(np.float32)
+        results = indexer.search_knn(q, top_docs=3)
+        _, idx = oracle_ip(q, np.concatenate([c1, c2]), 3)
+        for row, (db_ids, _) in enumerate(results):
+            assert db_ids == [str(i) for i in idx[row]]
+
+    def test_string_db_ids(self, rng):
+        c = rng.randn(10, 4).astype(np.float32)
+        c /= np.linalg.norm(c, axis=-1, keepdims=True)  # unit norm: self-maximal IP
+        indexer = TPUIndexer(4)
+        indexer.index_data([f"doc_{i}" for i in range(10)], c)
+        (db_ids, _), = indexer.search_knn(c[3:4], top_docs=1)
+        assert db_ids == ["doc_3"]
+
+    def test_topk_capped_at_ntotal(self, rng):
+        c = rng.randn(5, 4).astype(np.float32)
+        indexer = TPUIndexer(4)
+        indexer.index_data(range(5), c)
+        (db_ids, scores), = indexer.search_knn(c[:1], top_docs=100)
+        assert len(db_ids) == 5
+
+
+class TestL2:
+    def test_l2_distances_ascending(self, rng):
+        c = rng.randn(123, 8).astype(np.float32)
+        q = rng.randn(4, 8).astype(np.float32)
+        indexer = TPUIndexer(8, metric="l2", chunk_size=32)
+        indexer.index_data(range(123), c)
+        results = indexer.search_knn(q, top_docs=5)
+        vals, idx = oracle_l2(q, c, 5)
+        for row, (db_ids, dists) in enumerate(results):
+            assert db_ids == [str(i) for i in idx[row]]
+            np.testing.assert_allclose(dists, vals[row], rtol=1e-3, atol=1e-3)
+            assert np.all(np.diff(dists) >= -1e-4)  # ascending
+
+
+class TestShardedIndex:
+    def test_mesh_sharded_search(self, rng, mesh8):
+        c = rng.randn(640, 16).astype(np.float32)
+        q = rng.randn(3, 16).astype(np.float32)
+        indexer = TPUIndexer(16, mesh=mesh8, chunk_size=32)
+        indexer.index_data(range(640), c)
+        results = indexer.search_knn(q, top_docs=9)
+        vals, idx = oracle_ip(q, c, 9)
+        for row, (db_ids, scores) in enumerate(results):
+            assert db_ids == [str(i) for i in idx[row]]
+            np.testing.assert_allclose(scores, vals[row], rtol=1e-4, atol=1e-4)
+
+    def test_sharded_unaligned_rows(self, rng, mesh8):
+        # 100 rows does not divide 8 shards: padding must stay invisible
+        c = rng.randn(100, 8).astype(np.float32)
+        indexer = TPUIndexer(8, mesh=mesh8, chunk_size=16)
+        indexer.index_data(range(100), c)
+        q = rng.randn(2, 8).astype(np.float32)
+        results = indexer.search_knn(q, top_docs=10)
+        _, idx = oracle_ip(q, c, 10)
+        for row, (db_ids, _) in enumerate(results):
+            assert db_ids == [str(i) for i in idx[row]]
+
+
+class TestPersistence:
+    def test_serialize_roundtrip(self, rng, tmp_path):
+        c = rng.randn(40, 8).astype(np.float32)
+        indexer = TPUIndexer(8)
+        indexer.index_data([f"d{i}" for i in range(40)], c)
+        indexer.serialize(str(tmp_path))
+        loaded = TPUIndexer(8)
+        loaded.deserialize_from(str(tmp_path))
+        assert len(loaded) == 40
+        q = rng.randn(2, 8).astype(np.float32)
+        r1 = indexer.search_knn(q, top_docs=3)
+        r2 = loaded.search_knn(q, top_docs=3)
+        for (ids1, s1), (ids2, s2) in zip(r1, r2):
+            assert ids1 == ids2
+            np.testing.assert_allclose(s1, s2)
+
+    def test_dim_mismatch_raises(self, rng, tmp_path):
+        indexer = TPUIndexer(8)
+        indexer.index_data(range(4), rng.randn(4, 8).astype(np.float32))
+        indexer.serialize(str(tmp_path))
+        with pytest.raises(AssertionError):
+            TPUIndexer(16).deserialize_from(str(tmp_path))
