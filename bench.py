@@ -1,0 +1,102 @@
+"""Benchmark: exact MIPS retrieval throughput on one TPU chip vs CPU flat search.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The headline metric is queries/sec for exact top-100 inner-product search over
+a 1M x 1024 corpus (the per-chip unit of the 21M-passage DPR workload; the
+corpus scales across chips by row-sharding). ``vs_baseline`` is the speedup
+over a CPU flat exact search (torch matmul + topk — the stand-in for the
+reference's faiss.IndexFlatIP, `retriever/index.py:36-53`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+N_CORPUS = int(os.environ.get("BENCH_CORPUS", 1_000_000))
+DIM = int(os.environ.get("BENCH_DIM", 1024))
+N_QUERIES = int(os.environ.get("BENCH_QUERIES", 256))
+TOPK = int(os.environ.get("BENCH_TOPK", 100))
+CPU_BASELINE_ROWS = int(os.environ.get("BENCH_CPU_ROWS", 250_000))
+
+
+def tpu_qps() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from kirag_tpu.ops.mips import topk_mips
+
+    import ml_dtypes
+
+    rng = np.random.default_rng(0)
+    # float32 generation directly (randn makes float64: 8GB + 20x slower)
+    corpus_host = rng.standard_normal((N_CORPUS, DIM), dtype=np.float32)
+    corpus_host /= np.linalg.norm(corpus_host, axis=-1, keepdims=True)
+    query_rows = rng.integers(0, N_CORPUS, size=N_QUERIES)
+    queries_host = corpus_host[query_rows].copy()
+
+    # cast to bf16 on host (half the bytes over the transfer link)
+    corpus = jax.device_put(corpus_host.astype(ml_dtypes.bfloat16))
+    queries = jax.device_put(queries_host.astype(ml_dtypes.bfloat16))
+    corpus.block_until_ready()
+    del corpus_host
+
+    # warmup/compile
+    vals, idx = topk_mips(queries, corpus, TOPK, chunk_size=65536)
+    vals.block_until_ready()
+    # sanity: queries sampled from the corpus must retrieve themselves top-1
+    # (bf16 rounding can flip the odd near-tie, hence 0.99 not 1.0)
+    self_hit = float(np.mean(np.asarray(idx[:, 0]) == query_rows))
+    assert self_hit > 0.99, f"self-retrieval hit rate {self_hit}"
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        vals, idx = topk_mips(queries, corpus, TOPK, chunk_size=65536)
+    vals.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    return N_QUERIES / dt
+
+
+def cpu_qps() -> float:
+    """CPU flat exact search baseline on a row subsample, scaled to N_CORPUS
+    (flat search cost is linear in rows)."""
+    import torch
+
+    rows = min(CPU_BASELINE_ROWS, N_CORPUS)
+    rng = np.random.RandomState(1)
+    corpus = torch.from_numpy(rng.randn(rows, DIM).astype(np.float32))
+    queries = torch.from_numpy(rng.randn(N_QUERIES, DIM).astype(np.float32))
+    # warm
+    torch.topk(queries[:8] @ corpus.T[:, :1024], k=min(TOPK, 1024), dim=1)
+    t0 = time.perf_counter()
+    scores = queries @ corpus.T
+    torch.topk(scores, k=TOPK, dim=1)
+    dt = time.perf_counter() - t0
+    dt_scaled = dt * (N_CORPUS / rows)
+    return N_QUERIES / dt_scaled
+
+
+def main() -> None:
+    qps = tpu_qps()
+    try:
+        baseline = cpu_qps()
+    except Exception as e:  # torch missing etc.
+        print(f"cpu baseline failed: {e}", file=sys.stderr)
+        baseline = None
+    vs = (qps / baseline) if baseline else 1.0
+    print(json.dumps({
+        "metric": f"exact_mips_qps_top{TOPK}_{N_CORPUS // 1000}k_x{DIM}",
+        "value": round(qps, 2),
+        "unit": "queries/sec/chip",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -52,6 +52,10 @@ class RetrieverCollator:
         if isinstance(text_list, str):
             text_list = [text_list]
 
+        # encoders need right padding: the bucket trim below cuts trailing
+        # columns, and a generator sharing this tokenizer may have switched it
+        # to left padding (decoder-only convention)
+        self.tokenizer.padding_side = "right"
         out = self.tokenizer(
             list(text_list), max_length=maxlength, padding="max_length",
             truncation=True, return_tensors="np",

@@ -1,0 +1,231 @@
+"""The narrow LLM generation contract + the text-level Generator harness.
+
+The reference `Generator` (`generator/generator.py:29-302`) exposes a small
+contract the whole pipeline depends on: greedy generation returning token ids
+AND per-step logits, stop-word early stopping, and forced-prefix continuation
+(`generator_generate(..., current_generated_texts)` :271-302). This module
+re-designs that contract around a pluggable token-level backend:
+
+- ``backend.greedy(input_ids, attention_mask, max_new_tokens)`` ->
+  (gen_ids [B, <=max_new], gen_logits [B, <=max_new, V]) — numpy in/out.
+- Backends: :class:`kirag_tpu.models.llm.JaxLlamaBackend` (TPU decode loop),
+  :class:`kirag_tpu.generation.stub.StubBackend` (deterministic, for tests),
+  and an optional torch fallback.
+
+Forced prefixes are handled at the TEXT level — the prefix is appended to the
+rendered prompt before tokenization — replacing the reference's token-splicing
+into left/right-padded batches (`generator/utils.py:56-104`), which exists
+only because it tokenizes before knowing the prefix. Stop-words are checked on
+the host every ``stop_check_every`` generated tokens (segment-wise decode),
+the reference's `StopWordCriteria` semantics (`generator/stop_word_criteria.py`)
+without a per-token host sync.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Protocol, Sequence, Tuple, Union
+
+import numpy as np
+
+from kirag_tpu.generation.chat import (
+    build_messages,
+    detect_family,
+    detect_is_chat,
+    render_chat,
+)
+
+
+@dataclasses.dataclass
+class GenerationOutput:
+    token_ids: np.ndarray      # [B, G] generated ids (pad after stop)
+    logits: np.ndarray         # [B, G, V] per-step logits (0 after stop)
+    texts: List[str]           # decoded generated texts (stop words trimmed off)
+
+
+class Backend(Protocol):
+    eos_token_id: int
+
+    def greedy(self, input_ids: np.ndarray, attention_mask: np.ndarray,
+               max_new_tokens: int) -> Tuple[np.ndarray, np.ndarray]:
+        ...
+
+
+def pad_token_ids(token_ids: np.ndarray, max_length: int, pad_token_id: int) -> np.ndarray:
+    """Right-pad generated ids to ``max_length`` (reference `generator/utils.py:8-18`)."""
+    b, t = token_ids.shape
+    if t >= max_length:
+        return token_ids[:, :max_length]
+    out = np.full((b, max_length), pad_token_id, dtype=token_ids.dtype)
+    out[:, :t] = token_ids
+    return out
+
+
+def pad_token_logits(token_logits: np.ndarray, max_length: int) -> np.ndarray:
+    """Right-pad per-step logits with zeros (reference `generator/utils.py:21-31`)."""
+    b, t, v = token_logits.shape
+    if t >= max_length:
+        return token_logits[:, :max_length]
+    out = np.zeros((b, max_length, v), dtype=token_logits.dtype)
+    out[:, :t] = token_logits
+    return out
+
+
+class Generator:
+    """Text-level generation harness over a token-level backend."""
+
+    def __init__(self, tokenizer, backend: Backend, max_length: int = 4096,
+                 max_new_tokens: int = 128, batch_size: int = 4,
+                 model_name: str = "generic", is_chat: Optional[bool] = None,
+                 stop_check_every: int = 8, **kwargs):
+        self.tokenizer = tokenizer
+        self.backend = backend
+        self.max_length = max_length
+        self.max_new_tokens = max_new_tokens
+        self.batch_size = batch_size
+        self.model_name = model_name
+        self.family = detect_family(model_name)
+        self.is_chat = detect_is_chat(model_name) if is_chat is None else is_chat
+        self.stop_check_every = stop_check_every
+        self.kwargs = kwargs
+
+        if tokenizer.pad_token_id is None:
+            raise ValueError(
+                "tokenizer.pad_token_id is None; set pad_token to eos_token first")
+
+    # -- prompt rendering -----------------------------------------------------
+
+    def render_prompt(self, instruction: str, content, forced_prefix: Optional[str] = None) -> str:
+        if self.is_chat:
+            messages = build_messages(self.family, instruction, content)
+            if hasattr(self.tokenizer, "apply_chat_template") and getattr(
+                    self.tokenizer, "chat_template", None):
+                text = self.tokenizer.apply_chat_template(
+                    messages, tokenize=False, add_generation_prompt=True)
+            else:
+                text = render_chat(self.family, messages, add_generation_prompt=True)
+        else:
+            assert isinstance(content, str), "non-chat prompts take string content"
+            text = instruction + "\n\n" + content
+        if forced_prefix:
+            # forced continuation: the model resumes after the prefix
+            text = text + forced_prefix
+        return text
+
+    def prompt(self, instructions: List[str], inputs: List, **kwargs) -> List[str]:
+        assert len(instructions) == len(inputs)
+        return [self.render_prompt(inst, inp) for inst, inp in zip(instructions, inputs)]
+
+    # -- tokenization ---------------------------------------------------------
+
+    def tokenizer_encode(self, prompts: List[str], max_length: Optional[int] = None
+                         ) -> Dict[str, np.ndarray]:
+        max_length = max_length or self.max_length
+        self.tokenizer.padding_side = "left"  # decoder-only: left padding
+        out = self.tokenizer(prompts, max_length=max_length, padding=True,
+                             truncation=True, return_tensors="np",
+                             add_special_tokens=not self.is_chat)
+        return {"input_ids": out["input_ids"].astype(np.int32),
+                "attention_mask": out["attention_mask"].astype(np.int32)}
+
+    # -- generation -------------------------------------------------------------
+
+    def _trim_at_stop_words(self, text: str, stop_words: Sequence[str]) -> Tuple[str, bool]:
+        earliest = None
+        for w in stop_words:
+            pos = text.find(w)
+            if pos >= 0 and (earliest is None or pos < earliest):
+                earliest = pos
+        if earliest is None:
+            return text, False
+        return text[:earliest], True
+
+    def greedy_generate(self, inputs: Dict[str, np.ndarray],
+                        max_new_tokens: Optional[int] = None,
+                        stop_words: Optional[Sequence[str]] = None,
+                        batch_size: Optional[int] = None,
+                        pad_to_max_new_tokens: bool = False,
+                        **kwargs) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched greedy decode returning (token_ids, per-step logits), the
+        reference contract (`generator/generator.py:171-235`)."""
+        max_new = max_new_tokens or self.max_new_tokens
+        bsz = batch_size or self.batch_size
+        n = len(inputs["input_ids"])
+
+        ids_list, logits_list = [], []
+        for start in range(0, n, bsz):
+            batch = {k: v[start: start + bsz] for k, v in inputs.items()}
+            if stop_words:
+                gen_ids, gen_logits = self._segmented_greedy(batch, max_new, stop_words)
+            else:
+                gen_ids, gen_logits = self.backend.greedy(
+                    batch["input_ids"], batch["attention_mask"], max_new)
+            ids_list.append(np.asarray(gen_ids))
+            logits_list.append(np.asarray(gen_logits))
+
+        max_len = max_new if pad_to_max_new_tokens else max(x.shape[1] for x in ids_list)
+        pad_id = self.tokenizer.pad_token_id
+        ids = np.concatenate([pad_token_ids(x, max_len, pad_id) for x in ids_list], axis=0)
+        logits = np.concatenate([pad_token_logits(x, max_len) for x in logits_list], axis=0)
+        return ids, logits
+
+    def _segmented_greedy(self, batch, max_new: int, stop_words: Sequence[str]):
+        """Generate in segments; after each, decode on host and stop when every
+        row contains a stop word or eos (StopWordCriteria semantics)."""
+        input_ids = batch["input_ids"]
+        attention_mask = batch["attention_mask"]
+        seg = self.stop_check_every
+        all_ids, all_logits = [], []
+        produced = 0
+        while produced < max_new:
+            step = min(seg, max_new - produced)
+            gen_ids, gen_logits = self.backend.greedy(input_ids, attention_mask, step)
+            all_ids.append(np.asarray(gen_ids))
+            all_logits.append(np.asarray(gen_logits))
+            produced += gen_ids.shape[1]
+            done = []
+            gen_so_far = np.concatenate(all_ids, axis=1)
+            for row in range(len(gen_so_far)):
+                text = self.tokenizer.decode(gen_so_far[row], skip_special_tokens=True)
+                has_stop = any(w in text for w in stop_words)
+                has_eos = bool(np.any(gen_so_far[row] == self.backend.eos_token_id))
+                done.append(has_stop or has_eos)
+            if all(done):
+                break
+            # extend context with the generated segment for the next round
+            input_ids = np.concatenate([input_ids, np.asarray(gen_ids)], axis=1)
+            attention_mask = np.concatenate(
+                [attention_mask, np.ones_like(np.asarray(gen_ids))], axis=1)
+        return np.concatenate(all_ids, axis=1), np.concatenate(all_logits, axis=1)
+
+    def generate(self, inputs: Dict[str, np.ndarray], **kwargs) -> Tuple[np.ndarray, np.ndarray]:
+        kwargs.setdefault("max_new_tokens", kwargs.pop("max_tokens", None) or self.max_new_tokens)
+        return self.greedy_generate(inputs, **kwargs)
+
+    def generator_generate(self, instructions: List[str], inputs: List,
+                           current_generated_texts: Optional[List[str]] = None,
+                           **kwargs) -> Tuple[np.ndarray, np.ndarray]:
+        """Render chat prompts (optionally with forced prefixes) and generate.
+
+        Mirrors `generator/generator.py:271-302`: ``current_generated_texts``
+        forces each row to continue after "<prefix>" — here by appending the
+        prefix text to the rendered prompt before tokenization.
+        """
+        assert len(instructions) == len(inputs)
+        if current_generated_texts is not None:
+            assert len(current_generated_texts) == len(instructions)
+            prompts = [self.render_prompt(inst, inp, forced_prefix=pre)
+                       for inst, inp, pre in zip(instructions, inputs, current_generated_texts)]
+        else:
+            prompts = [self.render_prompt(inst, inp) for inst, inp in zip(instructions, inputs)]
+        enc = self.tokenizer_encode(prompts, max_length=kwargs.pop("max_length", None))
+        return self.generate(enc, **kwargs)
+
+    def generate_texts(self, instructions: List[str], inputs: List,
+                       stop_words: Optional[Sequence[str]] = None,
+                       **kwargs) -> List[str]:
+        ids, _ = self.generator_generate(instructions, inputs, stop_words=stop_words, **kwargs)
+        texts = self.tokenizer.batch_decode(ids, skip_special_tokens=True)
+        if stop_words:
+            texts = [self._trim_at_stop_words(t, stop_words)[0] for t in texts]
+        return texts

@@ -1,0 +1,336 @@
+"""KiRAG: the knowledge-driven iterative retrieval pipeline.
+
+The product of this framework — a re-design of the reference `KiRAG`
+(`knowledge_graph/models.py:1186-1676`). Per question it loops up to
+``num_turns`` times:
+
+1. dense-retrieve passages for the question (+ the latest chain triple),
+2. decompose the accumulated documents into knowledge triples (LLM, cached),
+3. rescore candidate triples with the trained Aligner bi-encoder against the
+   query "{question}\\nknowledge triples: {chain}." — here a single fused
+   device program (`DenseRetriever.encode_score_rank`) instead of the
+   reference's encode->host->matmul->host topk (`models.py:1514-1542`),
+4. extend each reasoning chain with the LLM constructor under a forced
+   "Thought: <chain so far>" prefix (`models.py:1595-1629`),
+5. reinforce triples matching the generated step by token-F1 (+0.5,
+   `models.py:1464-1498`),
+
+and finally ranks documents by the best score of any triple they contributed
+(`models.py:1500-1512`).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Optional, Tuple, Union
+
+import numpy as np
+
+from kirag_tpu.evaluation.metrics import f1_score
+from kirag_tpu.kg.triples import parse_triples_text, sent_tokenize
+from kirag_tpu.utils.io import hash_object
+
+logger = logging.getLogger(__name__)
+
+EXAMPLAR_TYPES = ("hotpotqa", "2wikimultihopqa", "musique", "nq", "tqa",
+                  "webqa", "bamboogle", "wikipedia")
+
+
+def load_chain_examplars(examplar_type: str):
+    """Dataset -> (reasoning-chain examplars, triple-selection examplars);
+    dispatch mirrors `knowledge_graph/models.py:1235-1253`."""
+    if examplar_type not in EXAMPLAR_TYPES:
+        raise KeyError(f"{examplar_type} is not a supported examplar type!")
+    from kirag_tpu.prompts import kg_selection as ks
+
+    if examplar_type == "2wikimultihopqa":
+        return (ks.WIKIMULTIHOPQA_REASONING_CHAIN_EXAMPLARS,
+                ks.WIKIMULTIHOPQA_TRIPLE_SELECTION_EXAMPLARS)
+    if examplar_type == "musique":
+        return (ks.MUSIQUE_REASONING_CHAIN_EXAMPLARS,
+                ks.MUSIQUE_TRIPLE_SELECTION_EXAMPLARS)
+    return (ks.HOTPOTQA_REASONING_CHAIN_EXAMPLARS,
+            ks.HOTPOTQA_TRIPLE_SELECTION_EXAMPLARS)
+
+
+class KiRAG:
+    CONSTRUCTOR_INSTRUCTION = ("Follow the examples to answer the input question by reasoning "
+                               "step-by-step. Output both reasoning steps and the answer.")
+
+    def __init__(self, retriever, kg_generator, constructor, aligner,
+                 examplar_type: str = "hotpotqa", num_examplars: int = 5,
+                 adaptive_examplars: bool = True, embedder=None,
+                 num_turns: int = 5, topk: int = 10, num_candidate_triples: int = 20,
+                 maximum_possible_choices: int = 100, use_title_in_triples: bool = False,
+                 reasoning_chain_examplars: Optional[List[Dict]] = None, **kwargs):
+        """
+        Args:
+          retriever: DenseRetriever with indexer+corpus (passage retrieval).
+          kg_generator: KGGenerator (doc -> triples).
+          constructor: Generator (the reasoning-chain constructor LLM).
+          aligner: DenseRetriever WITHOUT indexer (bi-encoder scorer) — the
+            Reasoning Chain Aligner (`models.py:1277-1307`).
+          embedder: optional embedder for adaptive examplar ranking (defaults
+            to the aligner).
+        """
+        self.retriever = retriever
+        self.kg_generator = kg_generator
+        self.constructor = constructor
+        self.aligner = aligner
+        self.embedder = embedder or aligner
+        self.num_examplars = num_examplars
+        self.adaptive_examplars = adaptive_examplars and self.embedder is not None
+        self.num_turns = num_turns
+        self.topk = topk
+        self.num_candidate_triples = num_candidate_triples
+        self.maximum_possible_choices = maximum_possible_choices
+        self.use_title_in_triples = use_title_in_triples
+        self.kwargs = kwargs
+
+        if reasoning_chain_examplars is not None:
+            self.reasoning_chain_examplars = reasoning_chain_examplars
+            self.triple_selection_examplars = []
+        else:
+            self.reasoning_chain_examplars, self.triple_selection_examplars = (
+                load_chain_examplars(examplar_type))
+
+        self.examplars_embeddings = None
+        if self.adaptive_examplars:
+            questions = [e["question"] for e in self.reasoning_chain_examplars]
+            self.examplars_embeddings = np.asarray(
+                self.embedder.calculate_query_embeddings(questions, max_length=128))
+
+    # -- examplars ---------------------------------------------------------------
+
+    def rank_examplars(self, question: str) -> List[int]:
+        if not self.adaptive_examplars:
+            return list(range(len(self.reasoning_chain_examplars)))
+        q_emb = np.asarray(self.embedder.calculate_query_embeddings([question], max_length=128))
+        sims = (q_emb @ self.examplars_embeddings.T)[0]
+        return np.argsort(-sims, kind="stable").tolist()
+
+    # -- bookkeeping ---------------------------------------------------------------
+
+    @staticmethod
+    def update_retrieved_documents(docids_to_scores: Dict[str, float],
+                                   retrieved_documents: List[List[dict]]) -> Dict[str, float]:
+        """Max-score merge of per-turn retrievals (`models.py:1319-1326`)."""
+        for one_result in retrieved_documents:
+            for doc in one_result:
+                docid, score = doc["id"], doc["score"]
+                docids_to_scores[docid] = max(docids_to_scores.get(docid, -1e9), score)
+        return docids_to_scores
+
+    @staticmethod
+    def get_candidate_triples_from_documents(documents: List[dict]) -> List[dict]:
+        """Flatten doc triples with provenance (`models.py:1328-1343`)."""
+        triples = []
+        for doc in documents:
+            for t in doc.get("triples", []):
+                triples.append({
+                    "title": doc["title"],
+                    "text": t["text"],
+                    "reference": [doc["id"], t["sentence"]],
+                })
+        return triples
+
+    def get_triple_text(self, triple: dict) -> str:
+        if self.use_title_in_triples:
+            return "title: {}, text: {}".format(triple["title"], triple["text"])
+        return triple["text"]
+
+    def update_retrieved_triples(self, id2score: Dict[str, float], id2triple: Dict[str, dict],
+                                 triples: List[dict], triples_indices: List[List[int]],
+                                 triples_scores: Optional[List[List[float]]]
+                                 ) -> Tuple[Dict[str, float], Dict[str, dict]]:
+        """Hash-dedup + max-score accumulation (`models.py:1357-1376`)."""
+        if triples_scores is None:
+            triples_scores = [[1.0] * len(indices) for indices in triples_indices]
+        for indices, scores in zip(triples_indices, triples_scores):
+            for idx, score in zip(indices, scores):
+                triple = triples[idx]
+                triple_id = hash_object(triple)[:20]
+                id2score[triple_id] = max(id2score.get(triple_id, -1e9), score)
+                id2triple[triple_id] = triple
+        return id2score, id2triple
+
+    def update_reasoning_chains_triples_based_on_f1_score(
+            self, id2score: Dict[str, float], id2triple: Dict[str, dict],
+            triples: List[str]) -> Tuple[Dict[str, float], Dict[str, dict]]:
+        """+0.5 to the best-F1 (>=0.6) stored triple per generated step, and
+        +0.5 to the first stored triple containing a generated answer string
+        (`models.py:1464-1498`)."""
+        if not triples:
+            return id2score, id2triple
+        sorted_ids = sorted(id2score.keys(), key=lambda x: id2score[x], reverse=True)
+        for triple in triples:
+            low = triple.lower()
+            if len(triple) == 0 or "answer is: yes" in low or "answer is: no" in low:
+                continue
+            if parse_triples_text(triple):
+                scores = [f1_score(triple, id2triple[tid]["text"])[0] for tid in sorted_ids]
+                if scores and max(scores) >= 0.6:
+                    id2score[sorted_ids[int(np.argmax(scores))]] += 0.5
+            if "answer is:" in triple:
+                answer = triple.split("answer is:")[1].strip()
+                for tid in sorted_ids:
+                    if answer.lower() in id2triple[tid]["text"].lower():
+                        id2score[tid] += 0.5
+                        break
+        return id2score, id2triple
+
+    @staticmethod
+    def get_triples(id2score: Dict[str, float], id2triple: Dict[str, dict]) -> List[dict]:
+        return [id2triple[tid] for tid, _ in
+                sorted(id2score.items(), key=lambda x: x[1], reverse=True)]
+
+    @staticmethod
+    def get_docids_to_scores_from_triples(id2score: Dict[str, float],
+                                          id2triple: Dict[str, dict],
+                                          max_num_docs: Optional[int] = None
+                                          ) -> Dict[str, float]:
+        """Rank docs by the best score of any triple they contributed
+        (`models.py:1500-1512`)."""
+        docids_to_scores: Dict[str, float] = {}
+        for tid, score in id2score.items():
+            docid = id2triple[tid]["reference"][0]
+            docids_to_scores[docid] = max(docids_to_scores.get(docid, -1e9), score)
+        ranked = sorted(docids_to_scores.items(), key=lambda x: x[1], reverse=True)
+        if max_num_docs:
+            ranked = ranked[:max_num_docs]
+        return dict(ranked)
+
+    # -- aligner scoring --------------------------------------------------------------
+
+    def filter_candidate_triples(self, question: str,
+                                 reasoning_chains: List[List[dict]],
+                                 triples: List[dict], num_candidate_triples: int
+                                 ) -> Tuple[List[List[int]], List[List[float]]]:
+        """Aligner rescoring as ONE fused device program (`models.py:1514-1542`)."""
+        chains_texts = ([[self.get_triple_text(t) for t in chain] for chain in reasoning_chains]
+                        if reasoning_chains else [[]])
+        queries = ["{}\nknowledge triples: {}.".format(question, ". ".join(texts))
+                   for texts in chains_texts]
+        triples_texts = [self.get_triple_text(t) for t in triples]
+        return self.aligner.encode_score_rank(
+            queries, triples_texts, k=min(num_candidate_triples, len(triples)),
+            query_maxlength=256, doc_maxlength=128)
+
+    # -- constructor --------------------------------------------------------------------
+
+    def get_constructor_inputs(self, question: str, triples: List[dict],
+                               ranked_examplars_indices: List[int]):
+        instruction = self.CONSTRUCTOR_INSTRUCTION
+        if self.num_examplars > 0:
+            examplars = []
+            for index in ranked_examplars_indices[: self.num_examplars]:
+                item = self.reasoning_chain_examplars[index]
+                thought = ". ".join(t.strip() for t in item["chains"].split(","))
+                examplars.append("Question: {}\nThought: {}. So the answer is: {}".format(
+                    item["question"], thought, item["answer"]))
+            instruction += "\n\nExamples:\n\n" + "\n\n".join(examplars)
+        user_input = "\n".join(self.get_triple_text(t) for t in triples)
+        user_input += "\n\nQuestion: {}".format(question)
+        return [instruction], [user_input.strip()]
+
+    def get_constructor_documents_inputs(self, question: str, documents: List[dict],
+                                         ranked_examplars_indices: List[int]):
+        instruction = self.CONSTRUCTOR_INSTRUCTION
+        if self.num_examplars > 0:
+            examplars = []
+            for index in ranked_examplars_indices[: self.num_examplars]:
+                item = self.reasoning_chain_examplars[index]
+                thought = ". ".join(t.strip() for t in item["chains"].split(","))
+                examplars.append("Question: {}\nThought: {}. So the answer is: {}".format(
+                    item["question"], thought, item["answer"]))
+            instruction += "\n\nExamples:\n\n" + "\n\n".join(examplars)
+        user_input = "\n\n".join(
+            "Wikipedia Title: {}\n{}".format(
+                doc["title"],
+                doc["text"] if "text" in doc else " ".join(doc["sentences"]))
+            for doc in documents)
+        user_input += "\n\nQuestion: {}".format(question)
+        return [instruction], [user_input.strip()]
+
+    def one_retrieval(self, question: str, triples: List[dict],
+                      reasoning_chains: List[List[str]],
+                      documents: Optional[List[dict]] = None,
+                      ranked_examplars_indices: Optional[List[int]] = None
+                      ) -> List[List[str]]:
+        """One constructor step per chain under the forced "Thought: <chain>"
+        prefix; appends the parsed next triple (or first sentence) to each
+        chain (`models.py:1595-1629`)."""
+        instructions, inputs = self.get_constructor_inputs(
+            question, triples, ranked_examplars_indices)
+        if documents is not None:
+            doc_inst, doc_input = self.get_constructor_documents_inputs(
+                question, documents, ranked_examplars_indices)
+            instructions.extend(doc_inst)
+            inputs.extend(doc_input)
+
+        forced = ["Thought: " + ". ".join(chain) for chain in reasoning_chains]
+        ids, _ = self.constructor.generator_generate(
+            instructions, inputs, current_generated_texts=forced,
+            max_new_tokens=self.constructor.max_new_tokens)
+        texts = self.constructor.tokenizer.batch_decode(ids, skip_special_tokens=True)
+        texts = [t.strip().lstrip(".,;").strip() for t in texts]
+
+        for chain, text in zip(reasoning_chains, texts):
+            generated = parse_triples_text(text)
+            if generated:
+                chain.append(generated[0])
+            elif len(text) > 0:
+                chain.append(sent_tokenize(text)[0])
+            else:
+                chain.append(text)
+        return reasoning_chains
+
+    # -- the loop ---------------------------------------------------------------------------
+
+    def retrieve(self, question: str, num_beams: int = 1, **kwargs
+                 ) -> Tuple[List[List[str]], Dict[str, float]]:
+        """Main iterative loop (`models.py:1631-1676`). Returns
+        (reasoning_chains, docid -> score ranked dict)."""
+        assert num_beams in (1, 2), "num_beams must be 1 or 2"
+        ranked_examplars_indices = self.rank_examplars(question)
+        reasoning_chains: List[List[str]] = [[] for _ in range(num_beams)]
+        docids_to_scores: Dict[str, float] = {}
+        id2score: Dict[str, float] = {}
+        id2triple: Dict[str, dict] = {}
+
+        for turn in range(self.num_turns):
+            if turn > 0 and all(len(chain[-1]) == 0 for chain in reasoning_chains):
+                break
+            queries = ([question] * num_beams if turn == 0 else
+                       [question + " " + chain[-1] if chain else question
+                        for chain in reasoning_chains])
+            retrieved = self.retriever(queries, topk=self.topk)
+            docids_to_scores = self.update_retrieved_documents(docids_to_scores, retrieved)
+            documents = self.retriever.get_documents(docids_to_scores)
+            documents_with_kgs = self.kg_generator(documents)
+            all_triples = self.get_candidate_triples_from_documents(documents_with_kgs)
+            if not all_triples:
+                break
+
+            chains_as_triples = [[{"title": "", "text": t} for t in chain]
+                                 for chain in reasoning_chains]
+            cand_indices, cand_scores = self.filter_candidate_triples(
+                question, chains_as_triples, all_triples, self.num_candidate_triples)
+            id2score, id2triple = self.update_retrieved_triples(
+                id2score, id2triple, all_triples, cand_indices, cand_scores)
+
+            candidate_triples = self.get_triples(id2score, id2triple)
+            candidate_triples = candidate_triples[: self.maximum_possible_choices]
+            reasoning_chains = self.one_retrieval(
+                question=question,
+                triples=candidate_triples,
+                reasoning_chains=reasoning_chains,
+                documents=documents if num_beams == 2 else None,
+                ranked_examplars_indices=ranked_examplars_indices,
+            )
+            new_steps = [chain[turn] for chain in reasoning_chains if len(chain) > turn]
+            id2score, id2triple = self.update_reasoning_chains_triples_based_on_f1_score(
+                id2score, id2triple, new_steps)
+
+        docids_to_scores = self.get_docids_to_scores_from_triples(id2score, id2triple)
+        return reasoning_chains, docids_to_scores

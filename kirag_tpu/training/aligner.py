@@ -1,0 +1,126 @@
+"""Reasoning Chain Aligner training: in-batch contrastive bi-encoder.
+
+The TPU re-design of the reference's `InBatchRetriever.forward` +
+`AlignerTrainer` (`retriever/retrievers.py:131-150`,
+`trainer/aligner_trainer.py`): queries and (1 positive + N negative) triple
+texts are embedded by the shared encoder, scored q.d/temperature, and trained
+with cross-entropy against the positive column.
+
+Cross-device in-batch negatives: the reference all-gathers embeddings across
+ranks with local-grad-preserving splicing (`utils/utils.py:158-188`). Here the
+batch is simply sharded over the mesh ``data`` axis and the loss is written
+against the GLOBAL score matrix — GSPMD inserts the gathers and reduces the
+gradients; no hand-written collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kirag_tpu.models.bert import BertConfig, bert_encode
+from kirag_tpu.models.encoders import ENCODER_POOLING
+from kirag_tpu.ops.pooling import l2_normalize
+from kirag_tpu.training.trainer import BaseTrainer, TrainerConfig
+
+
+def _embed(params, args: Dict[str, jnp.ndarray], config: BertConfig, encoder_type: str,
+           compute_dtype) -> jnp.ndarray:
+    hidden = bert_encode(params, args["input_ids"], args["attention_mask"], config,
+                         compute_dtype=compute_dtype)
+    pooled = ENCODER_POOLING[encoder_type]["pool"](hidden.astype(jnp.float32),
+                                                   args["attention_mask"])
+    if ENCODER_POOLING[encoder_type]["normalize"]:
+        pooled = l2_normalize(pooled)
+    return pooled
+
+
+def in_batch_contrastive_loss(params, batch, config: BertConfig, encoder_type: str = "e5",
+                              temperature: float = 0.01, compute_dtype=jnp.float32):
+    """CE over the global [num_queries, num_docs] score matrix.
+
+    ``batch`` = {"query_args", "doc_args", "positive_doc_indices"} as produced
+    by the training collator (`kirag_tpu.data.collators`).
+    """
+    q_emb = _embed(params, batch["query_args"], config, encoder_type, compute_dtype)
+    d_emb = _embed(params, batch["doc_args"], config, encoder_type, compute_dtype)
+    scores = (q_emb @ d_emb.T) / temperature
+    labels = batch["positive_doc_indices"]
+    log_probs = jax.nn.log_softmax(scores, axis=-1)
+    loss = -jnp.mean(jnp.take_along_axis(log_probs, labels[:, None], axis=-1))
+    acc = jnp.mean((jnp.argmax(scores, axis=-1) == labels).astype(jnp.float32))
+    return loss, {"accuracy": acc}
+
+
+class AlignerTrainer(BaseTrainer):
+    """Trains the aligner encoder; evaluates per-query MRR over each query's
+    own positive+negative candidates (reference `aligner_trainer.py:88-115`)."""
+
+    def __init__(self, params, bert_config: BertConfig, config: TrainerConfig,
+                 train_loader, eval_loader=None, encoder_type: str = "e5",
+                 temperature: float = 0.01, compute_dtype=jnp.float32,
+                 num_candidates_per_query: Optional[int] = None, mesh=None,
+                 batch_sharding=None):
+        self.bert_config = bert_config
+        self.encoder_type = encoder_type
+        self.temperature = temperature
+        self.compute_dtype = compute_dtype
+        self.num_candidates_per_query = num_candidates_per_query
+        super().__init__(params, config, train_loader, eval_loader,
+                         mesh=mesh, batch_sharding=batch_sharding)
+        self._jit_scores = jax.jit(self._score_batch)
+
+    @staticmethod
+    def pack_batch(collated) -> Dict:
+        """Adapt the collator's tuple output to the loss dict."""
+        query_args, doc_args, positive_doc_indices, index = collated
+        return {
+            "query_args": query_args,
+            "doc_args": doc_args,
+            "positive_doc_indices": positive_doc_indices,
+            "index": index,
+        }
+
+    def loss_fn(self, params, batch):
+        return in_batch_contrastive_loss(
+            params, batch, self.bert_config, self.encoder_type,
+            self.temperature, self.compute_dtype)
+
+    def _score_batch(self, params, batch):
+        q_emb = _embed(params, batch["query_args"], self.bert_config, self.encoder_type,
+                       self.compute_dtype)
+        d_emb = _embed(params, batch["doc_args"], self.bert_config, self.encoder_type,
+                       self.compute_dtype)
+        return q_emb @ d_emb.T
+
+    def evaluate(self, params, eval_loader) -> float:
+        """Mean reciprocal rank of each query's positive among its OWN
+        candidate block [pos, neg_1..neg_k]."""
+        rr = []
+        for collated in eval_loader:
+            batch = self.device_put_batch(self.pack_batch(collated))
+            scores = np.asarray(self._jit_scores(params, batch))
+            pos_idx = np.asarray(batch["positive_doc_indices"])
+            n_q = len(pos_idx)
+            n_docs = scores.shape[1]
+            for i in range(n_q):
+                start = int(pos_idx[i])
+                end = int(pos_idx[i + 1]) if i + 1 < n_q else n_docs
+                block = scores[i, start:end]
+                rank = 1 + int(np.sum(block > block[0]))
+                rr.append(1.0 / rank)
+        return float(np.mean(rr)) if rr else 0.0
+
+    def training_step(self, collated):
+        return super().training_step(self.pack_batch(collated))
+
+    def save_encoder(self, save_dir: str) -> None:
+        """Persist the trained encoder in our loadable format, so checkpoints
+        feed directly into retrieval (the analogue of the reference's
+        `save_pretrained`, `aligner_trainer.py:14-17`)."""
+        from kirag_tpu.models.encoders import Encoder
+
+        Encoder(self.params, self.bert_config, self.encoder_type).save(save_dir)

@@ -90,6 +90,18 @@ class TestCollators:
         np.testing.assert_array_equal(pos_idx, [0, 3])
         np.testing.assert_array_equal(index, [0, 1])
 
+    def test_right_padding_restored_after_generator_flip(self, tmp_path):
+        """Regression: a decoder-only Generator sharing the tokenizer switches
+        padding_side to 'left'; the collator's right-side bucket trim must not
+        then chop off the real tokens (zero embeddings downstream)."""
+        tok = make_tokenizer(tmp_path)
+        coll = E5Collator(tokenizer=tok, query_maxlength=512, doc_maxlength=512)
+        tok.padding_side = "left"  # what Generator.tokenizer_encode does
+        out = coll.encode_query(["alpha beta gamma"])
+        assert out["attention_mask"][0].sum() > 0
+        # real tokens at the front (right padding), not trimmed away
+        assert out["attention_mask"][0][0] == 1
+
     def test_nested_batch_flattened(self, tmp_path):
         tok = make_tokenizer(tmp_path)
         coll = E5Collator(tokenizer=tok, query_maxlength=64, doc_maxlength=64)

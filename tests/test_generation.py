@@ -1,0 +1,117 @@
+"""Tests for chat rendering, the Generator harness, stub backend, and reader."""
+
+import numpy as np
+import pytest
+
+from kirag_tpu.generation import AnswerGenerator, StubBackend, make_stub_generator
+from kirag_tpu.generation.chat import (
+    build_messages,
+    detect_family,
+    detect_is_chat,
+    render_chat,
+)
+
+from tests.helpers import make_tokenizer
+
+
+@pytest.fixture
+def tok(tmp_path):
+    t = make_tokenizer(tmp_path)
+    if t.pad_token_id is None:
+        t.pad_token = "[PAD]"
+    if t.eos_token_id is None:
+        t.eos_token = "[SEP]"
+    return t
+
+
+class TestChat:
+    def test_family_detection(self):
+        assert detect_family("meta-llama/Meta-Llama-3-8B-Instruct") == "llama3"
+        assert detect_family("Qwen/Qwen2.5-7B-Instruct") == "qwen2"
+        assert detect_family("mistralai/Mistral-7B-Instruct-v0.2") == "mistral"
+        assert detect_family("google/gemma-2-9b-it") == "gemma2"
+        assert detect_is_chat("Meta-Llama-3-8B-Instruct")
+        assert not detect_is_chat("Meta-Llama-3-8B")
+
+    def test_llama3_template(self):
+        msgs = build_messages("llama3", "Be brief.", "hello")
+        text = render_chat("llama3", msgs)
+        assert text.startswith("<|begin_of_text|><|start_header_id|>system")
+        assert "Be brief." in text and "hello" in text
+        assert text.endswith("<|start_header_id|>assistant<|end_header_id|>\n\n")
+
+    def test_mistral_merges_system_into_user(self):
+        msgs = build_messages("mistral", "INSTR", "hello")
+        assert msgs[0]["role"] == "user"
+        assert msgs[0]["content"].startswith("INSTR")
+        text = render_chat("mistral", msgs)
+        assert "[INST]" in text
+
+    def test_multi_turn_messages(self):
+        msgs = build_messages("llama3", "sys", [{"user": "q1"}, {"assistant": "a1"}, {"user": "q2"}])
+        roles = [m["role"] for m in msgs]
+        assert roles == ["system", "user", "assistant", "user"]
+
+
+class TestStubGenerator:
+    def test_rule_matching_and_texts(self, tok):
+        gen = make_stub_generator(tok, rules=[("alpha", "beta gamma"), ("delta", "epsilon")])
+        texts = gen.generate_texts(["inst"], ["alpha question"])
+        assert texts == ["beta gamma"]
+        texts = gen.generate_texts(["inst"], ["delta question"])
+        assert texts == ["epsilon"]
+
+    def test_ids_and_logits_consistent(self, tok):
+        gen = make_stub_generator(tok, rules=[("alpha", "beta gamma")])
+        ids, logits = gen.generator_generate(["inst"], ["alpha"])
+        assert ids.shape[0] == 1 and logits.shape[:2] == ids.shape
+        # greedy consistency: argmax of logits reproduces ids
+        np.testing.assert_array_equal(np.argmax(logits[0], axis=-1), ids[0])
+
+    def test_forced_prefix_reaches_backend(self, tok):
+        backend = StubBackend(tok, rules=[("knowledge", "tau")])
+        from kirag_tpu.generation.interface import Generator
+
+        gen = Generator(tok, backend, model_name="stub-instruct", max_length=256)
+        gen.family = "generic"
+        gen.generator_generate(["inst"], ["question"],
+                               current_generated_texts=["knowledge triples alpha"])
+        assert any("knowledge triples alpha" in p for p in backend.calls[-1])
+
+    def test_batching_pads_to_common_length(self, tok):
+        gen = make_stub_generator(
+            tok, rules=[("alpha", "beta"), ("delta", "epsilon zeta eta theta")], batch_size=1)
+        ids, logits = gen.generator_generate(["i", "i"], ["alpha", "delta"])
+        assert ids.shape[0] == 2
+        assert ids.shape[1] == logits.shape[1]
+
+    def test_stop_words_trim(self, tok):
+        gen = make_stub_generator(
+            tok, rules=[("alpha", "beta gamma . question : next")], stop_check_every=2)
+        texts = gen.generate_texts(["i"], ["alpha"], stop_words=["question"])
+        assert texts[0].strip().startswith("beta gamma")
+        assert "next" not in texts[0]
+
+
+class TestAnswerGenerator:
+    def test_parse_answers(self):
+        parse = AnswerGenerator.parse_generated_answers
+        assert parse(["The answer is: Paris"]) == ["Paris"]
+        assert parse(["  \nSo the answer is: 42\nmore"]) == ["42"]
+        assert parse(["Just Paris"]) == ["Just Paris"]
+
+    def test_generate_answer_with_context(self, tok):
+        backend = StubBackend(tok, rules=[("question : alpha", "the answer is : beta")])
+        reader = AnswerGenerator(tok, backend, model_name="stub-instruct", max_length=512)
+        reader.family = "generic"
+        ans = reader.generate_answer("alpha ?", context=["w1 text", "w2 text"])
+        assert ans == "beta"
+        # the context must have reached the prompt
+        assert any("w1 text" in p for p in backend.calls[-1])
+
+    def test_batch_generate(self, tok):
+        backend = StubBackend(tok, default_response="the answer is : gamma")
+        reader = AnswerGenerator(tok, backend, model_name="stub-instruct", max_length=512)
+        reader.family = "generic"
+        out = reader.generate_answer(["q1 ?", "q2 ?"], context=[["c1"], ["c2"]])
+        assert out == ["gamma", "gamma"]

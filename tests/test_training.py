@@ -1,0 +1,185 @@
+"""Tests for the data loader, optimizer guards, and aligner training loop."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from kirag_tpu.data import E5Collator
+from kirag_tpu.models import BertConfig, init_bert_params
+from kirag_tpu.training import AlignerTrainer, DataLoader, TrainerConfig
+from kirag_tpu.training.trainer import make_optimizer
+
+from tests.helpers import make_tokenizer
+
+
+class TestDataLoader:
+    def setup_method(self):
+        self.dataset = list(range(23))
+
+    def test_epoch_determinism(self):
+        dl = DataLoader(self.dataset, batch_size=4, shuffle=True, seed=1)
+        dl.set_epoch(0)
+        a = [b for b in dl]
+        dl.set_epoch(0)
+        b = [b for b in dl]
+        assert [x for batch in a for x in batch] == [x for batch in b for x in batch]
+        dl.set_epoch(1)
+        c = [x for batch in dl for x in batch]
+        assert c != [x for batch in a for x in batch]  # reshuffled
+        assert sorted(c) == list(range(23))
+
+    def test_process_sharding_covers_dataset(self):
+        shards = []
+        for p in range(4):
+            dl = DataLoader(self.dataset, batch_size=4, shuffle=False, process_index=p,
+                            process_count=4)
+            shards.append([x for b in dl for x in b])
+        lengths = {len(s) for s in shards}
+        assert len(lengths) == 1  # equal batch counts per process
+        assert set(range(23)) <= set(x for s in shards for x in s)
+
+    def test_iter_from_resume(self):
+        dl = DataLoader(self.dataset, batch_size=4, shuffle=True, seed=3)
+        dl.set_epoch(2)
+        full = list(dl)
+        resumed = list(dl.iter_from(3))
+        assert [x for b in resumed for x in b] == [x for b in full[3:] for x in b]
+
+
+class TestOptimizerGuards:
+    def test_nan_grads_skipped(self):
+        config = TrainerConfig(learning_rate=0.1, accumulation_steps=1, warmup_ratio=0.0)
+        opt = make_optimizer(config, total_steps=100)
+        params = {"w": jnp.ones((4,))}
+        state = opt.init(params)
+        bad = {"w": jnp.full((4,), jnp.nan)}
+        updates, state = opt.update(bad, state, params)
+        new_params = optax.apply_updates(params, updates)
+        np.testing.assert_array_equal(np.asarray(new_params["w"]), np.ones(4))
+        assert int(state.notfinite_count) == 1
+        good = {"w": jnp.ones((4,))}
+        # two good updates: step 0 of the schedule has lr == 0 by construction
+        updates, state = opt.update(good, state, params)
+        params = optax.apply_updates(params, updates)
+        updates, state = opt.update(good, state, params)
+        params = optax.apply_updates(params, updates)
+        assert not np.allclose(np.asarray(params["w"]), 1.0)
+        assert int(state.notfinite_count) == 0  # reset after a finite step
+
+    def test_warmup_schedule(self):
+        config = TrainerConfig(learning_rate=1.0, warmup_ratio=0.5)
+        opt = make_optimizer(config, total_steps=10)
+        params = {"w": jnp.ones(())}
+        state = opt.init(params)
+        g = {"w": jnp.ones(())}
+        # first step: lr ~ 0 => negligible change beyond weight decay
+        updates, state = opt.update(g, state, params)
+        assert abs(float(updates["w"])) < 0.05
+
+
+def _training_setup(tmp_path, batch_size=4, num_negatives=3, eval_too=True, **cfg_kw):
+    tok = make_tokenizer(tmp_path)
+    config = BertConfig(vocab_size=tok.vocab_size, hidden_size=32, num_hidden_layers=2,
+                        num_attention_heads=4, intermediate_size=64,
+                        max_position_embeddings=64)
+    params = init_bert_params(jax.random.key(0), config)
+    collator = E5Collator(tokenizer=tok, query_maxlength=32, doc_maxlength=32)
+
+    rng = np.random.RandomState(0)
+    examples = []
+    for i in range(24):
+        w = f"w{i}"
+        negs = [f"w{j} w{j + 50}" for j in rng.choice(100, size=num_negatives) if j != i]
+        while len(negs) < num_negatives:
+            negs.append("omega psi")
+        examples.append({
+            "index": i,
+            "question": f"{w} question",
+            "answers": [],
+            "positive_passage": f"{w} w{i + 50}",
+            "negative_passages": negs[:num_negatives],
+        })
+
+    train_loader = DataLoader(examples, batch_size=batch_size, shuffle=True,
+                              collate_fn=collator, seed=0)
+    eval_loader = DataLoader(examples[:8], batch_size=batch_size, shuffle=False,
+                             collate_fn=collator) if eval_too else None
+    tcfg = TrainerConfig(learning_rate=3e-4, save_dir=str(tmp_path / "run"),
+                         num_train_epochs=2, eval_steps=1000, log_steps=1000, **cfg_kw)
+    trainer = AlignerTrainer(params, config, tcfg, train_loader, eval_loader,
+                             temperature=0.05)
+    return trainer
+
+
+class TestAlignerTraining:
+    def test_loss_decreases_and_mrr_improves(self, tmp_path):
+        trainer = _training_setup(tmp_path)
+        mrr_before = trainer.evaluate(trainer.params, trainer.eval_loader)
+        losses = []
+        trainer.train_loader.set_epoch(0)
+        for _ in range(3):
+            for batch in trainer.train_loader:
+                losses.append(trainer.training_step(batch)["loss"])
+        mrr_after = trainer.evaluate(trainer.params, trainer.eval_loader)
+        assert np.mean(losses[-4:]) < np.mean(losses[:4])
+        assert mrr_after >= mrr_before
+
+    def test_checkpoint_resume_roundtrip(self, tmp_path):
+        trainer = _training_setup(tmp_path)
+        for batch in trainer.train_loader:
+            trainer.training_step(batch)
+            break
+        trainer.save_checkpoint(metric=0.5)
+        w_before = np.asarray(jax.tree.leaves(trainer.params)[0])
+        step_before = trainer.step
+
+        trainer2 = _training_setup(tmp_path)
+        assert trainer2.resume_training()
+        assert trainer2.step == step_before
+        np.testing.assert_array_equal(np.asarray(jax.tree.leaves(trainer2.params)[0]), w_before)
+
+    def test_best_checkpoint_retention(self, tmp_path):
+        trainer = _training_setup(tmp_path, keep_top_k=2)
+        for metric in (0.1, 0.5, 0.3, 0.9):
+            trainer.step += 1
+            trainer.save_checkpoint(metric=metric)
+        assert trainer.best_checkpoint_step() is not None
+        best, _ = trainer._managers()
+        assert len(best.all_steps()) <= 2  # top-k retention evicts the rest
+
+    def test_save_encoder_feeds_retrieval(self, tmp_path):
+        from kirag_tpu.models.encoders import Encoder
+
+        trainer = _training_setup(tmp_path, eval_too=False)
+        out = str(tmp_path / "encoder")
+        trainer.save_encoder(out)
+        enc = Encoder.load(out)
+        assert enc.encoder_type == "e5"
+        emb = np.asarray(enc(np.ones((1, 8), np.int32), np.ones((1, 8), np.int32)))
+        assert emb.shape == (1, 32)
+
+
+class TestShardedTraining:
+    def test_dp_training_matches_single_device(self, tmp_path, mesh8):
+        """Batch sharded over the data axis must produce the same loss/grad
+        path as unsharded (GSPMD global-batch semantics)."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        trainer_a = _training_setup(tmp_path, batch_size=8)
+        tmp2 = tmp_path / "b"
+        tmp2.mkdir()
+        trainer_b = _training_setup(tmp2, batch_size=8)
+        trainer_b.batch_sharding = NamedSharding(mesh8, PartitionSpec("data"))
+
+        trainer_a.train_loader.set_epoch(0)
+        trainer_b.train_loader.set_epoch(0)
+        batch_a = next(iter(trainer_a.train_loader))
+        batch_b = next(iter(trainer_b.train_loader))
+        loss_a = trainer_a.training_step(batch_a)["loss"]
+        loss_b = trainer_b.training_step(batch_b)["loss"]
+        assert abs(loss_a - loss_b) < 1e-4
+        pa = np.asarray(jax.tree.leaves(trainer_a.params)[0])
+        pb = np.asarray(jax.tree.leaves(trainer_b.params)[0])
+        np.testing.assert_allclose(pa, pb, rtol=1e-4, atol=1e-5)
