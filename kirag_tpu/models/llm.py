@@ -1,0 +1,409 @@
+"""Llama-family decoder-only LM in functional JAX with KV-cache greedy decode.
+
+The TPU generation backend behind :class:`kirag_tpu.generation.Generator` —
+replacing the reference's `transformers` ``model.generate`` harness
+(`generator/generator.py:171-235`, `utils/pipeline_utils.py:26-77`). Supports
+the same model families the reference loads (Llama-2/3/3.1, Qwen2/2.5,
+Mistral — all Llama-architecture: RMSNorm, RoPE, GQA, SwiGLU; Qwen2 adds
+QKV biases, handled by optional bias terms).
+
+TPU-first decode design:
+- prefill + the whole greedy loop run as ONE jitted program per
+  (prompt-bucket, max_new_tokens) shape: `lax.scan` over decode steps with a
+  preallocated KV cache — no per-token host round-trip (stop-words are checked
+  segment-wise by the Generator harness above).
+- per-step logits are scanned out (the contract the KiRAG TripleSelector's
+  option-probability beam needs).
+- tensor parallelism via :func:`llama_param_shardings` (Megatron layout over
+  the mesh ``model`` axis), same declarative scheme as the BERT encoder.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 128256
+    hidden_size: int = 4096
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 8
+    intermediate_size: int = 14336
+    max_position_embeddings: int = 8192
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 500000.0
+    tie_word_embeddings: bool = False
+    attention_bias: bool = False  # True for Qwen2 QKV
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+
+Params = Dict[str, Any]
+
+
+def config_from_hf(hf_config) -> LlamaConfig:
+    get = hf_config.get if isinstance(hf_config, dict) else lambda k, d=None: getattr(hf_config, k, d)
+    return LlamaConfig(
+        vocab_size=get("vocab_size"),
+        hidden_size=get("hidden_size"),
+        num_hidden_layers=get("num_hidden_layers"),
+        num_attention_heads=get("num_attention_heads"),
+        num_key_value_heads=get("num_key_value_heads") or get("num_attention_heads"),
+        intermediate_size=get("intermediate_size"),
+        max_position_embeddings=get("max_position_embeddings", 8192),
+        rms_norm_eps=get("rms_norm_eps", 1e-5),
+        rope_theta=get("rope_theta", 10000.0),
+        tie_word_embeddings=bool(get("tie_word_embeddings", False)),
+        attention_bias=bool(get("attention_bias", False)) or "qwen" in str(get("model_type", "")),
+    )
+
+
+def _lin(key, in_dim, out_dim, bias=False, std=0.02):
+    p = {"kernel": jax.random.normal(key, (in_dim, out_dim)) * std}
+    if bias:
+        p["bias"] = jnp.zeros((out_dim,))
+    return p
+
+
+def init_llama_params(key: jax.Array, config: LlamaConfig) -> Params:
+    h, i = config.hidden_size, config.intermediate_size
+    kv_dim = config.num_key_value_heads * config.head_dim
+    keys = jax.random.split(key, 3 + 7 * config.num_hidden_layers)
+    params: Params = {
+        "embed_tokens": jax.random.normal(keys[0], (config.vocab_size, h)) * 0.02,
+        "norm": {"scale": jnp.ones((h,))},
+        "layers": [],
+    }
+    if not config.tie_word_embeddings:
+        params["lm_head"] = {"kernel": jax.random.normal(keys[1], (h, config.vocab_size)) * 0.02}
+    b = config.attention_bias
+    for l in range(config.num_hidden_layers):
+        k = keys[3 + 7 * l: 10 + 7 * l]
+        params["layers"].append({
+            "input_layernorm": {"scale": jnp.ones((h,))},
+            "post_attention_layernorm": {"scale": jnp.ones((h,))},
+            "q_proj": _lin(k[0], h, h, bias=b),
+            "k_proj": _lin(k[1], h, kv_dim, bias=b),
+            "v_proj": _lin(k[2], h, kv_dim, bias=b),
+            "o_proj": _lin(k[3], h, h),
+            "gate_proj": _lin(k[4], h, i),
+            "up_proj": _lin(k[5], h, i),
+            "down_proj": _lin(k[6], i, h),
+        })
+    return params
+
+
+def llama_param_shardings(config: LlamaConfig, model_axis: str = "model") -> Params:
+    col = {"kernel": P(None, model_axis)}
+    col_b = {"kernel": P(None, model_axis), "bias": P(model_axis)}
+    row = {"kernel": P(model_axis, None)}
+    ln = {"scale": P()}
+    qkv = col_b if config.attention_bias else col
+    layer = {
+        "input_layernorm": ln, "post_attention_layernorm": ln,
+        "q_proj": qkv, "k_proj": qkv, "v_proj": qkv, "o_proj": row,
+        "gate_proj": col, "up_proj": col, "down_proj": row,
+    }
+    specs: Params = {
+        "embed_tokens": P(),
+        "norm": ln,
+        "layers": [layer] * config.num_hidden_layers,
+    }
+    if not config.tie_word_embeddings:
+        specs["lm_head"] = {"kernel": P(None, model_axis)}
+    return specs
+
+
+def _rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    out = xf * jax.lax.rsqrt(var + eps)
+    return (out * scale.astype(jnp.float32)).astype(x.dtype)
+
+
+def _dense(x, p):
+    out = jnp.dot(x, p["kernel"].astype(x.dtype), preferred_element_type=x.dtype)
+    if "bias" in p:
+        out = out + p["bias"].astype(x.dtype)
+    return out
+
+
+def _rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
+    """Rotary embedding, HF 'half-rotation' layout. x: [B, T, H, D]."""
+    d = x.shape[-1]
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq  # [B, T, D/2]
+    cos = jnp.cos(angles)[:, :, None, :]
+    sin = jnp.sin(angles)[:, :, None, :]
+    x1, x2 = x[..., : d // 2], x[..., d // 2:]
+    xf1, xf2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
+    return jnp.concatenate([xf1 * cos - xf2 * sin, xf2 * cos + xf1 * sin], axis=-1).astype(x.dtype)
+
+
+def _attention_block(x, layer_p, config: LlamaConfig, positions, k_cache, v_cache,
+                     cache_mask, new_mask):
+    """Attend new tokens (x) against cache+self. Returns (out, new_k, new_v).
+
+    k_cache/v_cache: [B, T_cache, n_kv, hd]; ``cache_mask`` [B, T_cache] marks
+    written cache slots, ``new_mask`` [B, T_new] marks valid (non-pad) new
+    tokens. New tokens attend cache slots per cache_mask and each other
+    causally AND per new_mask. The new tokens' K/V are returned for the caller
+    to write into the cache.
+    """
+    bsz, t_new, _ = x.shape
+    nh, nkv, hd = config.num_attention_heads, config.num_key_value_heads, config.head_dim
+    q = _dense(x, layer_p["q_proj"]).reshape(bsz, t_new, nh, hd)
+    k = _dense(x, layer_p["k_proj"]).reshape(bsz, t_new, nkv, hd)
+    v = _dense(x, layer_p["v_proj"]).reshape(bsz, t_new, nkv, hd)
+    q = _rope(q, positions, config.rope_theta)
+    k = _rope(k, positions, config.rope_theta)
+
+    # full keys: cache + new
+    keys = jnp.concatenate([k_cache, k], axis=1).astype(x.dtype)
+    values = jnp.concatenate([v_cache, v], axis=1).astype(x.dtype)
+    t_total = keys.shape[1]
+    group = nh // nkv
+    keys_r = jnp.repeat(keys, group, axis=2)
+    values_r = jnp.repeat(values, group, axis=2)
+
+    logits = jnp.einsum("bqnd,bknd->bnqk", q, keys_r, preferred_element_type=jnp.float32)
+    logits = logits / np.sqrt(hd)
+
+    # validity: cache slots per cache_mask; new tokens causal AND non-pad
+    t_cache = k_cache.shape[1]
+    cache_valid = jnp.broadcast_to(
+        cache_mask.astype(bool)[:, None, None, :], (bsz, 1, t_new, t_cache))
+    causal = jnp.tril(jnp.ones((t_new, t_new), dtype=bool))[None, None]
+    new_valid = causal & new_mask.astype(bool)[:, None, None, :]
+    new_valid = jnp.broadcast_to(new_valid, (bsz, 1, t_new, t_new))
+    valid = jnp.concatenate([cache_valid, new_valid], axis=-1)
+    logits = jnp.where(valid, logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    ctx = jnp.einsum("bnqk,bknd->bqnd", probs, values_r).reshape(bsz, t_new, nh * hd)
+    return _dense(ctx, layer_p["o_proj"]), k, v
+
+
+def llama_block_forward(params: Params, input_ids, positions, config: LlamaConfig,
+                        k_caches, v_caches, cache_mask, new_mask=None,
+                        compute_dtype=jnp.float32):
+    """Forward ``t_new`` tokens given per-layer caches; returns
+    (logits [B, t_new, V], new_ks, new_vs)."""
+    x = jnp.take(params["embed_tokens"], input_ids, axis=0).astype(compute_dtype)
+    if new_mask is None:
+        new_mask = jnp.ones(input_ids.shape, dtype=jnp.int32)
+    new_ks, new_vs = [], []
+    for li, layer_p in enumerate(params["layers"]):
+        h = _rms_norm(x, layer_p["input_layernorm"]["scale"], config.rms_norm_eps)
+        attn, nk, nv = _attention_block(h, layer_p, config, positions,
+                                        k_caches[li], v_caches[li], cache_mask, new_mask)
+        new_ks.append(nk)
+        new_vs.append(nv)
+        x = x + attn
+        h = _rms_norm(x, layer_p["post_attention_layernorm"]["scale"], config.rms_norm_eps)
+        gate = _dense(h, layer_p["gate_proj"])
+        up = _dense(h, layer_p["up_proj"])
+        x = x + _dense(jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up,
+                       layer_p["down_proj"])
+    x = _rms_norm(x, params["norm"]["scale"], config.rms_norm_eps)
+    if config.tie_word_embeddings:
+        logits = jnp.einsum("bth,vh->btv", x.astype(jnp.float32),
+                            params["embed_tokens"].astype(jnp.float32))
+    else:
+        logits = _dense(x, params["lm_head"]).astype(jnp.float32)
+    return logits, new_ks, new_vs
+
+
+@functools.partial(jax.jit, static_argnames=("config", "max_new_tokens", "compute_dtype"))
+def greedy_decode(params: Params, input_ids: jnp.ndarray, attention_mask: jnp.ndarray,
+                  config: LlamaConfig, max_new_tokens: int, compute_dtype=jnp.float32
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Prefill + greedy scan decode. Left-padded inputs.
+
+    Returns (generated ids [B, max_new], per-step logits [B, max_new, V]).
+    """
+    bsz, t_prompt = input_ids.shape
+    nkv, hd, nl = config.num_key_value_heads, config.head_dim, config.num_hidden_layers
+    t_cache = t_prompt + max_new_tokens
+
+    # positions: left padding -> clip(cumsum(mask)-1, 0)
+    positions = jnp.clip(jnp.cumsum(attention_mask, axis=1) - 1, 0)
+
+    empty_k = [jnp.zeros((bsz, 0, nkv, hd), compute_dtype) for _ in range(nl)]
+    empty_mask = jnp.zeros((bsz, 0), dtype=jnp.int32)
+    logits, new_ks, new_vs = llama_block_forward(
+        params, input_ids, positions, config, empty_k, empty_k, empty_mask,
+        new_mask=attention_mask, compute_dtype=compute_dtype)
+
+    # preallocate caches to t_cache and write the prompt K/V at the front
+    def alloc(new):
+        cache = jnp.zeros((bsz, t_cache, nkv, hd), compute_dtype)
+        return cache.at[:, :t_prompt].set(new)
+
+    k_caches = [alloc(k) for k in new_ks]
+    v_caches = [alloc(v) for v in new_vs]
+    cache_mask0 = jnp.pad(attention_mask, ((0, 0), (0, max_new_tokens)))
+
+    next_token = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+    next_pos = positions[:, -1] + 1
+    first_logits = logits[:, -1]
+
+    def step(carry, t):
+        token, pos, ks, vs, cmask = carry
+        lg, nk, nv = llama_block_forward(
+            params, token[:, None], pos[:, None], config, ks, vs, cmask,
+            compute_dtype=compute_dtype)
+        # the new token attends to itself via the concat slot inside
+        # _attention_block; write its K/V into the cache for FUTURE steps
+        write_at = t_prompt + t
+        ks = [k.at[:, write_at].set(nk_[:, 0]) for k, nk_ in zip(ks, nk)]
+        vs = [v.at[:, write_at].set(nv_[:, 0]) for v, nv_ in zip(vs, nv)]
+        cmask = cmask.at[:, write_at].set(1)
+        new_token = jnp.argmax(lg[:, -1], axis=-1).astype(jnp.int32)
+        return (new_token, pos + 1, ks, vs, cmask), (token, lg[:, -1])
+
+    if max_new_tokens == 1:
+        return next_token[:, None], first_logits[:, None]
+
+    carry = (next_token, next_pos, k_caches, v_caches, cache_mask0)
+    carry, (tokens, step_logits) = jax.lax.scan(
+        step, carry, jnp.arange(max_new_tokens - 1, dtype=jnp.int32))
+    # tokens: [G-1, B] are the tokens FED at each step == generated[0..G-2]
+    last_token = carry[0]
+    gen_ids = jnp.concatenate([tokens.transpose(1, 0), last_token[:, None]], axis=1)
+    gen_logits = jnp.concatenate(
+        [first_logits[:, None], step_logits.transpose(1, 0, 2)], axis=1)
+    return gen_ids, gen_logits
+
+
+# -----------------------------------------------------------------------------
+# The Backend protocol implementation used by kirag_tpu.generation.Generator
+# -----------------------------------------------------------------------------
+
+class JaxLlamaBackend:
+    """Token-level greedy backend with shape-bucketed jit programs."""
+
+    def __init__(self, params: Params, config: LlamaConfig, eos_token_id: int,
+                 compute_dtype=jnp.bfloat16, prompt_buckets=(128, 256, 512, 1024, 2048, 4096)):
+        self.params = params
+        self.config = config
+        self.eos_token_id = eos_token_id
+        self.compute_dtype = compute_dtype
+        self.prompt_buckets = prompt_buckets
+
+    def _bucket(self, t: int) -> int:
+        for b in self.prompt_buckets:
+            if b >= t:
+                return b
+        return self.prompt_buckets[-1]
+
+    def greedy(self, input_ids: np.ndarray, attention_mask: np.ndarray,
+               max_new_tokens: int) -> Tuple[np.ndarray, np.ndarray]:
+        t = input_ids.shape[1]
+        bucket = self._bucket(t)
+        if bucket > t:  # extend LEFT padding to the bucket
+            pad = bucket - t
+            input_ids = np.pad(input_ids, ((0, 0), (pad, 0)))
+            attention_mask = np.pad(attention_mask, ((0, 0), (pad, 0)))
+        elif bucket < t:  # prompt longer than the largest bucket: truncate left
+            input_ids = input_ids[:, -bucket:]
+            attention_mask = attention_mask[:, -bucket:]
+        ids, logits = greedy_decode(
+            self.params, jnp.asarray(input_ids), jnp.asarray(attention_mask),
+            self.config, max_new_tokens, self.compute_dtype)
+        return np.asarray(ids), np.asarray(logits)
+
+    def shard_params(self, mesh, model_axis: str = "model"):
+        from jax.sharding import NamedSharding
+
+        specs = llama_param_shardings(self.config, model_axis)
+        self.params = jax.tree.map(
+            lambda p, s: jax.device_put(p, NamedSharding(mesh, s)), self.params, specs)
+        return self
+
+
+# -----------------------------------------------------------------------------
+# HF checkpoint conversion
+# -----------------------------------------------------------------------------
+
+def convert_hf_llama_state_dict(state_dict: Dict[str, np.ndarray], config: LlamaConfig) -> Params:
+    sd = {k.removeprefix("model."): np.asarray(v) for k, v in state_dict.items()}
+
+    def lin(prefix):
+        p = {"kernel": jnp.asarray(sd[f"{prefix}.weight"].T)}
+        if f"{prefix}.bias" in sd:
+            p["bias"] = jnp.asarray(sd[f"{prefix}.bias"])
+        return p
+
+    params: Params = {
+        "embed_tokens": jnp.asarray(sd["embed_tokens.weight"]),
+        "norm": {"scale": jnp.asarray(sd["norm.weight"])},
+        "layers": [],
+    }
+    if not config.tie_word_embeddings:
+        params["lm_head"] = {"kernel": jnp.asarray(sd["lm_head.weight"].T)}
+    for l in range(config.num_hidden_layers):
+        pre = f"layers.{l}"
+        params["layers"].append({
+            "input_layernorm": {"scale": jnp.asarray(sd[f"{pre}.input_layernorm.weight"])},
+            "post_attention_layernorm": {
+                "scale": jnp.asarray(sd[f"{pre}.post_attention_layernorm.weight"])},
+            "q_proj": lin(f"{pre}.self_attn.q_proj"),
+            "k_proj": lin(f"{pre}.self_attn.k_proj"),
+            "v_proj": lin(f"{pre}.self_attn.v_proj"),
+            "o_proj": lin(f"{pre}.self_attn.o_proj"),
+            "gate_proj": lin(f"{pre}.mlp.gate_proj"),
+            "up_proj": lin(f"{pre}.mlp.up_proj"),
+            "down_proj": lin(f"{pre}.mlp.down_proj"),
+        })
+    return params
+
+
+def load_llama(model_name_or_path: str, compute_dtype=jnp.bfloat16) -> Tuple[Params, LlamaConfig]:
+    """Load a Llama-architecture causal LM from a local HF checkpoint dir."""
+    if not os.path.isdir(model_name_or_path):
+        raise FileNotFoundError(
+            f"{model_name_or_path} is not a local directory. This environment has no "
+            "network egress; download checkpoints out-of-band and pass the local path.")
+    with open(os.path.join(model_name_or_path, "config.json")) as f:
+        hf_config = json.load(f)
+    config = config_from_hf(hf_config)
+
+    state_dict: Dict[str, np.ndarray] = {}
+    st_index = os.path.join(model_name_or_path, "model.safetensors.index.json")
+    st_single = os.path.join(model_name_or_path, "model.safetensors")
+    bin_path = os.path.join(model_name_or_path, "pytorch_model.bin")
+    if os.path.exists(st_index):
+        from safetensors.numpy import load_file
+
+        with open(st_index) as f:
+            weight_map = json.load(f)["weight_map"]
+        for shard in sorted(set(weight_map.values())):
+            state_dict.update(load_file(os.path.join(model_name_or_path, shard)))
+    elif os.path.exists(st_single):
+        from safetensors.numpy import load_file
+
+        state_dict = load_file(st_single)
+    elif os.path.exists(bin_path):
+        import torch
+
+        state_dict = {k: v.to(torch.float32).numpy()
+                      for k, v in torch.load(bin_path, map_location="cpu",
+                                             weights_only=True).items()}
+    else:
+        raise FileNotFoundError(f"no safetensors/bin weights under {model_name_or_path}")
+    params = convert_hf_llama_state_dict(state_dict, config)
+    params = jax.tree.map(lambda x: jnp.asarray(x, dtype=compute_dtype), params)
+    return params, config

@@ -1,0 +1,160 @@
+"""Parity of the JAX Llama decoder against torch transformers (tiny random
+models — no network), plus decode-loop semantics."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from kirag_tpu.models.llm import (
+    JaxLlamaBackend,
+    config_from_hf,
+    convert_hf_llama_state_dict,
+    greedy_decode,
+    llama_block_forward,
+    llama_param_shardings,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_hf_llama():
+    torch.manual_seed(0)
+    hf_config = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, intermediate_size=64,
+        max_position_embeddings=128, rope_theta=10000.0, tie_word_embeddings=False,
+    )
+    model = transformers.LlamaForCausalLM(hf_config).eval()
+    return hf_config, model
+
+
+@pytest.fixture(scope="module")
+def converted(tiny_hf_llama):
+    hf_config, model = tiny_hf_llama
+    config = config_from_hf(hf_config)
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    params = convert_hf_llama_state_dict(sd, config)
+    return config, params, model
+
+
+def left_padded_batch(rng, b=3, t=12, vocab=128):
+    ids = rng.randint(1, vocab, size=(b, t)).astype(np.int32)
+    mask = np.ones((b, t), dtype=np.int32)
+    mask[0, :4] = 0
+    mask[2, :7] = 0
+    ids[mask == 0] = 0
+    return ids, mask
+
+
+class TestLlamaParity:
+    def test_prefill_logits(self, converted, rng):
+        config, params, model = converted
+        ids, mask = left_padded_batch(rng)
+        positions = np.clip(np.cumsum(mask, axis=1) - 1, 0, None)
+        with torch.no_grad():
+            ref = model(
+                input_ids=torch.tensor(ids, dtype=torch.long),
+                attention_mask=torch.tensor(mask, dtype=torch.long),
+                position_ids=torch.tensor(positions, dtype=torch.long),
+            ).logits.numpy()
+        nl = config.num_hidden_layers
+        empty = [jnp.zeros((len(ids), 0, config.num_key_value_heads, config.head_dim))
+                 for _ in range(nl)]
+        empty_mask = jnp.zeros((len(ids), 0), dtype=jnp.int32)
+        got, _, _ = llama_block_forward(
+            params, jnp.asarray(ids), jnp.asarray(positions), config,
+            empty, empty, empty_mask, new_mask=jnp.asarray(mask))
+        got = np.asarray(got)
+        sel = mask.astype(bool)
+        np.testing.assert_allclose(got[sel], ref[sel], rtol=2e-4, atol=2e-4)
+
+    def test_greedy_matches_hf_generate(self, converted, rng):
+        config, params, model = converted
+        ids, mask = left_padded_batch(rng)
+        max_new = 8
+        with torch.no_grad():
+            out = model.generate(
+                input_ids=torch.tensor(ids, dtype=torch.long),
+                attention_mask=torch.tensor(mask, dtype=torch.long),
+                max_new_tokens=max_new, do_sample=False, temperature=1.0,
+                pad_token_id=0, eos_token_id=None,
+            )
+        ref_gen = out[:, ids.shape[1]:].numpy()
+        got_ids, got_logits = greedy_decode(
+            params, jnp.asarray(ids), jnp.asarray(mask), config, max_new)
+        np.testing.assert_array_equal(np.asarray(got_ids), ref_gen)
+        assert got_logits.shape == (3, max_new, config.vocab_size)
+        # per-step logits are greedy-consistent with the emitted ids
+        np.testing.assert_array_equal(
+            np.argmax(np.asarray(got_logits), axis=-1), np.asarray(got_ids))
+
+    def test_qwen_style_bias_roundtrip(self, rng):
+        torch.manual_seed(1)
+        hf_config = transformers.Qwen2Config(
+            vocab_size=128, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, intermediate_size=64,
+            max_position_embeddings=128, tie_word_embeddings=False,
+        )
+        model = transformers.Qwen2ForCausalLM(hf_config).eval()
+        config = config_from_hf(hf_config)
+        assert config.attention_bias
+        params = convert_hf_llama_state_dict(
+            {k: v.numpy() for k, v in model.state_dict().items()}, config)
+        ids, mask = left_padded_batch(rng)
+        got_ids, _ = greedy_decode(params, jnp.asarray(ids), jnp.asarray(mask), config, 4)
+        with torch.no_grad():
+            out = model.generate(
+                input_ids=torch.tensor(ids, dtype=torch.long),
+                attention_mask=torch.tensor(mask, dtype=torch.long),
+                max_new_tokens=4, do_sample=False, pad_token_id=0, eos_token_id=None)
+        np.testing.assert_array_equal(np.asarray(got_ids), out[:, ids.shape[1]:].numpy())
+
+
+class TestBackend:
+    def test_bucketing_invariance(self, converted, rng):
+        """Left-extending padding to a bucket must not change the output."""
+        config, params, model = converted
+        backend = JaxLlamaBackend(params, config, eos_token_id=2,
+                                  compute_dtype=jnp.float32, prompt_buckets=(16, 32))
+        ids, mask = left_padded_batch(rng, t=12)
+        ids_b, logits_b = backend.greedy(ids, mask, 4)
+        got_direct, _ = greedy_decode(params, jnp.asarray(ids), jnp.asarray(mask), config, 4)
+        np.testing.assert_array_equal(ids_b, np.asarray(got_direct))
+
+    def test_generator_integration(self, converted, tmp_path, rng):
+        """The JAX backend slots into the text-level Generator harness."""
+        from tests.helpers import make_tokenizer
+
+        from kirag_tpu.generation.interface import Generator
+
+        config, params, _ = converted
+        tok = make_tokenizer(tmp_path)
+        if tok.pad_token_id is None:
+            tok.pad_token = "[PAD]"
+        backend = JaxLlamaBackend(params, config, eos_token_id=tok.eos_token_id or 3,
+                                  compute_dtype=jnp.float32, prompt_buckets=(32, 64))
+        gen = Generator(tok, backend, model_name="llama-3-tiny-instruct",
+                        max_length=64, max_new_tokens=4)
+        gen.family = "generic"
+        ids, logits = gen.generator_generate(["inst"], ["alpha beta"])
+        assert ids.shape[0] == 1 and ids.shape[1] <= 4
+        assert logits.shape[:2] == ids.shape
+
+
+class TestShardings:
+    def test_tp_sharded_decode_matches(self, converted, rng, mesh8):
+        from kirag_tpu.parallel import create_mesh
+
+        config, params, _ = converted
+        mesh = create_mesh(data=2, model=4)
+        ids, mask = left_padded_batch(rng)
+        base_ids, _ = greedy_decode(params, jnp.asarray(ids), jnp.asarray(mask), config, 4)
+        backend = JaxLlamaBackend(jax.tree.map(jnp.asarray, params), config,
+                                  eos_token_id=2, compute_dtype=jnp.float32).shard_params(mesh)
+        got_ids, _ = greedy_decode(backend.params, jnp.asarray(ids), jnp.asarray(mask),
+                                   config, 4)
+        np.testing.assert_array_equal(np.asarray(got_ids), np.asarray(base_ids))
