@@ -1,0 +1,188 @@
+"""KiRAG iterative retrieval entry point.
+
+The TPU counterpart of the reference `retrieve.py`: loads the encoder +
+device index + corpus, the constructor/KG LLM (JAX Llama backend, or the
+deterministic stub with ``--llm stub`` for smoke runs), the Aligner, runs
+`KiRAG.retrieve` per question and writes QA-format results
+(``ctxs`` + ``paths``).
+
+Usage:
+  python -m kirag_tpu.cli.retrieve \
+    --dataset 2wikimultihopqa --query_file dev.json --corpus 2wikimultihopqa \
+    --index_folder out/e5_2wiki \
+    --retriever_model_name_or_path /ckpts/e5-large-v2 \
+    --llm /ckpts/Meta-Llama-3-8B-Instruct \
+    --aligner_model_name_or_path /ckpts/aligner \
+    --save_dir out --name kirag --save_file results.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+from kirag_tpu.cli.common import (
+    add_corpus_args,
+    add_encoder_args,
+    add_mesh_args,
+    build_collator,
+    build_corpus,
+    build_encoder,
+    build_mesh,
+    build_tokenizer,
+)
+from kirag_tpu.kg.triples import sent_tokenize
+from kirag_tpu.utils.io import load_json, save_json
+from kirag_tpu.utils.logging import setup_logger
+
+logger = logging.getLogger(__name__)
+
+
+def setup_parser():
+    parser = argparse.ArgumentParser(formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    parser.add_argument("--dataset", required=True, type=str)
+    parser.add_argument("--query_file", required=True, type=str)
+    parser.add_argument("--num_queries", type=int, default=None,
+                        help="optionally truncate the query set")
+    add_corpus_args(parser)
+    add_encoder_args(parser)
+    add_mesh_args(parser)
+    parser.add_argument("--index_folder", type=str, required=True)
+    parser.add_argument("--embedding_size", type=int, default=1024)
+
+    parser.add_argument("--llm", type=str, required=True,
+                        help="LOCAL path to a Llama-architecture chat model, or 'stub'")
+    parser.add_argument("--llm_tokenizer", type=str, default=None,
+                        help="tokenizer path (defaults to --llm)")
+    parser.add_argument("--cached_kg_triples_file", type=str, default=None)
+    parser.add_argument("--aligner_model", type=str, default="e5", choices=["e5", "bge"])
+    parser.add_argument("--aligner_model_name_or_path", type=str, required=True)
+    parser.add_argument("--num_beams", type=int, default=1, choices=[1, 2])
+    parser.add_argument("--num_turns", type=int, default=5)
+    parser.add_argument("--topk", type=int, default=10)
+    parser.add_argument("--num_candidate_triples", type=int, default=20)
+
+    parser.add_argument("--per_device_batch_size", type=int, default=8)
+    parser.add_argument("--save_dir", type=str, default="checkpoint")
+    parser.add_argument("--name", type=str, default="e5_retriever")
+    parser.add_argument("--save_file", required=True, type=str)
+    return parser.parse_args()
+
+
+def setup_retriever_model(args):
+    from kirag_tpu.index import TPUIndexer
+    from kirag_tpu.retrieval import DenseRetriever
+
+    tokenizer = build_tokenizer(args)
+    collator = build_collator(args, tokenizer)
+    encoder = build_encoder(args)
+    mesh = build_mesh(args)
+    corpus = build_corpus(args)
+    indexer = TPUIndexer(args.embedding_size, metric="inner_product", mesh=mesh)
+    indexer.deserialize_from(args.index_folder)
+    retriever = DenseRetriever(encoder, collator, indexer=indexer, corpus=corpus,
+                               batch_size=args.per_device_batch_size)
+    return retriever, corpus
+
+
+def setup_llm_generator(args):
+    """Build the constructor Generator over the JAX Llama backend or the stub."""
+    from kirag_tpu.generation.interface import Generator
+
+    if args.llm == "stub":
+        from tests.helpers import make_tokenizer  # pragma: no cover - smoke only
+
+        raise ValueError("--llm stub is only usable from tests; pass a local model path")
+
+    import jax.numpy as jnp
+    from transformers import AutoTokenizer
+
+    from kirag_tpu.models.llm import JaxLlamaBackend, load_llama
+
+    tok_path = args.llm_tokenizer or args.llm
+    tokenizer = AutoTokenizer.from_pretrained(tok_path)
+    if tokenizer.pad_token is None:
+        tokenizer.pad_token = tokenizer.eos_token
+    params, config = load_llama(args.llm, compute_dtype=jnp.bfloat16)
+    backend = JaxLlamaBackend(params, config, eos_token_id=tokenizer.eos_token_id)
+    constructor = Generator(tokenizer, backend, model_name=args.llm,
+                            max_length=4096, max_new_tokens=64, batch_size=4)
+    kg_llm = Generator(tokenizer, backend, model_name=args.llm,
+                       max_length=4096, max_new_tokens=512, batch_size=4)
+    return constructor, kg_llm
+
+
+def setup_kirag_model(args, retriever):
+    from kirag_tpu.data import COLLATOR_MAP
+    from kirag_tpu.kg import KGGenerator
+    from kirag_tpu.models.encoders import load_encoder
+    from kirag_tpu.pipeline import KiRAG
+    from kirag_tpu.retrieval import DenseRetriever
+
+    constructor, kg_llm = setup_llm_generator(args)
+    aligner_encoder = load_encoder(args.aligner_model_name_or_path, args.aligner_model)
+    from transformers import AutoTokenizer
+
+    aligner_tok = AutoTokenizer.from_pretrained(args.aligner_model_name_or_path)
+    aligner_collator = COLLATOR_MAP[args.aligner_model](
+        tokenizer=aligner_tok, query_maxlength=256, doc_maxlength=64)
+    aligner = DenseRetriever(aligner_encoder, aligner_collator,
+                             batch_size=args.per_device_batch_size)
+
+    kg_generator = KGGenerator(kg_llm, examplar_type=args.dataset, embedder=aligner,
+                               batch_size=4)
+    if args.cached_kg_triples_file is not None:
+        kg_generator.load_cached_kg_triples(args.cached_kg_triples_file)
+
+    return KiRAG(retriever=retriever, kg_generator=kg_generator, constructor=constructor,
+                 aligner=aligner, examplar_type=args.dataset, num_turns=args.num_turns,
+                 topk=args.topk, num_candidate_triples=args.num_candidate_triples)
+
+
+def convert_chains_to_qa_format(example, reasoning_chains, documents):
+    ctxs = []
+    for doc in documents:
+        if "sentences" not in doc:
+            doc = dict(doc)
+            doc["sentences"] = sent_tokenize(doc["text"])
+        ctxs.append(doc)
+    example["ctxs"] = ctxs
+    example["paths"] = reasoning_chains
+    return example
+
+
+def retrieve(args, questions, kirag, retriever):
+    results = []
+    for n, example in enumerate(questions):
+        chains, docids_to_scores = kirag.retrieve(
+            question=example["question"], num_beams=args.num_beams)
+        documents = retriever.get_documents(docids_to_scores)
+        results.append(convert_chains_to_qa_format(example, chains, documents))
+        logger.info(f"[{n + 1}/{len(questions)}] retrieved {len(documents)} docs")
+    if args.cached_kg_triples_file is not None:
+        kirag.kg_generator.save_cached_kg_triples(args.cached_kg_triples_file)
+    return results
+
+
+def main():
+    args = setup_parser()
+    checkpoint_path = os.path.join(args.save_dir, args.name)
+    os.makedirs(checkpoint_path, exist_ok=True)
+    setup_logger(os.path.join(checkpoint_path, "kg_adaptive_retrieve.log"))
+
+    retriever, corpus = setup_retriever_model(args)
+    kirag = setup_kirag_model(args, retriever)
+
+    questions = load_json(args.query_file)
+    if args.num_queries:
+        questions = questions[: args.num_queries]
+    logger.info(f"retrieving for {len(questions)} questions ...")
+    results = retrieve(args, questions, kirag, retriever)
+    save_path = os.path.join(checkpoint_path, args.save_file)
+    save_json(results, save_path, use_indent=True)
+    logger.info(f"wrote {save_path}")
+
+
+if __name__ == "__main__":
+    main()

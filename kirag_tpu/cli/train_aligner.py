@@ -1,0 +1,112 @@
+"""Train the Reasoning Chain Aligner (contrastive bi-encoder).
+
+The TPU counterpart of the reference `train_aligner.py` (same defaults:
+lr 2e-5, wd 0.01, accumulation 2, clip 1.0, 10 epochs, warmup 0.1, bf16,
+query 256 / doc 64 max lengths) with data parallelism via the mesh ``data``
+axis (cross-device in-batch negatives are implicit in the global-batch loss).
+
+Usage:
+  python -m kirag_tpu.cli.train_aligner \
+    --retriever_model_name_or_path /ckpts/e5-large-v2 \
+    --data_folders data/hotpotqa data/2wikimultihopqa \
+    --save_dir checkpoint --name aligner
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+from kirag_tpu.cli.common import add_encoder_args, add_mesh_args, build_mesh, build_tokenizer
+from kirag_tpu.utils.logging import setup_logger
+
+logger = logging.getLogger(__name__)
+
+
+def setup_parser():
+    parser = argparse.ArgumentParser(formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    add_encoder_args(parser)
+    add_mesh_args(parser)
+    parser.add_argument("--data_folders", type=str, nargs="+", required=True)
+    parser.add_argument("--learning_rate", type=float, default=2e-5)
+    parser.add_argument("--weight_decay", type=float, default=0.01)
+    parser.add_argument("--accumulation_steps", type=int, default=2)
+    parser.add_argument("--max_grad_norm", type=float, default=1.0)
+    parser.add_argument("--num_train_epochs", type=int, default=10)
+    parser.add_argument("--warmup_ratio", type=float, default=0.1)
+    parser.add_argument("--per_device_batch_size", type=int, default=8)
+    parser.add_argument("--num_positives", type=int, default=2)
+    parser.add_argument("--num_negatives", type=int, default=10)
+    parser.add_argument("--temperature", type=float, default=0.01)
+    parser.add_argument("--eval_steps", type=int, default=200)
+    parser.add_argument("--keep_top_k", type=int, default=2)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--save_dir", type=str, default="checkpoint")
+    parser.add_argument("--name", type=str, default="aligner")
+    return parser.parse_args()
+
+
+def main():
+    args = setup_parser()
+    import jax
+    import jax.numpy as jnp
+
+    save_dir = os.path.join(args.save_dir, args.name)
+    os.makedirs(save_dir, exist_ok=True)
+    setup_logger(os.path.join(save_dir, "train_aligner.log"))
+
+    from kirag_tpu.cli.common import build_collator, build_encoder
+    from kirag_tpu.data import KGChainRetrieverSeqSampleDataset
+    from kirag_tpu.training import AlignerTrainer, DataLoader, TrainerConfig
+    from kirag_tpu.utils.seeding import seed_everything
+
+    seed_everything(args.seed)
+    tokenizer = build_tokenizer(args)
+    args.query_maxlength, args.doc_maxlength = 256, 64
+    collator = build_collator(args, tokenizer)
+    encoder = build_encoder(args)
+    mesh = build_mesh(args)
+
+    train_ds = KGChainRetrieverSeqSampleDataset(
+        is_train=True, data_folders=args.data_folders,
+        num_positives=args.num_positives, num_negatives=args.num_negatives)
+    eval_ds = KGChainRetrieverSeqSampleDataset(
+        is_train=False, data_folders=args.data_folders,
+        num_negatives=args.num_negatives)
+    train_loader = DataLoader(train_ds, batch_size=args.per_device_batch_size,
+                              shuffle=True, collate_fn=collator, seed=args.seed)
+    eval_loader = DataLoader(eval_ds, batch_size=args.per_device_batch_size,
+                             shuffle=False, collate_fn=collator)
+
+    config = TrainerConfig(
+        learning_rate=args.learning_rate, weight_decay=args.weight_decay,
+        warmup_ratio=args.warmup_ratio, num_train_epochs=args.num_train_epochs,
+        accumulation_steps=args.accumulation_steps, max_grad_norm=args.max_grad_norm,
+        eval_steps=args.eval_steps, keep_top_k=args.keep_top_k,
+        save_dir=save_dir, seed=args.seed)
+
+    batch_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
+
+    from kirag_tpu.models.encoders import RETRIEVER_NAME_TO_ENCODER
+
+    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+    trainer = AlignerTrainer(
+        encoder.params, encoder.config, config, train_loader, eval_loader,
+        encoder_type=RETRIEVER_NAME_TO_ENCODER[args.retriever_name],
+        temperature=args.temperature, compute_dtype=dtype, mesh=mesh,
+        batch_sharding=batch_sharding)
+    result = trainer.train(resume=args.resume)
+    logger.info(f"training done: {result}")
+    trainer.save_encoder(os.path.join(save_dir, "encoder"))
+    logger.info(f"encoder saved to {os.path.join(save_dir, 'encoder')} "
+                f"(pass as --aligner_model_name_or_path to retrieve)")
+
+
+if __name__ == "__main__":
+    main()

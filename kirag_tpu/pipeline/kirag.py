@@ -332,5 +332,12 @@ class KiRAG:
             id2score, id2triple = self.update_reasoning_chains_triples_based_on_f1_score(
                 id2score, id2triple, new_steps)
 
-        docids_to_scores = self.get_docids_to_scores_from_triples(id2score, id2triple)
+        if id2score:
+            docids_to_scores = self.get_docids_to_scores_from_triples(id2score, id2triple)
+        else:
+            # no triples were ever extracted (e.g. the KG LLM produced nothing
+            # parseable): fall back to the dense-retrieval scores instead of
+            # returning nothing (the reference returns {} here)
+            docids_to_scores = dict(
+                sorted(docids_to_scores.items(), key=lambda x: x[1], reverse=True))
         return reasoning_chains, docids_to_scores
