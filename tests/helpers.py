@@ -13,7 +13,8 @@ WORDS = [
     "sigma", "tau", "upsilon", "phi", "chi", "psi", "omega", "city", "river",
     "mountain", "king", "queen", "born", "died", "wrote", "director", "film",
     ":", ",", ".", ";", "<", ">", "?",
-] + [f"w{i}" for i in range(200)]
+    "candidate", "existing", "next", "choice", "need", "additional", "no",
+] + [str(d) for d in range(10)] + [f"w{i}" for i in range(200)]
 
 
 def make_tokenizer(tmpdir):
