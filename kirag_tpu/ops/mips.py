@@ -31,7 +31,9 @@ try:  # jax>=0.4.35 exposes shard_map at top level
 except AttributeError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map  # type: ignore
 
-NEG_INF = jnp.float32(-jnp.inf)
+# plain float: evaluating a jnp scalar at import time would initialize the
+# jax backend before the caller can configure platforms
+NEG_INF = float("-inf")
 
 
 def _merge_topk(run_vals: jnp.ndarray, run_idx: jnp.ndarray,
