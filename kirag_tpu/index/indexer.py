@@ -46,19 +46,28 @@ class TPUIndexer:
 
     def __init__(self, vector_sz: int, metric: str = "inner_product",
                  mesh=None, mesh_axis: str = "data",
-                 device_dtype: jnp.dtype = jnp.float32, chunk_size: int = 16384):
+                 device_dtype: jnp.dtype = jnp.float32, chunk_size: int = 16384,
+                 compression: str = "none"):
         if metric not in SUPPORTED_METRICS:
             raise KeyError(f"metric must be one of {SUPPORTED_METRICS}, got {metric}")
+        if compression not in ("none", "int8"):
+            raise KeyError(f"compression must be 'none' or 'int8', got {compression}")
+        if compression == "int8" and metric != "inner_product":
+            raise ValueError("int8 compression currently supports inner_product only")
+        if compression == "int8" and mesh is not None:
+            raise NotImplementedError("int8 compression is single-shard for now")
         self.vector_sz = vector_sz
         self.metric = metric
         self.mesh = mesh
         self.mesh_axis = mesh_axis
         self.device_dtype = device_dtype
         self.chunk_size = chunk_size
+        self.compression = compression
 
         self._host_chunks: List[np.ndarray] = []
         self.index_id_to_db_id: np.ndarray = np.empty((0,), dtype=object)
         self._device_corpus: Optional[jnp.ndarray] = None
+        self._device_scales: Optional[jnp.ndarray] = None
         self._device_sq_norms: Optional[jnp.ndarray] = None
         self._device_rows: int = 0
 
@@ -106,6 +115,14 @@ class TPUIndexer:
         if n_pad != n:
             mat = np.zeros((n_pad, self.vector_sz), dtype=np.float32)
             mat[:n] = host
+        if self.compression == "int8":
+            from kirag_tpu.ops.quantized import quantize_rows_int8
+
+            q, scales = quantize_rows_int8(mat)
+            self._device_corpus = jnp.asarray(q)
+            self._device_scales = jnp.asarray(scales)
+            self._device_rows = n
+            return
         arr = jnp.asarray(mat, dtype=self.device_dtype)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
@@ -145,6 +162,12 @@ class TPUIndexer:
         return np.asarray(vals), np.asarray(idx)
 
     def _run_mips(self, queries, corpus, k):
+        if self.compression == "int8":
+            from kirag_tpu.ops.quantized import topk_mips_int8
+
+            return topk_mips_int8(queries, corpus, self._device_scales, k,
+                                  chunk_size=min(self.chunk_size, corpus.shape[0]),
+                                  valid_rows=self._device_rows)
         if self.mesh is not None and self._shard_count() > 1:
             return sharded_topk_mips(queries, corpus, k, self.mesh, axis=self.mesh_axis,
                                      chunk_size=self.chunk_size, valid_rows=self._device_rows)

@@ -54,12 +54,13 @@ def create_mesh(data: Optional[int] = None, model: int = 1,
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
-    if n % model != 0:
-        raise ValueError(f"model axis size {model} does not divide device count {n}")
     if data is None:
+        if n % model != 0:
+            raise ValueError(f"model axis size {model} does not divide device count {n}")
         data = n // model
-    if data * model != n:
-        raise ValueError(f"mesh {data}x{model} != device count {n}")
+    if data * model > n:
+        raise ValueError(f"mesh {data}x{model} needs {data * model} devices, have {n}")
+    devices = devices[: data * model]  # an explicit smaller mesh is allowed
     dev_array = np.asarray(devices).reshape(data, model)
     return Mesh(dev_array, axis_names=(AXES.data, AXES.model))
 

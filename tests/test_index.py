@@ -98,6 +98,43 @@ class TestShardedIndex:
             assert db_ids == [str(i) for i in idx[row]]
 
 
+class TestInt8Compression:
+    def test_quantize_roundtrip_error(self, rng):
+        from kirag_tpu.ops.quantized import quantize_rows_int8
+
+        emb = rng.randn(50, 64).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+        q, scales = quantize_rows_int8(emb)
+        recon = q.astype(np.float32) * scales[:, None]
+        assert np.abs(recon - emb).max() < 1e-2  # <= scale/2 per element
+
+    def test_int8_index_recall(self, rng):
+        c = rng.randn(400, 32).astype(np.float32)
+        c /= np.linalg.norm(c, axis=-1, keepdims=True)
+        q = c[:8] + 0.01 * rng.randn(8, 32).astype(np.float32)
+
+        exact = TPUIndexer(32, chunk_size=128)
+        exact.index_data(range(400), c)
+        quant = TPUIndexer(32, chunk_size=128, compression="int8")
+        quant.index_data(range(400), c)
+
+        r_exact = exact.search_knn(q, top_docs=10)
+        r_quant = quant.search_knn(q, top_docs=10)
+        recalls = []
+        for (ids_e, _), (ids_q, _) in zip(r_exact, r_quant):
+            recalls.append(len(set(ids_e) & set(ids_q)) / 10)
+        assert np.mean(recalls) >= 0.9
+        # top-1 (self) must survive quantization
+        for row, (ids_q, _) in enumerate(r_quant):
+            assert ids_q[0] == str(row)
+
+    def test_int8_guards(self):
+        with pytest.raises(ValueError):
+            TPUIndexer(8, metric="l2", compression="int8")
+        with pytest.raises(KeyError):
+            TPUIndexer(8, compression="pq")
+
+
 class TestPersistence:
     def test_serialize_roundtrip(self, rng, tmp_path):
         c = rng.randn(40, 8).astype(np.float32)

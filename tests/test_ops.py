@@ -73,6 +73,22 @@ class TestTopkMips:
         assert vals.shape == (2, 5) and idx.shape == (2, 5)
         assert bool(jnp.all(vals[:, 3:] == -jnp.inf))
 
+    @pytest.mark.parametrize("n,k,chunk", [(4096, 10, 1024), (5000, 25, 2048)])
+    def test_two_stage_path_matches_oracle(self, rng, n, k, chunk):
+        """Chunks >= 2*128 with k < groups take the grouped two-stage path."""
+        q = rng.randn(5, 24).astype(np.float32)
+        c = rng.randn(n, 24).astype(np.float32)
+        vals, idx = topk_mips(jnp.asarray(q), jnp.asarray(c), k, chunk_size=chunk)
+        oracle_vals, oracle_idx = numpy_topk(q @ c.T, k)
+        np.testing.assert_allclose(np.asarray(vals), oracle_vals, rtol=1e-4, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(idx), oracle_idx)
+
+    def test_two_stage_ties_prefer_lower_index(self):
+        q = np.ones((1, 8), dtype=np.float32)
+        c = np.ones((2048, 8), dtype=np.float32)  # all scores tie, grouped path
+        _, idx = topk_mips(jnp.asarray(q), jnp.asarray(c), 5, chunk_size=1024)
+        np.testing.assert_array_equal(np.asarray(idx)[0], [0, 1, 2, 3, 4])
+
     def test_ties_prefer_lower_index(self):
         q = np.ones((1, 4), dtype=np.float32)
         c = np.ones((10, 4), dtype=np.float32)  # all scores identical
