@@ -68,12 +68,30 @@ class DenseRetriever:
 
     # -- scoring ---------------------------------------------------------------
 
+    @staticmethod
+    def compute_logits(query_embeddings: np.ndarray, doc_embeddings: np.ndarray) -> np.ndarray:
+        """Shape-dispatched similarity (reference `retrievers.py:71-84`):
+        [d]x[d] -> scalar, [d]x[m,d] -> [m], [n,d]x[n,m,d] -> [n,m],
+        [n,d]x[m,d] -> [n,m]."""
+        q, d = np.asarray(query_embeddings), np.asarray(doc_embeddings)
+        if q.ndim == 1 and d.ndim == 1:
+            return np.einsum("d,d->", q, d)
+        if q.ndim == 1 and d.ndim == 2:
+            return np.einsum("d,md->m", q, d)
+        if q.ndim == 2 and d.ndim == 3:
+            assert len(q) == len(d)
+            return np.einsum("nd,nmd->nm", q, d)
+        if q.ndim == 2 and d.ndim == 2:
+            return np.einsum("nd,md->nm", q, d)
+        raise ValueError(
+            f"Invalid embedding shapes: {q.shape} vs {d.shape}")
+
     def score(self, query_embeddings: np.ndarray, doc_embeddings: np.ndarray) -> np.ndarray:
         """Temperature-scaled similarity (reference `retrievers.py:86-92`)."""
-        q, d = np.asarray(query_embeddings), np.asarray(doc_embeddings)
+        logits = self.compute_logits(query_embeddings, doc_embeddings)
         if self.temperature == "sqrt":
-            return (q @ d.T) / np.sqrt(q.shape[-1])
-        return (q @ d.T) / self.temperature
+            return logits / np.sqrt(np.asarray(query_embeddings).shape[-1])
+        return logits / self.temperature
 
     def encode_score_rank(self, queries: List[str], documents: List[str], k: int,
                           query_maxlength: Optional[int] = None,

@@ -117,6 +117,34 @@ class AlignerTrainer(BaseTrainer):
     def training_step(self, collated):
         return super().training_step(self.pack_batch(collated))
 
+    def evaluate_corpus_mrr(self, params, eval_loader, max_docs: Optional[int] = None) -> float:
+        """Corpus-wide MRR: rank each query's positive against ALL candidate
+        docs across the eval set (reference `aligner_trainer.py:32-80`) —
+        harder than the per-query block MRR of :meth:`evaluate`."""
+        q_embs, d_embs, pos_global = [], [], []
+        offset = 0
+        for collated in eval_loader:
+            batch = self.device_put_batch(self.pack_batch(collated))
+            q = np.asarray(_embed(params, batch["query_args"], self.bert_config,
+                                  self.encoder_type, self.compute_dtype))
+            d = np.asarray(_embed(params, batch["doc_args"], self.bert_config,
+                                  self.encoder_type, self.compute_dtype))
+            pos = np.asarray(batch["positive_doc_indices"]) + offset
+            q_embs.append(q)
+            d_embs.append(d)
+            pos_global.extend(pos.tolist())
+            offset += len(d)
+            if max_docs and offset >= max_docs:
+                break
+        q_all = np.concatenate(q_embs)
+        d_all = np.concatenate(d_embs)
+        scores = q_all @ d_all.T
+        rr = []
+        for i, pos in enumerate(pos_global):
+            rank = 1 + int(np.sum(scores[i] > scores[i, pos]))
+            rr.append(1.0 / rank)
+        return float(np.mean(rr)) if rr else 0.0
+
     def save_encoder(self, save_dir: str) -> None:
         """Persist the trained encoder in our loadable format, so checkpoints
         feed directly into retrieval (the analogue of the reference's

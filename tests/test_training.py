@@ -161,6 +161,29 @@ class TestAlignerTraining:
         assert emb.shape == (1, 32)
 
 
+class TestCorpusMRR:
+    def test_corpus_mrr_bounded(self, tmp_path):
+        trainer = _training_setup(tmp_path)
+        mrr = trainer.evaluate_corpus_mrr(trainer.params, trainer.eval_loader)
+        assert 0.0 < mrr <= 1.0
+        # corpus-wide MRR is never easier than per-block MRR
+        block = trainer.evaluate(trainer.params, trainer.eval_loader)
+        assert mrr <= block + 1e-6
+
+
+class TestComputeLogits:
+    def test_shape_dispatch(self, rng, tmp_path):
+        from kirag_tpu.retrieval import DenseRetriever
+
+        q1, d1 = rng.randn(8).astype(np.float32), rng.randn(8).astype(np.float32)
+        assert np.isscalar(float(DenseRetriever.compute_logits(q1, d1)))
+        assert DenseRetriever.compute_logits(q1, rng.randn(5, 8)).shape == (5,)
+        assert DenseRetriever.compute_logits(rng.randn(3, 8), rng.randn(3, 4, 8)).shape == (3, 4)
+        assert DenseRetriever.compute_logits(rng.randn(3, 8), rng.randn(5, 8)).shape == (3, 5)
+        with pytest.raises(ValueError):
+            DenseRetriever.compute_logits(rng.randn(2, 3, 8), rng.randn(5, 8))
+
+
 class TestShardedTraining:
     def test_dp_training_matches_single_device(self, tmp_path, mesh8):
         """Batch sharded over the data axis must produce the same loss/grad
