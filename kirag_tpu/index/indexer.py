@@ -210,7 +210,8 @@ class TPUIndexer:
         with open(meta_file, "wb") as f:
             pickle.dump(list(self.index_id_to_db_id), f)
         with open(config_file, "w") as f:
-            json.dump({"vector_sz": self.vector_sz, "metric": self.metric}, f)
+            json.dump({"vector_sz": self.vector_sz, "metric": self.metric,
+                       "compression": self.compression}, f)
 
     def deserialize_from(self, dir_path: str, mmap: bool = True) -> None:
         index_file = os.path.join(dir_path, "index.npy")
@@ -223,6 +224,8 @@ class TPUIndexer:
             assert cfg["vector_sz"] == self.vector_sz, (
                 f"index built with dim {cfg['vector_sz']}, indexer expects {self.vector_sz}")
             self.metric = cfg.get("metric", self.metric)
+            if self.mesh is None:  # int8 is single-shard; sharded loads stay uncompressed
+                self.compression = cfg.get("compression", self.compression)
         host = np.load(index_file, mmap_mode="r" if mmap else None)
         self._host_chunks = [host]
         with open(meta_file, "rb") as f:
