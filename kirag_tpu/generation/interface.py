@@ -155,13 +155,23 @@ class Generator:
         ids_list, logits_list = [], []
         for start in range(0, n, bsz):
             batch = {k: v[start: start + bsz] for k, v in inputs.items()}
+            n_real = len(batch["input_ids"])
+            # pad rows to a power-of-two bucket <= bsz: bounds the number of
+            # compiled decode programs across varying request sizes
+            n_pad = 1
+            while n_pad < n_real:
+                n_pad *= 2
+            n_pad = min(n_pad, bsz)
+            if n_pad > n_real:
+                batch = {k: np.concatenate(
+                    [v, np.repeat(v[-1:], n_pad - n_real, axis=0)]) for k, v in batch.items()}
             if stop_words:
                 gen_ids, gen_logits = self._segmented_greedy(batch, max_new, stop_words)
             else:
                 gen_ids, gen_logits = self.backend.greedy(
                     batch["input_ids"], batch["attention_mask"], max_new)
-            ids_list.append(np.asarray(gen_ids))
-            logits_list.append(np.asarray(gen_logits))
+            ids_list.append(np.asarray(gen_ids)[:n_real])
+            logits_list.append(np.asarray(gen_logits)[:n_real])
 
         max_len = max_new if pad_to_max_new_tokens else max(x.shape[1] for x in ids_list)
         pad_id = self.tokenizer.pad_token_id

@@ -137,10 +137,13 @@ class BaseTrainer:
 
     def training_step(self, batch) -> Dict[str, float]:
         batch = self.device_put_batch(batch)
-        self.params, self.opt_state, loss, gnorm, _ = self._jit_update(
+        self.params, self.opt_state, loss, gnorm, aux = self._jit_update(
             self.params, self.opt_state, batch)
         self.step += 1
-        return {"loss": float(loss), "grad_norm": float(gnorm)}
+        stats = {"loss": float(loss), "grad_norm": float(gnorm)}
+        for k, v in (aux or {}).items():
+            stats[k] = float(v)
+        return stats
 
     # -- checkpointing ----------------------------------------------------------
 
