@@ -47,7 +47,7 @@ def tpu_qps() -> float:
     del corpus_host
 
     # warmup/compile
-    vals, idx = topk_mips(queries, corpus, TOPK, chunk_size=65536)
+    vals, idx = topk_mips(queries, corpus, TOPK, chunk_size=262144)
     vals.block_until_ready()
     # sanity: queries sampled from the corpus must retrieve themselves top-1
     # (bf16 rounding can flip the odd near-tie, hence 0.99 not 1.0)
@@ -57,7 +57,7 @@ def tpu_qps() -> float:
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
-        vals, idx = topk_mips(queries, corpus, TOPK, chunk_size=65536)
+        vals, idx = topk_mips(queries, corpus, TOPK, chunk_size=262144)
     vals.block_until_ready()
     dt = (time.perf_counter() - t0) / iters
     return N_QUERIES / dt

@@ -46,8 +46,14 @@ class TPUIndexer:
 
     def __init__(self, vector_sz: int, metric: str = "inner_product",
                  mesh=None, mesh_axis: str = "data",
-                 device_dtype: jnp.dtype = jnp.float32, chunk_size: int = 16384,
-                 compression: str = "none"):
+                 device_dtype: jnp.dtype = jnp.float32, chunk_size: int = 262144,
+                 compression: str = "none", n_subquantizers: int = 0, n_bits: int = 8):
+        # drop-in compatibility with the reference ctor (`retriever/index.py:19`):
+        # a PQ request maps to our int8 row compression (the TPU equal-memory play)
+        if n_subquantizers > 0 and compression == "none":
+            logger.info(f"PQ({n_subquantizers}x{n_bits}b) requested -> using int8 "
+                        "row compression (TPU-native equal-memory equivalent)")
+            compression = "int8"
         if metric not in SUPPORTED_METRICS:
             raise KeyError(f"metric must be one of {SUPPORTED_METRICS}, got {metric}")
         if compression not in ("none", "int8"):

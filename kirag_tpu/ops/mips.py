@@ -85,7 +85,7 @@ def _merge_topk(run_vals: jnp.ndarray, run_idx: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk_size", "valid_rows"))
 def topk_mips(queries: jnp.ndarray, corpus: jnp.ndarray, k: int,
-              chunk_size: int = 16384, valid_rows: Optional[int] = None
+              chunk_size: int = 262144, valid_rows: Optional[int] = None
               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k inner-product search of ``queries`` against ``corpus``.
 
@@ -142,7 +142,7 @@ def topk_mips(queries: jnp.ndarray, corpus: jnp.ndarray, k: int,
 
 
 def sharded_topk_mips(queries: jnp.ndarray, corpus_sharded: jnp.ndarray, k: int,
-                      mesh: Mesh, axis: str = "data", chunk_size: int = 16384,
+                      mesh: Mesh, axis: str = "data", chunk_size: int = 262144,
                       valid_rows: Optional[int] = None
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k MIPS over a corpus row-sharded across ``mesh[axis]``.

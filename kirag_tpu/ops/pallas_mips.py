@@ -1,0 +1,133 @@
+"""Pallas TPU kernel: fused MIPS scoring + per-group max/argmax.
+
+The hot inner loop of retrieval is ``scores = Q @ C_chunk.T`` followed by a
+reduction. The XLA path (:mod:`kirag_tpu.ops.mips`) materializes the [Q, chunk]
+score block to HBM between those steps; this kernel fuses them — the MXU
+matmul's output stays in VMEM and only the per-128-row-group (max, argmax)
+leaves the chip, cutting HBM traffic to ``corpus_bytes + Q*N/128*8``.
+
+On top of it, :func:`approx_topk_mips` implements group-sampled top-k (the
+"one winner per group" reduction of the TPU-KNN recipe): top-k over the group
+maxima, each group contributing its argmax row. Recall@k vs exact search is
+1 - O(k^2 * 128 / (2N)) for randomly ordered corpora (~0.994 at k=100, N=1M);
+the exact path remains :func:`kirag_tpu.ops.mips.topk_mips`.
+
+The kernel runs in interpret mode on CPU (tests) and compiled on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+LANES = 128
+
+
+def _group_max_kernel(q_ref, c_ref, gmax_ref, gidx_ref, *, groups_per_chunk: int):
+    """One grid step: score a [CHUNK, D] corpus block against all queries and
+    emit per-group (max, argmax-lane).
+
+    Refs:
+      q_ref:    [Q, D]               (VMEM, same block every step)
+      c_ref:    [CHUNK, D]           (VMEM, pipelined per chunk)
+      gmax_ref: [1, groups, Q] f32   (output block for this chunk)
+      gidx_ref: [1, groups, Q] int32 (lane index of the max, ties -> lowest)
+    """
+    q = q_ref[:]
+    scores = jax.lax.dot_general(
+        q, c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [Q, CHUNK] in VMEM
+    n_q = scores.shape[0]
+    s3 = scores.reshape(n_q, groups_per_chunk, LANES)
+    m = jnp.max(s3, axis=-1)  # [Q, G]
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 2)
+    idx = jnp.min(jnp.where(s3 == m[..., None], lane_ids, LANES), axis=-1)
+    gmax_ref[0] = m.T
+    gidx_ref[0] = idx.astype(jnp.int32).T
+
+
+@functools.partial(jax.jit, static_argnames=("chunk_size", "interpret"))
+def grouped_max_scores(queries: jnp.ndarray, corpus: jnp.ndarray,
+                       chunk_size: int = 2048, interpret: bool = False
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused scores + per-128-row-group (max, argmax) over the whole corpus.
+
+    Returns (gmax [Q, N/128] f32, gidx [Q, N/128] int32 lane-in-group).
+    ``corpus`` rows must be divisible by ``chunk_size`` and ``chunk_size`` by
+    128 (pad upstream).
+    """
+    n, d = corpus.shape
+    n_q = queries.shape[0]
+    assert n % chunk_size == 0 and chunk_size % LANES == 0
+    num_chunks = n // chunk_size
+    groups_per_chunk = chunk_size // LANES
+
+    kernel = functools.partial(_group_max_kernel, groups_per_chunk=groups_per_chunk)
+    kwargs = {}
+    if pltpu is not None and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(1024 * 1024 * 100))
+    gmax, gidx = pl.pallas_call(
+        kernel,
+        grid=(num_chunks,),
+        in_specs=[
+            pl.BlockSpec((n_q, d), lambda i: (0, 0)),
+            pl.BlockSpec((chunk_size, d), lambda i: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, groups_per_chunk, n_q), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, groups_per_chunk, n_q), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((num_chunks, groups_per_chunk, n_q), jnp.float32),
+            jax.ShapeDtypeStruct((num_chunks, groups_per_chunk, n_q), jnp.int32),
+        ],
+        interpret=interpret,
+        **kwargs,
+    )(queries, corpus)
+    # [num_chunks, groups, Q] -> [Q, total_groups]
+    total_groups = num_chunks * groups_per_chunk
+    gmax = gmax.reshape(total_groups, n_q).T
+    gidx = gidx.reshape(total_groups, n_q).T
+    return gmax, gidx
+
+
+def approx_topk_mips(queries: jnp.ndarray, corpus: jnp.ndarray, k: int,
+                     chunk_size: int = 2048, valid_rows: Optional[int] = None,
+                     interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Group-sampled top-k: one candidate (the argmax row) per 128-row group.
+
+    Exact for k=1; recall@k ~ 1 - k(k-1)*64/N for random row order. Pads the
+    corpus to the chunk grid; padded rows are masked via ``valid_rows``.
+    """
+    n, d = corpus.shape
+    n_valid = n if valid_rows is None else valid_rows
+    pad_to = -(-n // chunk_size) * chunk_size
+    if pad_to != n:
+        corpus = jnp.pad(corpus, ((0, pad_to - n), (0, 0)))
+    gmax, gidx = grouped_max_scores(queries, corpus, chunk_size=chunk_size,
+                                    interpret=interpret)
+    total_groups = gmax.shape[1]
+    group_base = jnp.arange(total_groups, dtype=jnp.int32) * LANES
+    rows = group_base[None, :] + gidx  # [Q, groups] global row of each group max
+    gmax = jnp.where(rows < n_valid, gmax, -jnp.inf)
+    k_eff = min(k, total_groups)
+    vals, pos = jax.lax.top_k(gmax, k_eff)
+    idx = jnp.take_along_axis(rows, pos, axis=-1)
+    idx = jnp.where(jnp.isfinite(vals), idx, 0)  # masked-out slots carry no row
+    if k_eff < k:
+        vals = jnp.pad(vals, ((0, 0), (0, k - k_eff)), constant_values=-jnp.inf)
+        idx = jnp.pad(idx, ((0, 0), (0, k - k_eff)))
+    return vals, idx
