@@ -60,8 +60,6 @@ class TPUIndexer:
             raise KeyError(f"compression must be 'none' or 'int8', got {compression}")
         if compression == "int8" and metric != "inner_product":
             raise ValueError("int8 compression currently supports inner_product only")
-        if compression == "int8" and mesh is not None:
-            raise NotImplementedError("int8 compression is single-shard for now")
         self.vector_sz = vector_sz
         self.metric = metric
         self.mesh = mesh
@@ -125,8 +123,15 @@ class TPUIndexer:
             from kirag_tpu.ops.quantized import quantize_rows_int8
 
             q, scales = quantize_rows_int8(mat)
-            self._device_corpus = jnp.asarray(q)
-            self._device_scales = jnp.asarray(scales)
+            q_arr, s_arr = jnp.asarray(q), jnp.asarray(scales)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                sharding = NamedSharding(self.mesh, PartitionSpec(self.mesh_axis))
+                q_arr = jax.device_put(q_arr, sharding)
+                s_arr = jax.device_put(s_arr, sharding)
+            self._device_corpus = q_arr
+            self._device_scales = s_arr
             self._device_rows = n
             return
         arr = jnp.asarray(mat, dtype=self.device_dtype)
@@ -148,7 +153,8 @@ class TPUIndexer:
 
     # -- search ----------------------------------------------------------------
 
-    def _device_search(self, queries: jnp.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    def _device_search(self, queries: jnp.ndarray, k: int, mode: str = "exact"
+                       ) -> Tuple[np.ndarray, np.ndarray]:
         if self._device_corpus is None:
             self.to_device()
         corpus = self._device_corpus
@@ -160,32 +166,51 @@ class TPUIndexer:
             q_aug = jnp.concatenate([queries, ones], axis=1)
             c_aug = jnp.concatenate(
                 [corpus, (-0.5 * self._device_sq_norms)[:, None].astype(corpus.dtype)], axis=1)
-            vals, idx = self._run_mips(q_aug, c_aug, k)
+            vals, idx = self._run_mips(q_aug, c_aug, k, mode=mode)
             q_sq = jnp.sum(queries.astype(jnp.float32) ** 2, axis=1, keepdims=True)
             dist = q_sq - 2.0 * vals  # ||q||^2 - 2(q.c - 0.5||c||^2)
             return np.asarray(dist), np.asarray(idx)
-        vals, idx = self._run_mips(queries, corpus, k)
+        vals, idx = self._run_mips(queries, corpus, k, mode=mode)
         return np.asarray(vals), np.asarray(idx)
 
-    def _run_mips(self, queries, corpus, k):
+    def _run_mips(self, queries, corpus, k, mode: str = "exact"):
+        sharded = self.mesh is not None and self._shard_count() > 1
         if self.compression == "int8":
+            if sharded:
+                from kirag_tpu.ops.quantized import sharded_topk_mips_int8
+
+                return sharded_topk_mips_int8(
+                    queries, corpus, self._device_scales, k, self.mesh,
+                    axis=self.mesh_axis, chunk_size=self.chunk_size,
+                    valid_rows=self._device_rows)
             from kirag_tpu.ops.quantized import topk_mips_int8
 
             return topk_mips_int8(queries, corpus, self._device_scales, k,
                                   chunk_size=min(self.chunk_size, corpus.shape[0]),
                                   valid_rows=self._device_rows)
-        if self.mesh is not None and self._shard_count() > 1:
+        if mode == "approx":
+            if sharded:
+                raise NotImplementedError("approx mode is single-shard for now")
+            from kirag_tpu.ops.pallas_mips import approx_topk_mips
+
+            return approx_topk_mips(queries, corpus, k,
+                                    valid_rows=self._device_rows)
+        if sharded:
             return sharded_topk_mips(queries, corpus, k, self.mesh, axis=self.mesh_axis,
                                      chunk_size=self.chunk_size, valid_rows=self._device_rows)
         return topk_mips(queries, corpus, k, chunk_size=min(self.chunk_size, corpus.shape[0]),
                          valid_rows=self._device_rows)
 
     def search_knn(self, query_vectors: np.ndarray, top_docs: int,
-                   index_batch_size: int = 1024, verbose: bool = False
-                   ) -> List[Tuple[List[str], np.ndarray]]:
+                   index_batch_size: int = 1024, verbose: bool = False,
+                   mode: str = "exact") -> List[Tuple[List[str], np.ndarray]]:
         """Return per-query ``([db_id, ...], scores)`` like the reference
         (`retriever/index.py:36-53`). Query batches are padded to power-of-two
-        row counts to bound XLA recompiles."""
+        row counts to bound XLA recompiles.
+
+        ``mode="approx"`` uses the Pallas group-sampled kernel
+        (recall@100 ~0.994, fused scoring; see ops/pallas_mips.py).
+        """
         query_vectors = np.asarray(query_vectors, dtype=np.float32)
         if query_vectors.ndim == 1:
             query_vectors = query_vectors[None]
@@ -198,7 +223,8 @@ class TPUIndexer:
             q_pad = _next_pow2(len(q))
             if q_pad != len(q):
                 q = np.pad(q, ((0, q_pad - len(q)), (0, 0)))
-            vals, idx = self._device_search(jnp.asarray(q, dtype=self.device_dtype), k)
+            vals, idx = self._device_search(jnp.asarray(q, dtype=self.device_dtype), k,
+                                            mode=mode)
             for row in range(min(index_batch_size, n_q - start)):
                 db_ids = [str(self.index_id_to_db_id[i]) for i in idx[row]]
                 results.append((db_ids, vals[row]))

@@ -58,6 +58,14 @@ def _group_max_kernel(q_ref, c_ref, gmax_ref, gidx_ref, *, groups_per_chunk: int
     gidx_ref[0] = idx.astype(jnp.int32).T
 
 
+def _resolve_interpret(interpret: Optional[bool]) -> bool:
+    """Pallas TPU kernels only compile on TPU; fall back to the interpreter
+    on CPU (tests / virtual meshes)."""
+    if interpret is not None:
+        return interpret
+    return jax.default_backend() not in ("tpu",)
+
+
 @functools.partial(jax.jit, static_argnames=("chunk_size", "interpret"))
 def grouped_max_scores(queries: jnp.ndarray, corpus: jnp.ndarray,
                        chunk_size: int = 2048, interpret: bool = False
@@ -106,12 +114,13 @@ def grouped_max_scores(queries: jnp.ndarray, corpus: jnp.ndarray,
 
 def approx_topk_mips(queries: jnp.ndarray, corpus: jnp.ndarray, k: int,
                      chunk_size: int = 2048, valid_rows: Optional[int] = None,
-                     interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                     interpret: Optional[bool] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Group-sampled top-k: one candidate (the argmax row) per 128-row group.
 
     Exact for k=1; recall@k ~ 1 - k(k-1)*64/N for random row order. Pads the
     corpus to the chunk grid; padded rows are masked via ``valid_rows``.
     """
+    interpret = _resolve_interpret(interpret)
     n, d = corpus.shape
     n_valid = n if valid_rows is None else valid_rows
     pad_to = -(-n // chunk_size) * chunk_size

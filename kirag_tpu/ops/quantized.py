@@ -16,8 +16,9 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, PartitionSpec
 
-from kirag_tpu.ops.mips import NEG_INF, _chunk_topk, _merge_topk
+from kirag_tpu.ops.mips import NEG_INF, _chunk_topk, _merge_topk, _pvary, shard_map
 
 
 def quantize_rows_int8(embeddings: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -81,3 +82,79 @@ def topk_mips_int8(queries: jnp.ndarray, corpus_i8: jnp.ndarray, scales: jnp.nda
         vals = jnp.pad(vals, ((0, 0), (0, k - k_eff)), constant_values=-jnp.inf)
         idx = jnp.pad(idx, ((0, 0), (0, k - k_eff)))
     return vals, idx
+
+
+def _local_topk_int8(queries, corpus_i8, scales, k, chunk_size, valid_rows_dyn, axis=None):
+    """Chunked int8 top-k with a traced valid-row count (shard-local body)."""
+    q = queries.shape[0]
+    n, d = corpus_i8.shape
+    k_eff = min(k, n)
+    chunk_size = min(chunk_size, n)
+    num_chunks = -(-n // chunk_size)
+    n_pad = num_chunks * chunk_size
+    if n_pad != n:
+        corpus_i8 = jnp.pad(corpus_i8, ((0, n_pad - n), (0, 0)))
+        scales = jnp.pad(scales, (0, n_pad - n))
+    chunks = corpus_i8.reshape(num_chunks, chunk_size, d)
+    scale_chunks = scales.reshape(num_chunks, chunk_size)
+    qT = queries.astype(jnp.bfloat16)
+
+    init_vals = _pvary(jnp.full((q, k_eff), NEG_INF, dtype=jnp.float32), axis)
+    init_idx = _pvary(jnp.zeros((q, k_eff), dtype=jnp.int32), axis)
+
+    def step(carry, inp):
+        run_vals, run_idx = carry
+        chunk_i, chunk, chunk_scales = inp
+        scores = jax.lax.dot_general(
+            qT, chunk.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * chunk_scales[None, :]
+        row_ids = chunk_i * chunk_size + jax.lax.broadcasted_iota(
+            jnp.int32, (q, chunk_size), 1)
+        scores = jnp.where(row_ids < valid_rows_dyn, scores, NEG_INF)
+        new_vals, new_idx = _chunk_topk(scores, row_ids, k_eff)
+        return _merge_topk(run_vals, run_idx, new_vals, new_idx, k_eff), None
+
+    (vals, idx), _ = jax.lax.scan(
+        step, (init_vals, init_idx),
+        (jnp.arange(num_chunks, dtype=jnp.int32), chunks, scale_chunks))
+    if k_eff < k:
+        vals = jnp.pad(vals, ((0, 0), (0, k - k_eff)), constant_values=-jnp.inf)
+        idx = jnp.pad(idx, ((0, 0), (0, k - k_eff)))
+    return vals, idx
+
+
+def sharded_topk_mips_int8(queries: jnp.ndarray, corpus_i8: jnp.ndarray,
+                           scales: jnp.ndarray, k: int, mesh: Mesh,
+                           axis: str = "data", chunk_size: int = 262144,
+                           valid_rows: Optional[int] = None
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """int8 top-k over a corpus row-sharded across ``mesh[axis]`` (same merge
+    as :func:`kirag_tpu.ops.mips.sharded_topk_mips`)."""
+    n_total = corpus_i8.shape[0]
+    n_valid = n_total if valid_rows is None else valid_rows
+    num_shards = mesh.shape[axis]
+    assert n_total % num_shards == 0, "corpus rows must divide the mesh axis"
+    shard_rows = n_total // num_shards
+
+    def local_search(q_local, c_local, s_local):
+        shard_id = jax.lax.axis_index(axis)
+        offset = shard_id * shard_rows
+        local_valid = jnp.clip(n_valid - offset, 0, shard_rows)
+        vals, idx = _local_topk_int8(q_local, c_local, s_local, k, chunk_size,
+                                     local_valid, axis=axis)
+        idx = idx + offset
+        all_vals = jax.lax.all_gather(vals, axis, axis=1, tiled=True)
+        all_idx = jax.lax.all_gather(idx, axis, axis=1, tiled=True)
+        top_vals, pos = jax.lax.top_k(all_vals, k)
+        return top_vals, jnp.take_along_axis(all_idx, pos, axis=-1)
+
+    fn = shard_map(
+        local_search,
+        mesh=mesh,
+        in_specs=(PartitionSpec(), PartitionSpec(axis), PartitionSpec(axis)),
+        out_specs=(PartitionSpec(), PartitionSpec()),
+        check_vma=False,
+    )
+    return fn(queries, corpus_i8, scales)

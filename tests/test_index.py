@@ -134,6 +134,33 @@ class TestInt8Compression:
         with pytest.raises(KeyError):
             TPUIndexer(8, compression="pq")
 
+    def test_sharded_int8(self, rng, mesh8):
+        c = rng.randn(512, 16).astype(np.float32)
+        c /= np.linalg.norm(c, axis=-1, keepdims=True)
+        q = c[:4] + 0.01 * rng.randn(4, 16).astype(np.float32)
+        sharded = TPUIndexer(16, mesh=mesh8, chunk_size=64, compression="int8")
+        sharded.index_data(range(512), c)
+        single = TPUIndexer(16, chunk_size=64, compression="int8")
+        single.index_data(range(512), c)
+        r_s = sharded.search_knn(q, top_docs=8)
+        r_1 = single.search_knn(q, top_docs=8)
+        for (ids_s, vs), (ids_1, v1) in zip(r_s, r_1):
+            assert ids_s == ids_1
+            np.testing.assert_allclose(vs, v1, rtol=1e-4, atol=1e-4)
+
+
+class TestApproxMode:
+    def test_approx_search_mode(self, rng):
+        c = rng.randn(1024, 16).astype(np.float32)
+        c /= np.linalg.norm(c, axis=-1, keepdims=True)
+        indexer = TPUIndexer(16, chunk_size=256)
+        indexer.index_data(range(1024), c)
+        exact = indexer.search_knn(c[:4], top_docs=5)
+        approx = indexer.search_knn(c[:4], top_docs=5, mode="approx")
+        for (ids_e, _), (ids_a, _) in zip(exact, approx):
+            assert ids_a[0] == ids_e[0]  # top-1 is exact in approx mode
+            assert len(set(ids_e) & set(ids_a)) >= 3
+
 
 class TestPersistence:
     def test_serialize_roundtrip(self, rng, tmp_path):
