@@ -182,3 +182,127 @@ WIKIPEDIA_EXAMPLARS = [
                    "<Alexander Fleming; worked at; St Mary's Hospital, London>",
     },
 ]
+
+HOTPOTQA_EXAMPLARS += [
+    {
+        "title": "Golden Gate Bridge",
+        "text": "The Golden Gate Bridge is a suspension bridge spanning the Golden Gate "
+                "strait between San Francisco and Marin County. Its chief engineer was "
+                "Joseph Strauss, and it opened to traffic in 1937.",
+        "triples": "<Golden Gate Bridge; is a; suspension bridge> "
+                   "<Golden Gate Bridge; spans; Golden Gate strait> "
+                   "<Golden Gate Bridge; connects; San Francisco and Marin County> "
+                   "<Golden Gate Bridge; chief engineer; Joseph Strauss> "
+                   "<Golden Gate Bridge; opened in; 1937>",
+    },
+    {
+        "title": "Toni Morrison",
+        "text": "Toni Morrison was an American novelist who won the Nobel Prize in "
+                "Literature in 1993. Her novel Beloved won the Pulitzer Prize for "
+                "Fiction and was adapted into a 1998 film starring Oprah Winfrey.",
+        "triples": "<Toni Morrison; was; American novelist> "
+                   "<Toni Morrison; won; Nobel Prize in Literature> "
+                   "<Toni Morrison; Nobel Prize year; 1993> "
+                   "<Beloved; written by; Toni Morrison> "
+                   "<Beloved; won; Pulitzer Prize for Fiction> "
+                   "<Beloved; adapted into film in; 1998> "
+                   "<Beloved (1998 film); starring; Oprah Winfrey>",
+    },
+    {
+        "title": "CERN",
+        "text": "CERN is a European research organization that operates the Large Hadron "
+                "Collider, the world's largest particle accelerator, near Geneva on the "
+                "France-Switzerland border. The World Wide Web was invented at CERN by "
+                "Tim Berners-Lee in 1989.",
+        "triples": "<CERN; is; European research organization> "
+                   "<CERN; operates; Large Hadron Collider> "
+                   "<Large Hadron Collider; is; world's largest particle accelerator> "
+                   "<CERN; located near; Geneva> "
+                   "<World Wide Web; invented at; CERN> "
+                   "<World Wide Web; invented by; Tim Berners-Lee> "
+                   "<World Wide Web; invented in; 1989>",
+    },
+]
+
+WIKIMULTIHOPQA_EXAMPLARS += [
+    {
+        "title": "Ada Lovelace",
+        "text": "Ada Lovelace was an English mathematician, the daughter of the poet "
+                "Lord Byron. She worked with Charles Babbage on the Analytical Engine.",
+        "triples": "<Ada Lovelace; was; English mathematician> "
+                   "<Ada Lovelace; father; Lord Byron> <Lord Byron; was; poet> "
+                   "<Ada Lovelace; worked with; Charles Babbage> "
+                   "<Charles Babbage; designed; Analytical Engine>",
+    },
+    {
+        "title": "Spirited Away",
+        "text": "Spirited Away is a 2001 animated film directed by Hayao Miyazaki and "
+                "produced by Studio Ghibli. It won the Academy Award for Best Animated "
+                "Feature in 2003.",
+        "triples": "<Spirited Away; is a; 2001 animated film> "
+                   "<Spirited Away; directed by; Hayao Miyazaki> "
+                   "<Spirited Away; produced by; Studio Ghibli> "
+                   "<Spirited Away; won; Academy Award for Best Animated Feature> "
+                   "<Spirited Away; Academy Award year; 2003>",
+    },
+    {
+        "title": "Suez Canal",
+        "text": "The Suez Canal is an artificial waterway in Egypt connecting the "
+                "Mediterranean Sea to the Red Sea. It was opened in 1869 under the "
+                "direction of Ferdinand de Lesseps.",
+        "triples": "<Suez Canal; is; artificial waterway> <Suez Canal; located in; Egypt> "
+                   "<Suez Canal; connects; Mediterranean Sea and Red Sea> "
+                   "<Suez Canal; opened in; 1869> "
+                   "<Suez Canal; directed by; Ferdinand de Lesseps>",
+    },
+]
+
+MUSIQUE_EXAMPLARS += [
+    {
+        "title": "Machu Picchu",
+        "text": "Machu Picchu is a 15th-century Inca citadel in the Cusco Region of "
+                "Peru, situated above the Sacred Valley. It was brought to international "
+                "attention by Hiram Bingham in 1911.",
+        "triples": "<Machu Picchu; is; 15th-century Inca citadel> "
+                   "<Machu Picchu; located in; Cusco Region> <Cusco Region; country; Peru> "
+                   "<Machu Picchu; situated above; Sacred Valley> "
+                   "<Machu Picchu; publicized by; Hiram Bingham> "
+                   "<Machu Picchu; publicized in; 1911>",
+    },
+    {
+        "title": "BBC",
+        "text": "The British Broadcasting Corporation is headquartered at Broadcasting "
+                "House in the City of Westminster, London. It was founded in 1922 and "
+                "its first director-general was John Reith.",
+        "triples": "<British Broadcasting Corporation; headquartered at; Broadcasting House> "
+                   "<Broadcasting House; located in; City of Westminster> "
+                   "<City of Westminster; part of; London> "
+                   "<British Broadcasting Corporation; founded in; 1922> "
+                   "<British Broadcasting Corporation; first director-general; John Reith>",
+    },
+]
+
+WIKIPEDIA_EXAMPLARS += [
+    {
+        "title": "Haber process",
+        "text": "The Haber process produces ammonia from nitrogen and hydrogen using an "
+                "iron catalyst. It was developed by Fritz Haber and scaled industrially "
+                "by Carl Bosch at BASF.",
+        "triples": "<Haber process; produces; ammonia> "
+                   "<Haber process; inputs; nitrogen and hydrogen> "
+                   "<Haber process; uses catalyst; iron> "
+                   "<Haber process; developed by; Fritz Haber> "
+                   "<Haber process; industrialized by; Carl Bosch> "
+                   "<Carl Bosch; worked at; BASF>",
+    },
+    {
+        "title": "Great Barrier Reef",
+        "text": "The Great Barrier Reef is the world's largest coral reef system, "
+                "located in the Coral Sea off the coast of Queensland, Australia. It was "
+                "designated a World Heritage Site in 1981.",
+        "triples": "<Great Barrier Reef; is; world's largest coral reef system> "
+                   "<Great Barrier Reef; located in; Coral Sea> "
+                   "<Great Barrier Reef; off the coast of; Queensland, Australia> "
+                   "<Great Barrier Reef; designated World Heritage Site in; 1981>",
+    },
+]

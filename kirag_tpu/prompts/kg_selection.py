@@ -211,3 +211,77 @@ MUSIQUE_TRIPLE_SELECTION_EXAMPLARS = [
                       "The answer is: A.",
     },
 ]
+
+
+HOTPOTQA_REASONING_CHAIN_EXAMPLARS += [
+    {
+        "question": "Who engineered the suspension bridge that connects San Francisco to Marin County?",
+        "chains": "<Golden Gate Bridge; connects; San Francisco and Marin County>, "
+                  "<Golden Gate Bridge; chief engineer; Joseph Strauss>",
+        "answer": "Joseph Strauss",
+    },
+    {
+        "question": "Who starred in the 1998 film adaptation of the Pulitzer-winning novel by the 1993 Nobel laureate in Literature?",
+        "chains": "<Toni Morrison; won; Nobel Prize in Literature>, "
+                  "<Toni Morrison; Nobel Prize year; 1993>, "
+                  "<Beloved; written by; Toni Morrison>, "
+                  "<Beloved; adapted into film in; 1998>, "
+                  "<Beloved (1998 film); starring; Oprah Winfrey>",
+        "answer": "Oprah Winfrey",
+    },
+    {
+        "question": "Near which city is the organization where the World Wide Web was invented?",
+        "chains": "<World Wide Web; invented at; CERN>, <CERN; located near; Geneva>",
+        "answer": "Geneva",
+    },
+]
+
+WIKIMULTIHOPQA_REASONING_CHAIN_EXAMPLARS += [
+    {
+        "question": "Who was the father of the mathematician who worked with Charles Babbage?",
+        "chains": "<Ada Lovelace; worked with; Charles Babbage>, "
+                  "<Ada Lovelace; father; Lord Byron>",
+        "answer": "Lord Byron",
+    },
+    {
+        "question": "Which studio produced the film that won the Academy Award for Best Animated Feature in 2003?",
+        "chains": "<Spirited Away; won; Academy Award for Best Animated Feature>, "
+                  "<Spirited Away; Academy Award year; 2003>, "
+                  "<Spirited Away; produced by; Studio Ghibli>",
+        "answer": "Studio Ghibli",
+    },
+]
+
+MUSIQUE_REASONING_CHAIN_EXAMPLARS += [
+    {
+        "question": "In which country is the citadel publicized by Hiram Bingham in 1911?",
+        "chains": "<Machu Picchu; publicized by; Hiram Bingham>, "
+                  "<Machu Picchu; located in; Cusco Region>, "
+                  "<Cusco Region; country; Peru>",
+        "answer": "Peru",
+    },
+    {
+        "question": "Who was the first director-general of the broadcaster headquartered in the City of Westminster?",
+        "chains": "<British Broadcasting Corporation; headquartered at; Broadcasting House>, "
+                  "<Broadcasting House; located in; City of Westminster>, "
+                  "<British Broadcasting Corporation; first director-general; John Reith>",
+        "answer": "John Reith",
+    },
+]
+
+HOTPOTQA_TRIPLE_SELECTION_EXAMPLARS += [
+    {
+        "question": "Near which city is the organization where the World Wide Web was invented?",
+        "triples": ["<World Wide Web; invented at; CERN>"],
+        "candidate_triples": [
+            "A. <CERN; operates; Large Hadron Collider>",
+            "B. <CERN; located near; Geneva>",
+            "C. <World Wide Web; invented by; Tim Berners-Lee>",
+            "D. <Golden Gate Bridge; opened in; 1937>",
+            "E. <Toni Morrison; was; American novelist>",
+        ],
+        "answer": "B",
+        "cot_answer": "The chain places the invention at CERN; the question asks for the "
+                      "nearby city. The answer is: B.",
+    },
+]
