@@ -63,6 +63,9 @@ def _chunk_topk(scores: jnp.ndarray, row_ids: jnp.ndarray, k: int
     cand = jnp.take_along_axis(s3, gidx[:, :, None], axis=1).reshape(q, k * lanes)
     cand_rows = jnp.take_along_axis(
         row_ids.reshape(q, groups, lanes), gidx[:, :, None], axis=1).reshape(q, k * lanes)
+    # NOTE: a third grouped stage over the k*128 candidates (8-lane subgroups)
+    # was measured SLOWER on v5e (48ms vs 33ms at chunk 512k): sub-128-lane
+    # gathers fight the vector layout. Two stages is the sweet spot.
     vals, pos = jax.lax.top_k(cand, k)
     return vals, jnp.take_along_axis(cand_rows, pos, axis=-1)
 

@@ -99,6 +99,9 @@ class KiRAG:
             questions = [e["question"] for e in self.reasoning_chain_examplars]
             self.examplars_embeddings = np.asarray(
                 self.embedder.calculate_query_embeddings(questions, max_length=128))
+        # triple embeddings are reused across turns (the reference re-embeds
+        # every accumulated triple each turn, `models.py:1534-1537`)
+        self._triple_emb_cache: Dict[str, np.ndarray] = {}
 
     # -- examplars ---------------------------------------------------------------
 
@@ -202,19 +205,38 @@ class KiRAG:
 
     # -- aligner scoring --------------------------------------------------------------
 
+    def _triple_embeddings(self, triples_texts: List[str]) -> np.ndarray:
+        """Embed triples through the aligner with a cross-turn cache (each
+        accumulated triple is embedded once per question, not once per turn)."""
+        if len(self._triple_emb_cache) > 100_000:  # bound memory on long runs
+            self._triple_emb_cache.clear()
+        missing = [t for t in triples_texts if t not in self._triple_emb_cache]
+        if missing:
+            emb = np.asarray(self.aligner.calculate_document_embeddings(
+                missing, max_length=128))
+            for text, e in zip(missing, emb):
+                self._triple_emb_cache[text] = e
+        return np.stack([self._triple_emb_cache[t] for t in triples_texts])
+
     def filter_candidate_triples(self, question: str,
                                  reasoning_chains: List[List[dict]],
                                  triples: List[dict], num_candidate_triples: int
                                  ) -> Tuple[List[List[int]], List[List[float]]]:
-        """Aligner rescoring as ONE fused device program (`models.py:1514-1542`)."""
+        """Aligner rescoring (`models.py:1514-1542`): embed on device (shape-
+        bucketed), rank the small candidate set on host (no per-count
+        recompiles)."""
         chains_texts = ([[self.get_triple_text(t) for t in chain] for chain in reasoning_chains]
                         if reasoning_chains else [[]])
         queries = ["{}\nknowledge triples: {}.".format(question, ". ".join(texts))
                    for texts in chains_texts]
         triples_texts = [self.get_triple_text(t) for t in triples]
-        return self.aligner.encode_score_rank(
-            queries, triples_texts, k=min(num_candidate_triples, len(triples)),
-            query_maxlength=256, doc_maxlength=128)
+        q_emb = np.asarray(self.aligner.calculate_query_embeddings(queries, max_length=256))
+        d_emb = self._triple_embeddings(triples_texts)
+        scores = q_emb @ d_emb.T  # [num_chains, num_triples] — host, tiny
+        k = min(num_candidate_triples, len(triples))
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+        top_scores = np.take_along_axis(scores, order, axis=1)
+        return order.tolist(), top_scores.tolist()
 
     # -- constructor --------------------------------------------------------------------
 

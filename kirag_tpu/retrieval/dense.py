@@ -52,8 +52,12 @@ class DenseRetriever:
             kwargs = {"max_length": max_length} if max_length else {}
             args = encode_fn(batch, **kwargs)
             n_real = len(batch)
-            # pad the tail batch to the full batch size: stable jit shapes
-            args = _pad_rows(args, self.batch_size if len(texts) > self.batch_size else len(batch))
+            # pad rows to a power-of-two bucket <= batch_size: stable jit
+            # shapes across arbitrary request sizes (no per-count recompiles)
+            bucket = 1
+            while bucket < n_real:
+                bucket *= 2
+            args = _pad_rows(args, min(bucket, self.batch_size))
             emb = np.asarray(self.encoder(args["input_ids"], args["attention_mask"]))
             out.append(emb[:n_real])
         return np.concatenate(out, axis=0)
