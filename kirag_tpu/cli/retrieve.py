@@ -56,6 +56,8 @@ def setup_parser():
     parser.add_argument("--llm_tokenizer", type=str, default=None,
                         help="tokenizer path (defaults to --llm)")
     parser.add_argument("--cached_kg_triples_file", type=str, default=None)
+    parser.add_argument("--llm_int8", action="store_true",
+                        help="weight-only int8 LLM (the 4-bit-loading analogue; ~2x decode)")
     parser.add_argument("--aligner_model", type=str, default="e5", choices=["e5", "bge"])
     parser.add_argument("--aligner_model_name_or_path", type=str, required=True)
     parser.add_argument("--num_beams", type=int, default=1, choices=[1, 2])
@@ -105,6 +107,10 @@ def setup_llm_generator(args):
     if tokenizer.pad_token is None:
         tokenizer.pad_token = tokenizer.eos_token
     params, config = load_llama(args.llm, compute_dtype=jnp.bfloat16)
+    if getattr(args, 'llm_int8', False):
+        from kirag_tpu.models.llm import quantize_llama_params
+
+        params = quantize_llama_params(params)
     backend = JaxLlamaBackend(params, config, eos_token_id=tokenizer.eos_token_id)
     constructor = Generator(tokenizer, backend, model_name=args.llm,
                             max_length=4096, max_new_tokens=64, batch_size=4)

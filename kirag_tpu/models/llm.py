@@ -135,9 +135,54 @@ def _rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
 
 
 def _dense(x, p):
-    out = jnp.dot(x, p["kernel"].astype(x.dtype), preferred_element_type=x.dtype)
+    if "kernel_q" in p:
+        # weight-only int8: kernel stored as int8 with per-output-channel
+        # scales; dequant fuses into the matmul read (half the HBM bytes of
+        # bf16 — decode is weight-bandwidth-bound, so ~2x decode throughput)
+        kernel = p["kernel_q"].astype(x.dtype) * p["kernel_scale"].astype(x.dtype)[None, :]
+        out = jnp.dot(x, kernel, preferred_element_type=x.dtype)
+    else:
+        out = jnp.dot(x, p["kernel"].astype(x.dtype), preferred_element_type=x.dtype)
     if "bias" in p:
         out = out + p["bias"].astype(x.dtype)
+    return out
+
+
+def quantize_llama_params(params: Params) -> Params:
+    """Weight-only int8 quantization of every projection kernel.
+
+    The TPU analogue of the reference's 4-bit NF4 loading
+    (`utils/pipeline_utils.py:6-24`): per-output-channel symmetric int8 for
+    q/k/v/o/gate/up/down (+ lm_head); embeddings and norms stay as-is.
+    """
+
+    def quant_lin(p):
+        if "kernel" not in p:
+            return p
+        k = np.asarray(p["kernel"], dtype=np.float32)
+        absmax = np.abs(k).max(axis=0)
+        scale = np.where(absmax == 0, 1.0, absmax / 127.0).astype(np.float32)
+        q = np.clip(np.rint(k / scale[None, :]), -127, 127).astype(np.int8)
+        out = {"kernel_q": jnp.asarray(q), "kernel_scale": jnp.asarray(scale)}
+        if "bias" in p:
+            out["bias"] = p["bias"]
+        return out
+
+    out: Params = {
+        "embed_tokens": params["embed_tokens"],
+        "norm": params["norm"],
+        "layers": [],
+    }
+    if "lm_head" in params:
+        out["lm_head"] = quant_lin(params["lm_head"])
+    for layer in params["layers"]:
+        out["layers"].append({
+            "input_layernorm": layer["input_layernorm"],
+            "post_attention_layernorm": layer["post_attention_layernorm"],
+            **{name: quant_lin(layer[name])
+               for name in ("q_proj", "k_proj", "v_proj", "o_proj",
+                            "gate_proj", "up_proj", "down_proj")},
+        })
     return out
 
 

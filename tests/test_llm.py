@@ -145,6 +145,37 @@ class TestBackend:
         assert logits.shape[:2] == ids.shape
 
 
+class TestInt8Weights:
+    def test_quantized_decode_close_to_f32(self, converted, rng):
+        from kirag_tpu.models.llm import quantize_llama_params
+
+        config, params, _ = converted
+        ids, mask = left_padded_batch(rng)
+        base_ids, base_logits = greedy_decode(
+            params, jnp.asarray(ids), jnp.asarray(mask), config, 4)
+        qparams = quantize_llama_params(params)
+        q_ids, q_logits = greedy_decode(
+            qparams, jnp.asarray(ids), jnp.asarray(mask), config, 4)
+        # random tiny models have near-uniform logits, so token-level agreement
+        # is not guaranteed; logits must stay close though
+        diff = np.abs(np.asarray(q_logits[:, 0]) - np.asarray(base_logits[:, 0]))
+        assert float(diff.mean()) < 0.05
+
+    def test_memory_halves(self, converted):
+        from kirag_tpu.models.llm import quantize_llama_params
+
+        _, params, _ = converted
+
+        def nbytes(tree):
+            import jax
+
+            return sum(np.asarray(x).nbytes for x in jax.tree.leaves(tree))
+
+        q = quantize_llama_params(params)
+        # projections drop 4x (f32 -> int8); embeddings stay
+        assert nbytes(q) < 0.55 * nbytes(params)
+
+
 class TestShardings:
     def test_tp_sharded_decode_matches(self, converted, rng, mesh8):
         from kirag_tpu.parallel import create_mesh
