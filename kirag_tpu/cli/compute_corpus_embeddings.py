@@ -43,6 +43,10 @@ def setup_parser():
     add_mesh_args(parser)
     parser.add_argument("--per_device_batch_size", type=int, default=128)
     parser.add_argument("--num_passage_per_index_file", type=int, default=1_000_000)
+    parser.add_argument("--process_index", type=int, default=0,
+                        help="this worker's index (multi-host corpus sharding)")
+    parser.add_argument("--process_count", type=int, default=1,
+                        help="total workers; each embeds a contiguous corpus slice")
     parser.add_argument("--save_dir", type=str, default="checkpoint")
     parser.add_argument("--name", type=str, default="e5_retriever")
     return parser.parse_args()
@@ -53,10 +57,16 @@ def cal_doc_embeddings(args, encoder, collator, corpus, save_path: str) -> None:
     batch_size = args.per_device_batch_size
     shard_rows = args.num_passage_per_index_file
 
-    buf_emb, buf_ids, shard_start, done = [], [], 0, 0
+    # contiguous per-process slice: shard filenames carry GLOBAL offsets, so
+    # build_index's offset-sorted discovery reassembles the corpus in order
+    per_proc = -(-len(corpus) // args.process_count)
+    lo = args.process_index * per_proc
+    hi = min(len(corpus), lo + per_proc)
+
+    buf_emb, buf_ids, shard_start, done = [], [], lo, lo
     t0 = time.time()
-    for start in range(0, len(corpus), batch_size):
-        items = [corpus[i] for i in range(start, min(start + batch_size, len(corpus)))]
+    for start in range(lo, hi, batch_size):
+        items = [corpus[i] for i in range(start, min(start + batch_size, hi))]
         texts = [it["passage"] for it in items]
         enc_args = collator.encode_doc(texts)
         n_real = len(texts)
@@ -67,7 +77,7 @@ def cal_doc_embeddings(args, encoder, collator, corpus, save_path: str) -> None:
         buf_emb.append(emb.astype(np.float32))
         buf_ids.extend(it["passage_id"] for it in items)
         done += n_real
-        if done - shard_start >= shard_rows or done == len(corpus):
+        if done - shard_start >= shard_rows or done == hi:
             emb_arr = np.concatenate(buf_emb, axis=0)
             shard_file = os.path.join(
                 save_path, f"corpus_embeddings_{shard_start}_{done}.npz")

@@ -127,6 +127,36 @@ class TestCLIWorkflow:
         printed = capsys.readouterr().out
         assert "Recall@3" in printed
 
+    def test_multiprocess_embedding_shards(self, workspace, monkeypatch, tmp_path):
+        """Two workers embed disjoint slices; build_index reassembles in order."""
+        import numpy as np
+
+        from kirag_tpu.cli import build_index, compute_corpus_embeddings
+
+        ws = workspace
+        out = str(tmp_path / "mp")
+        for proc in (0, 1):
+            run_cli(compute_corpus_embeddings, [
+                "--retriever_model_name_or_path", ws["enc_dir"],
+                "--corpus", "2wikimultihopqa", "--corpus_path", ws["corpus_path"],
+                "--per_device_batch_size", "8", "--compute_dtype", "float32",
+                "--process_index", str(proc), "--process_count", "2",
+                "--save_dir", out, "--name", "e5",
+            ], monkeypatch)
+        shards = sorted(f for f in os.listdir(os.path.join(out, "e5"))
+                        if f.startswith("corpus_embeddings"))
+        assert len(shards) == 2
+        run_cli(build_index, [
+            "--embeddings_dir", os.path.join(out, "e5"),
+            "--embedding_size", "32", "--save_dir", os.path.join(out, "index"),
+        ], monkeypatch)
+        # id order must match the corpus order after reassembly
+        import pickle
+
+        with open(os.path.join(out, "index", "index_meta.pkl"), "rb") as f:
+            ids = pickle.load(f)
+        assert ids == [f"doc{i}" for i in range(20)]
+
     def test_retrieval_eval_answer_presence(self, workspace, monkeypatch, capsys, tmp_path):
         from kirag_tpu.cli import retrieval_eval
 
