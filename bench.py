@@ -56,10 +56,13 @@ def tpu_qps() -> float:
 
     iters = 5
     t0 = time.perf_counter()
-    for _ in range(iters):
-        vals, idx = topk_mips(queries, corpus, TOPK, chunk_size=262144)
-    vals.block_until_ready()
+    outs = [topk_mips(queries, corpus, TOPK, chunk_size=262144) for _ in range(iters)]
+    # fetch + validate every iteration: on this relay, timings without
+    # validated outputs can be silently wrong (see CLAUDE.md)
+    fetched = [np.asarray(i) for v, i in outs]
     dt = (time.perf_counter() - t0) / iters
+    for f in fetched:
+        assert float(np.mean(f[:, 0] == query_rows)) > 0.99, "invalid timed output"
     return N_QUERIES / dt
 
 
