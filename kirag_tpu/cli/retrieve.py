@@ -106,11 +106,8 @@ def setup_llm_generator(args):
     tokenizer = AutoTokenizer.from_pretrained(tok_path)
     if tokenizer.pad_token is None:
         tokenizer.pad_token = tokenizer.eos_token
-    params, config = load_llama(args.llm, compute_dtype=jnp.bfloat16)
-    if getattr(args, 'llm_int8', False):
-        from kirag_tpu.models.llm import quantize_llama_params
-
-        params = quantize_llama_params(params)
+    params, config = load_llama(args.llm, compute_dtype=jnp.bfloat16,
+                                int8_weights=getattr(args, 'llm_int8', False))
     backend = JaxLlamaBackend(params, config, eos_token_id=tokenizer.eos_token_id)
     constructor = Generator(tokenizer, backend, model_name=args.llm,
                             max_length=4096, max_new_tokens=64, batch_size=4)

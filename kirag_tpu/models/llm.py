@@ -383,11 +383,24 @@ class JaxLlamaBackend:
 # HF checkpoint conversion
 # -----------------------------------------------------------------------------
 
-def convert_hf_llama_state_dict(state_dict: Dict[str, np.ndarray], config: LlamaConfig) -> Params:
+def convert_hf_llama_state_dict(state_dict: Dict[str, np.ndarray], config: LlamaConfig,
+                                int8_weights: bool = False) -> Params:
+    """Map an HF llama state_dict to our pytree. With ``int8_weights``,
+    projection kernels are quantized ON HOST before device placement — full
+    precision weights never touch HBM (an 8B model fits one v5e chip)."""
     sd = {k.removeprefix("model."): np.asarray(v) for k, v in state_dict.items()}
 
     def lin(prefix):
-        p = {"kernel": jnp.asarray(sd[f"{prefix}.weight"].T)}
+        kernel = sd[f"{prefix}.weight"].T
+        if int8_weights:
+            k = np.asarray(kernel, dtype=np.float32)
+            absmax = np.abs(k).max(axis=0)
+            scale = np.where(absmax == 0, 1.0, absmax / 127.0).astype(np.float32)
+            p = {"kernel_q": jnp.asarray(
+                    np.clip(np.rint(k / scale[None, :]), -127, 127).astype(np.int8)),
+                 "kernel_scale": jnp.asarray(scale)}
+        else:
+            p = {"kernel": jnp.asarray(kernel)}
         if f"{prefix}.bias" in sd:
             p["bias"] = jnp.asarray(sd[f"{prefix}.bias"])
         return p
@@ -398,7 +411,7 @@ def convert_hf_llama_state_dict(state_dict: Dict[str, np.ndarray], config: Llama
         "layers": [],
     }
     if not config.tie_word_embeddings:
-        params["lm_head"] = {"kernel": jnp.asarray(sd["lm_head.weight"].T)}
+        params["lm_head"] = lin("lm_head")
     for l in range(config.num_hidden_layers):
         pre = f"layers.{l}"
         params["layers"].append({
@@ -416,8 +429,13 @@ def convert_hf_llama_state_dict(state_dict: Dict[str, np.ndarray], config: Llama
     return params
 
 
-def load_llama(model_name_or_path: str, compute_dtype=jnp.bfloat16) -> Tuple[Params, LlamaConfig]:
-    """Load a Llama-architecture causal LM from a local HF checkpoint dir."""
+def load_llama(model_name_or_path: str, compute_dtype=jnp.bfloat16,
+               int8_weights: bool = False) -> Tuple[Params, LlamaConfig]:
+    """Load a Llama-architecture causal LM from a local HF checkpoint dir.
+
+    ``int8_weights`` quantizes projections on host during conversion, so an
+    8B model fits a single 16GB chip (full precision never reaches HBM).
+    """
     if not os.path.isdir(model_name_or_path):
         raise FileNotFoundError(
             f"{model_name_or_path} is not a local directory. This environment has no "
@@ -449,6 +467,11 @@ def load_llama(model_name_or_path: str, compute_dtype=jnp.bfloat16) -> Tuple[Par
                                              weights_only=True).items()}
     else:
         raise FileNotFoundError(f"no safetensors/bin weights under {model_name_or_path}")
-    params = convert_hf_llama_state_dict(state_dict, config)
-    params = jax.tree.map(lambda x: jnp.asarray(x, dtype=compute_dtype), params)
+    params = convert_hf_llama_state_dict(state_dict, config, int8_weights=int8_weights)
+    # cast 2-D float tensors (the big ones) to compute_dtype; int8 kernels stay
+    # int8 and small 1-D leaves (norms, biases, quant scales) stay f32
+    params = jax.tree.map(
+        lambda x: jnp.asarray(x, dtype=compute_dtype)
+        if jnp.issubdtype(x.dtype, jnp.floating) and x.ndim >= 2 else x,
+        params)
     return params, config

@@ -69,11 +69,8 @@ def load_llm(name_or_path: str, max_length: int = 4096, max_new_tokens: int = 12
     tokenizer = AutoTokenizer.from_pretrained(path)
     if tokenizer.pad_token is None or tokenizer.pad_token_id is None:
         tokenizer.pad_token = tokenizer.eos_token
-    params, config = load_llama(path, compute_dtype=compute_dtype or jnp.bfloat16)
-    if int8_weights:
-        from kirag_tpu.models.llm import quantize_llama_params
-
-        params = quantize_llama_params(params)
+    params, config = load_llama(path, compute_dtype=compute_dtype or jnp.bfloat16,
+                                int8_weights=int8_weights)
     backend = JaxLlamaBackend(params, config, eos_token_id=tokenizer.eos_token_id)
     generator = Generator(
         tokenizer, backend, model_name=MODEL_MAP.get(name_or_path, name_or_path),
