@@ -160,14 +160,14 @@ def load_encoder(model_name_or_path: str, encoder_type: str = "e5",
       2. HF directory: ``config.json`` + ``model.safetensors`` or
          ``pytorch_model.bin`` (weights converted tensor-by-tensor).
     """
-    if os.path.isdir(model_name_or_path) and os.path.exists(
-            os.path.join(model_name_or_path, "encoder_config.json")):
-        return Encoder.load(model_name_or_path, compute_dtype=compute_dtype)
-
     if not os.path.isdir(model_name_or_path):
-        raise FileNotFoundError(
-            f"{model_name_or_path} is not a local directory. This environment has no "
-            "network egress; download checkpoints out-of-band and pass the local path.")
+        # resolve registry aliases / HF repo names against $KIRAG_MODEL_DIR
+        from kirag_tpu.models.registry import resolve_model_path
+
+        model_name_or_path = resolve_model_path(model_name_or_path)
+
+    if os.path.exists(os.path.join(model_name_or_path, "encoder_config.json")):
+        return Encoder.load(model_name_or_path, compute_dtype=compute_dtype)
 
     with open(os.path.join(model_name_or_path, "config.json")) as f:
         hf_config = json.load(f)
