@@ -92,8 +92,7 @@ def build_stack(docs, tmpdir):
 
     encoder = HashEncoder()
     collator = E5Collator(tokenizer=tok, query_maxlength=64, doc_maxlength=64)
-    corpus = Corpus.__new__(Corpus)
-    Corpus.__init__(corpus, title_prefix="title:", passage_prefix="text:", data=docs)
+    corpus = Corpus(title_prefix="title:", passage_prefix="text:", data=docs)
 
     indexer = TPUIndexer(encoder.embedding_size, chunk_size=256)
     retriever = DenseRetriever(encoder, collator, indexer=indexer, corpus=corpus,

@@ -211,11 +211,13 @@ class TPUIndexer:
         ``mode="approx"`` uses the Pallas group-sampled kernel
         (recall@100 ~0.994, fused scoring; see ops/pallas_mips.py).
         """
+        if len(self) == 0:
+            raise RuntimeError("search_knn on an empty index; call index_data first")
         query_vectors = np.asarray(query_vectors, dtype=np.float32)
         if query_vectors.ndim == 1:
             query_vectors = query_vectors[None]
         n_q = len(query_vectors)
-        k = min(top_docs, max(len(self), 1))
+        k = min(top_docs, len(self))
 
         results: List[Tuple[List[str], np.ndarray]] = []
         for start in range(0, n_q, index_batch_size):

@@ -52,6 +52,11 @@ class TestInnerProduct:
         (db_ids, _), = indexer.search_knn(c[3:4], top_docs=1)
         assert db_ids == ["doc_3"]
 
+    def test_empty_index_raises(self, rng):
+        indexer = TPUIndexer(4)
+        with pytest.raises(RuntimeError):
+            indexer.search_knn(rng.randn(1, 4).astype(np.float32), top_docs=1)
+
     def test_topk_capped_at_ntotal(self, rng):
         c = rng.randn(5, 4).astype(np.float32)
         indexer = TPUIndexer(4)
