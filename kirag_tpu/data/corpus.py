@@ -67,7 +67,8 @@ class Corpus:
         self.kwargs = kwargs
         self.data = data if data is not None else self.load_corpus_data()
 
-        pid = self.get_passage_id_name()
+        self._pid = self.get_passage_id_name()
+        pid = self._pid
         self.index_to_passage_id: Dict[int, str] = {i: ex[pid] for i, ex in enumerate(self.data)}
         self.passage_id_to_index: Dict[str, int] = {ex[pid]: i for i, ex in enumerate(self.data)}
 
@@ -110,7 +111,7 @@ class Corpus:
         ex = self.data[index]
         return {
             "index": index,
-            "passage_id": ex[self.get_passage_id_name()],
+            "passage_id": ex[self._pid],
             "passage": self.doc_to_str(ex),
         }
 

@@ -67,6 +67,21 @@ def _render_qwen2(messages: List[Dict[str, str]], add_generation_prompt: bool) -
     return "".join(out)
 
 
+def _render_llama2(messages: List[Dict[str, str]], add_generation_prompt: bool) -> str:
+    """Llama-2-chat format: [INST] <<SYS>>...<</SYS>> user [/INST] answer </s>."""
+    out = []
+    system = ""
+    for m in messages:
+        if m["role"] == "system":
+            system = f"<<SYS>>\n{m['content']}\n<</SYS>>\n\n"
+        elif m["role"] == "user":
+            out.append(f"<s>[INST] {system}{m['content']} [/INST]")
+            system = ""
+        elif m["role"] == "assistant":
+            out.append(f" {m['content']} </s>")
+    return "".join(out)
+
+
 def _render_mistral(messages: List[Dict[str, str]], add_generation_prompt: bool) -> str:
     out = ["<s>"]
     for m in messages:
@@ -97,7 +112,7 @@ def _render_generic(messages: List[Dict[str, str]], add_generation_prompt: bool)
 
 CHAT_FAMILIES = {
     "llama3": _render_llama3,
-    "llama2": _render_llama3,
+    "llama2": _render_llama2,
     "qwen2": _render_qwen2,
     "mistral": _render_mistral,
     "gemma2": _render_gemma2,
@@ -107,6 +122,8 @@ CHAT_FAMILIES = {
 
 def detect_family(model_name: str) -> str:
     name = model_name.lower()
+    if "llama-2" in name or "llama2" in name:
+        return "llama2"
     for key in ("llama", "qwen", "mistral", "gemma"):
         if key in name:
             return {"llama": "llama3", "qwen": "qwen2",

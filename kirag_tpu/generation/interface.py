@@ -77,7 +77,7 @@ class Generator:
     def __init__(self, tokenizer, backend: Backend, max_length: int = 4096,
                  max_new_tokens: int = 128, batch_size: int = 4,
                  model_name: str = "generic", is_chat: Optional[bool] = None,
-                 stop_check_every: int = 8, **kwargs):
+                 stop_check_every: int = 16, **kwargs):
         self.tokenizer = tokenizer
         self.backend = backend
         self.max_length = max_length
@@ -122,6 +122,9 @@ class Generator:
                          ) -> Dict[str, np.ndarray]:
         max_length = max_length or self.max_length
         self.tokenizer.padding_side = "left"  # decoder-only: left padding
+        # over-long prompts must lose their HEAD, not their tail — the tail
+        # carries the question, the generation header, and any forced prefix
+        self.tokenizer.truncation_side = "left"
         out = self.tokenizer(prompts, max_length=max_length, padding=True,
                              truncation=True, return_tensors="np",
                              add_special_tokens=not self.is_chat)
@@ -181,7 +184,15 @@ class Generator:
 
     def _segmented_greedy(self, batch, max_new: int, stop_words: Sequence[str]):
         """Generate in segments; after each, decode on host and stop when every
-        row contains a stop word or eos (StopWordCriteria semantics)."""
+        row contains a stop word or eos (StopWordCriteria semantics).
+
+        COST NOTE: each segment re-prefills prompt+generated so far (the
+        backend contract is stateless); with S segments that is O(S) prefills
+        of a growing context. Keep ``stop_check_every`` coarse (default 16)
+        and rely on the backend's in-device EOS stopping for the common case;
+        stop-words only save work when generations routinely run far past the
+        stop marker. A KV-cache-resumable backend API is the planned fix.
+        """
         input_ids = batch["input_ids"]
         attention_mask = batch["attention_mask"]
         seg = self.stop_check_every

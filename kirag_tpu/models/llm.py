@@ -148,6 +148,16 @@ def _dense(x, p):
     return out
 
 
+def _quantize_kernel_int8(kernel: np.ndarray) -> Dict[str, jnp.ndarray]:
+    """Per-output-channel symmetric int8 of a [in, out] kernel (shared by the
+    post-hoc quantizer and the host-side quantizing loader)."""
+    k = np.asarray(kernel, dtype=np.float32)
+    absmax = np.abs(k).max(axis=0)
+    scale = np.where(absmax == 0, 1.0, absmax / 127.0).astype(np.float32)
+    q = np.clip(np.rint(k / scale[None, :]), -127, 127).astype(np.int8)
+    return {"kernel_q": jnp.asarray(q), "kernel_scale": jnp.asarray(scale)}
+
+
 def quantize_llama_params(params: Params) -> Params:
     """Weight-only int8 quantization of every projection kernel.
 
@@ -159,11 +169,7 @@ def quantize_llama_params(params: Params) -> Params:
     def quant_lin(p):
         if "kernel" not in p:
             return p
-        k = np.asarray(p["kernel"], dtype=np.float32)
-        absmax = np.abs(k).max(axis=0)
-        scale = np.where(absmax == 0, 1.0, absmax / 127.0).astype(np.float32)
-        q = np.clip(np.rint(k / scale[None, :]), -127, 127).astype(np.int8)
-        out = {"kernel_q": jnp.asarray(q), "kernel_scale": jnp.asarray(scale)}
+        out = _quantize_kernel_int8(p["kernel"])
         if "bias" in p:
             out["bias"] = p["bias"]
         return out
@@ -271,13 +277,18 @@ def llama_block_forward(params: Params, input_ids, positions, config: LlamaConfi
     return logits, new_ks, new_vs
 
 
-@functools.partial(jax.jit, static_argnames=("config", "max_new_tokens", "compute_dtype"))
+@functools.partial(jax.jit, static_argnames=("config", "max_new_tokens", "compute_dtype",
+                                             "eos_token_id"))
 def greedy_decode(params: Params, input_ids: jnp.ndarray, attention_mask: jnp.ndarray,
-                  config: LlamaConfig, max_new_tokens: int, compute_dtype=jnp.float32
+                  config: LlamaConfig, max_new_tokens: int, compute_dtype=jnp.float32,
+                  eos_token_id: Optional[int] = None
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Prefill + greedy scan decode. Left-padded inputs.
 
     Returns (generated ids [B, max_new], per-step logits [B, max_new, V]).
+    Rows that emit ``eos_token_id`` keep emitting it for the remaining steps
+    (so decoded text is clean after the stop), matching HF generate's
+    pad-after-finish semantics.
     """
     bsz, t_prompt = input_ids.shape
     nkv, hd, nl = config.num_key_value_heads, config.head_dim, config.num_hidden_layers
@@ -305,8 +316,11 @@ def greedy_decode(params: Params, input_ids: jnp.ndarray, attention_mask: jnp.nd
     next_pos = positions[:, -1] + 1
     first_logits = logits[:, -1]
 
+    done0 = (jnp.full((bsz,), False) if eos_token_id is None
+             else next_token == eos_token_id)
+
     def step(carry, t):
-        token, pos, ks, vs, cmask = carry
+        token, pos, ks, vs, cmask, done = carry
         lg, nk, nv = llama_block_forward(
             params, token[:, None], pos[:, None], config, ks, vs, cmask,
             compute_dtype=compute_dtype)
@@ -317,12 +331,15 @@ def greedy_decode(params: Params, input_ids: jnp.ndarray, attention_mask: jnp.nd
         vs = [v.at[:, write_at].set(nv_[:, 0]) for v, nv_ in zip(vs, nv)]
         cmask = cmask.at[:, write_at].set(1)
         new_token = jnp.argmax(lg[:, -1], axis=-1).astype(jnp.int32)
-        return (new_token, pos + 1, ks, vs, cmask), (token, lg[:, -1])
+        if eos_token_id is not None:
+            new_token = jnp.where(done, eos_token_id, new_token)
+            done = done | (new_token == eos_token_id)
+        return (new_token, pos + 1, ks, vs, cmask, done), (token, lg[:, -1])
 
     if max_new_tokens == 1:
         return next_token[:, None], first_logits[:, None]
 
-    carry = (next_token, next_pos, k_caches, v_caches, cache_mask0)
+    carry = (next_token, next_pos, k_caches, v_caches, cache_mask0, done0)
     carry, (tokens, step_logits) = jax.lax.scan(
         step, carry, jnp.arange(max_new_tokens - 1, dtype=jnp.int32))
     # tokens: [G-1, B] are the tokens FED at each step == generated[0..G-2]
@@ -367,7 +384,8 @@ class JaxLlamaBackend:
             attention_mask = attention_mask[:, -bucket:]
         ids, logits = greedy_decode(
             self.params, jnp.asarray(input_ids), jnp.asarray(attention_mask),
-            self.config, max_new_tokens, self.compute_dtype)
+            self.config, max_new_tokens, self.compute_dtype,
+            eos_token_id=self.eos_token_id)
         return np.asarray(ids), np.asarray(logits)
 
     def shard_params(self, mesh, model_axis: str = "model"):
@@ -393,12 +411,7 @@ def convert_hf_llama_state_dict(state_dict: Dict[str, np.ndarray], config: Llama
     def lin(prefix):
         kernel = sd[f"{prefix}.weight"].T
         if int8_weights:
-            k = np.asarray(kernel, dtype=np.float32)
-            absmax = np.abs(k).max(axis=0)
-            scale = np.where(absmax == 0, 1.0, absmax / 127.0).astype(np.float32)
-            p = {"kernel_q": jnp.asarray(
-                    np.clip(np.rint(k / scale[None, :]), -127, 127).astype(np.int8)),
-                 "kernel_scale": jnp.asarray(scale)}
+            p = _quantize_kernel_int8(kernel)
         else:
             p = {"kernel": jnp.asarray(kernel)}
         if f"{prefix}.bias" in sd:

@@ -73,15 +73,22 @@ class TripleSelector(KiRAG):
 
     def get_option_token_id_to_option_map(self, num_options: int) -> Dict[int, str]:
         """token id -> option string, covering "N" and " N" tokenizations
-        (reference `models.py:827-841`)."""
+        (reference `models.py:827-841`).
+
+        Unlike the reference (which maps `encode(option)[-1]`, letting "10"
+        hijack the digit token of "0"), an option is only mapped when it
+        tokenizes to a SINGLE token, and earlier (smaller) options win on
+        collisions — the stop choice "0" can never be shadowed. Multi-token
+        options are unrepresentable by a one-token probe and are skipped.
+        """
         tokenizer = self.constructor.tokenizer
         out: Dict[int, str] = {}
         for i in range(num_options):
             option = str(i)
             for text in (option, f" {option}"):
                 ids = tokenizer.encode(text, add_special_tokens=False)
-                if ids:
-                    out[ids[-1]] = option
+                if len(ids) == 1 and ids[0] not in out:
+                    out[ids[0]] = option
         return out
 
     def get_option_tokens_probs(self, token_ids: np.ndarray, token_logits: np.ndarray,

@@ -60,10 +60,14 @@ def _doc_hash(title: str, sentences: List[str]) -> str:
 def _split(orig_train: List[dict], orig_dev: List[dict], num_dev: int):
     """Random train/dev split of the original train set (seed 0); original dev
     becomes the test set (reference :118-123)."""
+    if num_dev >= len(orig_train):
+        raise ValueError(
+            f"num_dev_data={num_dev} >= train set size {len(orig_train)}")
     rng = np.random.RandomState(0)
     indices = rng.permutation(len(orig_train))
-    train = [orig_train[i] for i in indices[:-num_dev]]
-    dev = [orig_train[i] for i in indices[-num_dev:]]
+    split = len(orig_train) - num_dev  # num_dev == 0 keeps the full train set
+    train = [orig_train[i] for i in indices[:split]]
+    dev = [orig_train[i] for i in indices[split:]]
     return train, dev, orig_dev
 
 

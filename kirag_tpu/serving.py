@@ -73,6 +73,10 @@ class RetrievalEngine:
 
     def search(self, texts: List[str], topk: int = 10, timeout: float = 60.0) -> List:
         """Thread-safe retrieval; blocks until this request's results arrive."""
+        if topk > self.topk_buckets[-1]:
+            raise ValueError(
+                f"topk={topk} exceeds the largest warmup bucket "
+                f"{self.topk_buckets[-1]}; construct the engine with a bigger bucket")
         req = _Request(texts=list(texts), topk=topk)
         self._queue.put(req)
         if not req.event.wait(timeout):

@@ -57,8 +57,14 @@ class TrainerConfig:
 
 
 def make_optimizer(config: TrainerConfig, total_steps: int) -> optax.GradientTransformation:
-    """AdamW with linear warmup then constant LR, grad clip, NaN-step skip."""
-    warmup_steps = max(1, int(total_steps * config.warmup_ratio))
+    """AdamW with linear warmup then constant LR, grad clip, NaN-step skip.
+
+    ``total_steps`` counts MICRO batches; under gradient accumulation the
+    schedule inside ``optax.MultiSteps`` only advances once per accumulated
+    update, so warmup is sized in optimizer updates.
+    """
+    num_updates = max(1, total_steps // max(1, config.accumulation_steps))
+    warmup_steps = max(1, int(num_updates * config.warmup_ratio))
     schedule = optax.join_schedules(
         [
             optax.linear_schedule(0.0, config.learning_rate, warmup_steps),
