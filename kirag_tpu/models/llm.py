@@ -45,10 +45,24 @@ class LlamaConfig:
     rope_theta: float = 500000.0
     tie_word_embeddings: bool = False
     attention_bias: bool = False  # True for Qwen2 QKV
+    # Gemma-2 extensions (model_type == "gemma2"):
+    model_type: str = "llama"
+    head_dim_override: Optional[int] = None      # gemma2 sets head_dim explicitly
+    query_pre_attn_scalar: Optional[float] = None
+    attn_logit_softcapping: Optional[float] = None
+    final_logit_softcapping: Optional[float] = None
+    sliding_window: Optional[int] = None          # applied on every other layer
+    hidden_activation: str = "silu"               # gemma2: gelu_pytorch_tanh
 
     @property
     def head_dim(self) -> int:
+        if self.head_dim_override is not None:
+            return self.head_dim_override
         return self.hidden_size // self.num_attention_heads
+
+    @property
+    def is_gemma2(self) -> bool:
+        return self.model_type == "gemma2"
 
 
 Params = Dict[str, Any]
@@ -56,6 +70,8 @@ Params = Dict[str, Any]
 
 def config_from_hf(hf_config) -> LlamaConfig:
     get = hf_config.get if isinstance(hf_config, dict) else lambda k, d=None: getattr(hf_config, k, d)
+    model_type = str(get("model_type", "llama"))
+    is_gemma2 = model_type == "gemma2"
     return LlamaConfig(
         vocab_size=get("vocab_size"),
         hidden_size=get("hidden_size"),
@@ -64,10 +80,18 @@ def config_from_hf(hf_config) -> LlamaConfig:
         num_key_value_heads=get("num_key_value_heads") or get("num_attention_heads"),
         intermediate_size=get("intermediate_size"),
         max_position_embeddings=get("max_position_embeddings", 8192),
-        rms_norm_eps=get("rms_norm_eps", 1e-5),
+        rms_norm_eps=get("rms_norm_eps", 1e-5 if not is_gemma2 else 1e-6),
         rope_theta=get("rope_theta", 10000.0),
-        tie_word_embeddings=bool(get("tie_word_embeddings", False)),
-        attention_bias=bool(get("attention_bias", False)) or "qwen" in str(get("model_type", "")),
+        tie_word_embeddings=bool(get("tie_word_embeddings", is_gemma2)),
+        attention_bias=bool(get("attention_bias", False)) or "qwen" in model_type,
+        model_type="gemma2" if is_gemma2 else "llama",
+        head_dim_override=get("head_dim") if is_gemma2 else None,
+        query_pre_attn_scalar=get("query_pre_attn_scalar") if is_gemma2 else None,
+        attn_logit_softcapping=get("attn_logit_softcapping") if is_gemma2 else None,
+        final_logit_softcapping=get("final_logit_softcapping") if is_gemma2 else None,
+        sliding_window=get("sliding_window") if is_gemma2 else None,
+        hidden_activation=("gelu_pytorch_tanh" if is_gemma2
+                           else str(get("hidden_act", "silu"))),
     )
 
 
@@ -127,11 +151,15 @@ def llama_param_shardings(config: LlamaConfig, model_axis: str = "model") -> Par
     return specs
 
 
-def _rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
+def _rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float,
+              plus_one: bool = False) -> jnp.ndarray:
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
     out = xf * jax.lax.rsqrt(var + eps)
-    return (out * scale.astype(jnp.float32)).astype(x.dtype)
+    w = scale.astype(jnp.float32)
+    if plus_one:  # gemma2 parameterizes the scale as (1 + w)
+        w = 1.0 + w
+    return (out * w).astype(x.dtype)
 
 
 def _dense(x, p):
@@ -181,14 +209,12 @@ def quantize_llama_params(params: Params) -> Params:
     }
     if "lm_head" in params:
         out["lm_head"] = quant_lin(params["lm_head"])
+    proj_names = ("q_proj", "k_proj", "v_proj", "o_proj",
+                  "gate_proj", "up_proj", "down_proj")
     for layer in params["layers"]:
-        out["layers"].append({
-            "input_layernorm": layer["input_layernorm"],
-            "post_attention_layernorm": layer["post_attention_layernorm"],
-            **{name: quant_lin(layer[name])
-               for name in ("q_proj", "k_proj", "v_proj", "o_proj",
-                            "gate_proj", "up_proj", "down_proj")},
-        })
+        new_layer = {name: (quant_lin(p) if name in proj_names else p)
+                     for name, p in layer.items()}
+        out["layers"].append(new_layer)
     return out
 
 
@@ -205,7 +231,7 @@ def _rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
 
 
 def _attention_block(x, layer_p, config: LlamaConfig, positions, k_cache, v_cache,
-                     cache_mask, new_mask):
+                     cache_mask, new_mask, cache_positions=None, sliding=False):
     """Attend new tokens (x) against cache+self. Returns (out, new_k, new_v).
 
     k_cache/v_cache: [B, T_cache, n_kv, hd]; ``cache_mask`` [B, T_cache] marks
@@ -231,7 +257,11 @@ def _attention_block(x, layer_p, config: LlamaConfig, positions, k_cache, v_cach
     values_r = jnp.repeat(values, group, axis=2)
 
     logits = jnp.einsum("bqnd,bknd->bnqk", q, keys_r, preferred_element_type=jnp.float32)
-    logits = logits / np.sqrt(hd)
+    scale = config.query_pre_attn_scalar if config.query_pre_attn_scalar else hd
+    logits = logits / np.sqrt(scale)
+    if config.attn_logit_softcapping:
+        cap = config.attn_logit_softcapping
+        logits = cap * jnp.tanh(logits / cap)
 
     # validity: cache slots per cache_mask; new tokens causal AND non-pad
     t_cache = k_cache.shape[1]
@@ -241,6 +271,14 @@ def _attention_block(x, layer_p, config: LlamaConfig, positions, k_cache, v_cach
     new_valid = causal & new_mask.astype(bool)[:, None, None, :]
     new_valid = jnp.broadcast_to(new_valid, (bsz, 1, t_new, t_new))
     valid = jnp.concatenate([cache_valid, new_valid], axis=-1)
+    if sliding and config.sliding_window:
+        # gemma2 alternating local attention: key position must be within the
+        # window of the query position
+        if cache_positions is None:
+            cache_positions = jnp.zeros((bsz, t_cache), dtype=positions.dtype)
+        key_pos = jnp.concatenate([cache_positions, positions], axis=1)  # [B, T_total]
+        delta = positions[:, :, None] - key_pos[:, None, :]  # [B, T_new, T_total]
+        valid = valid & (delta < config.sliding_window)[:, None, :, :]
     logits = jnp.where(valid, logits, jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
     ctx = jnp.einsum("bnqk,bknd->bqnd", probs, values_r).reshape(bsz, t_new, nh * hd)
@@ -249,31 +287,57 @@ def _attention_block(x, layer_p, config: LlamaConfig, positions, k_cache, v_cach
 
 def llama_block_forward(params: Params, input_ids, positions, config: LlamaConfig,
                         k_caches, v_caches, cache_mask, new_mask=None,
-                        compute_dtype=jnp.float32):
+                        compute_dtype=jnp.float32, cache_positions=None):
     """Forward ``t_new`` tokens given per-layer caches; returns
-    (logits [B, t_new, V], new_ks, new_vs)."""
+    (logits [B, t_new, V], new_ks, new_vs). Handles both the llama family
+    (pre-norm, SwiGLU) and gemma2 (sandwich norms, GeGLU, softcapping,
+    alternating sliding-window attention)."""
+    g2 = config.is_gemma2
     x = jnp.take(params["embed_tokens"], input_ids, axis=0).astype(compute_dtype)
+    if g2:  # gemma scales embeddings by sqrt(hidden)
+        x = x * jnp.asarray(np.sqrt(config.hidden_size), dtype=compute_dtype)
     if new_mask is None:
         new_mask = jnp.ones(input_ids.shape, dtype=jnp.int32)
+    eps = config.rms_norm_eps
     new_ks, new_vs = [], []
     for li, layer_p in enumerate(params["layers"]):
-        h = _rms_norm(x, layer_p["input_layernorm"]["scale"], config.rms_norm_eps)
+        # gemma2 applies the sliding window on even layers (HF: not bool(li % 2))
+        sliding = g2 and config.sliding_window is not None and li % 2 == 0
+        h = _rms_norm(x, layer_p["input_layernorm"]["scale"], eps, plus_one=g2)
         attn, nk, nv = _attention_block(h, layer_p, config, positions,
-                                        k_caches[li], v_caches[li], cache_mask, new_mask)
+                                        k_caches[li], v_caches[li], cache_mask, new_mask,
+                                        cache_positions=cache_positions, sliding=sliding)
         new_ks.append(nk)
         new_vs.append(nv)
-        x = x + attn
-        h = _rms_norm(x, layer_p["post_attention_layernorm"]["scale"], config.rms_norm_eps)
+        if g2:
+            attn = _rms_norm(attn, layer_p["post_attention_layernorm"]["scale"], eps,
+                             plus_one=True)
+            x = x + attn
+            h = _rms_norm(x, layer_p["pre_feedforward_layernorm"]["scale"], eps,
+                          plus_one=True)
+        else:
+            x = x + attn
+            h = _rms_norm(x, layer_p["post_attention_layernorm"]["scale"], eps)
         gate = _dense(h, layer_p["gate_proj"])
         up = _dense(h, layer_p["up_proj"])
-        x = x + _dense(jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up,
-                       layer_p["down_proj"])
-    x = _rms_norm(x, params["norm"]["scale"], config.rms_norm_eps)
+        if config.hidden_activation == "gelu_pytorch_tanh":
+            act = jax.nn.gelu(gate.astype(jnp.float32), approximate=True)
+        else:
+            act = jax.nn.silu(gate.astype(jnp.float32))
+        mlp = _dense(act.astype(x.dtype) * up, layer_p["down_proj"])
+        if g2:
+            mlp = _rms_norm(mlp, layer_p["post_feedforward_layernorm"]["scale"], eps,
+                            plus_one=True)
+        x = x + mlp
+    x = _rms_norm(x, params["norm"]["scale"], eps, plus_one=g2)
     if config.tie_word_embeddings:
         logits = jnp.einsum("bth,vh->btv", x.astype(jnp.float32),
                             params["embed_tokens"].astype(jnp.float32))
     else:
         logits = _dense(x, params["lm_head"]).astype(jnp.float32)
+    if config.final_logit_softcapping:
+        cap = config.final_logit_softcapping
+        logits = cap * jnp.tanh(logits / cap)
     return logits, new_ks, new_vs
 
 
@@ -299,9 +363,11 @@ def greedy_decode(params: Params, input_ids: jnp.ndarray, attention_mask: jnp.nd
 
     empty_k = [jnp.zeros((bsz, 0, nkv, hd), compute_dtype) for _ in range(nl)]
     empty_mask = jnp.zeros((bsz, 0), dtype=jnp.int32)
+    empty_pos = jnp.zeros((bsz, 0), dtype=positions.dtype)
     logits, new_ks, new_vs = llama_block_forward(
         params, input_ids, positions, config, empty_k, empty_k, empty_mask,
-        new_mask=attention_mask, compute_dtype=compute_dtype)
+        new_mask=attention_mask, compute_dtype=compute_dtype,
+        cache_positions=empty_pos)
 
     # preallocate caches to t_cache and write the prompt K/V at the front
     def alloc(new):
@@ -311,6 +377,7 @@ def greedy_decode(params: Params, input_ids: jnp.ndarray, attention_mask: jnp.nd
     k_caches = [alloc(k) for k in new_ks]
     v_caches = [alloc(v) for v in new_vs]
     cache_mask0 = jnp.pad(attention_mask, ((0, 0), (0, max_new_tokens)))
+    cache_pos0 = jnp.pad(positions, ((0, 0), (0, max_new_tokens)))
 
     next_token = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
     next_pos = positions[:, -1] + 1
@@ -320,26 +387,27 @@ def greedy_decode(params: Params, input_ids: jnp.ndarray, attention_mask: jnp.nd
              else next_token == eos_token_id)
 
     def step(carry, t):
-        token, pos, ks, vs, cmask, done = carry
+        token, pos, ks, vs, cmask, cpos, done = carry
         lg, nk, nv = llama_block_forward(
             params, token[:, None], pos[:, None], config, ks, vs, cmask,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, cache_positions=cpos)
         # the new token attends to itself via the concat slot inside
         # _attention_block; write its K/V into the cache for FUTURE steps
         write_at = t_prompt + t
         ks = [k.at[:, write_at].set(nk_[:, 0]) for k, nk_ in zip(ks, nk)]
         vs = [v.at[:, write_at].set(nv_[:, 0]) for v, nv_ in zip(vs, nv)]
         cmask = cmask.at[:, write_at].set(1)
+        cpos = cpos.at[:, write_at].set(pos)
         new_token = jnp.argmax(lg[:, -1], axis=-1).astype(jnp.int32)
         if eos_token_id is not None:
             new_token = jnp.where(done, eos_token_id, new_token)
             done = done | (new_token == eos_token_id)
-        return (new_token, pos + 1, ks, vs, cmask, done), (token, lg[:, -1])
+        return (new_token, pos + 1, ks, vs, cmask, cpos, done), (token, lg[:, -1])
 
     if max_new_tokens == 1:
         return next_token[:, None], first_logits[:, None]
 
-    carry = (next_token, next_pos, k_caches, v_caches, cache_mask0, done0)
+    carry = (next_token, next_pos, k_caches, v_caches, cache_mask0, cache_pos0, done0)
     carry, (tokens, step_logits) = jax.lax.scan(
         step, carry, jnp.arange(max_new_tokens - 1, dtype=jnp.int32))
     # tokens: [G-1, B] are the tokens FED at each step == generated[0..G-2]
@@ -427,7 +495,7 @@ def convert_hf_llama_state_dict(state_dict: Dict[str, np.ndarray], config: Llama
         params["lm_head"] = lin("lm_head")
     for l in range(config.num_hidden_layers):
         pre = f"layers.{l}"
-        params["layers"].append({
+        layer = {
             "input_layernorm": {"scale": jnp.asarray(sd[f"{pre}.input_layernorm.weight"])},
             "post_attention_layernorm": {
                 "scale": jnp.asarray(sd[f"{pre}.post_attention_layernorm.weight"])},
@@ -438,7 +506,12 @@ def convert_hf_llama_state_dict(state_dict: Dict[str, np.ndarray], config: Llama
             "gate_proj": lin(f"{pre}.mlp.gate_proj"),
             "up_proj": lin(f"{pre}.mlp.up_proj"),
             "down_proj": lin(f"{pre}.mlp.down_proj"),
-        })
+        }
+        # gemma2 sandwich norms
+        for extra in ("pre_feedforward_layernorm", "post_feedforward_layernorm"):
+            if f"{pre}.{extra}.weight" in sd:
+                layer[extra] = {"scale": jnp.asarray(sd[f"{pre}.{extra}.weight"])}
+        params["layers"].append(layer)
     return params
 
 

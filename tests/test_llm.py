@@ -114,6 +114,40 @@ class TestLlamaParity:
         np.testing.assert_array_equal(np.asarray(got_ids), out[:, ids.shape[1]:].numpy())
 
 
+class TestGemma2Parity:
+    def test_greedy_matches_hf_generate(self, rng):
+        """Gemma-2: sandwich norms, GeGLU, softcapping, sliding window."""
+        torch.manual_seed(2)
+        hf_config = transformers.Gemma2Config(
+            vocab_size=128, hidden_size=32, num_hidden_layers=4,
+            num_attention_heads=4, num_key_value_heads=2, intermediate_size=64,
+            head_dim=16, max_position_embeddings=128, sliding_window=8,
+            query_pre_attn_scalar=16, attn_logit_softcapping=50.0,
+            final_logit_softcapping=30.0, attn_implementation="eager")
+        model = transformers.Gemma2ForCausalLM(hf_config).eval()
+        from kirag_tpu.models.llm import config_from_hf as cfh
+
+        config = cfh(hf_config)
+        assert config.is_gemma2 and config.tie_word_embeddings
+        params = convert_hf_llama_state_dict(
+            {k: v.numpy() for k, v in model.state_dict().items()}, config)
+        # seq 12 > sliding_window 8: exercises the local-attention mask
+        ids, mask = left_padded_batch(rng, b=3, t=12, vocab=128)
+        max_new = 6
+        with torch.no_grad():
+            out = model.generate(
+                input_ids=torch.tensor(ids, dtype=torch.long),
+                attention_mask=torch.tensor(mask, dtype=torch.long),
+                max_new_tokens=max_new, do_sample=False, pad_token_id=0,
+                eos_token_id=None)
+        ref_gen = out[:, ids.shape[1]:].numpy()
+        got_ids, got_logits = greedy_decode(
+            params, jnp.asarray(ids), jnp.asarray(mask), config, max_new)
+        np.testing.assert_array_equal(np.asarray(got_ids), ref_gen)
+        np.testing.assert_array_equal(
+            np.argmax(np.asarray(got_logits), axis=-1), np.asarray(got_ids))
+
+
 class TestBackend:
     def test_bucketing_invariance(self, converted, rng):
         """Left-extending padding to a bucket must not change the output."""
