@@ -168,7 +168,10 @@ class Generator:
             if n_pad > n_real:
                 batch = {k: np.concatenate(
                     [v, np.repeat(v[-1:], n_pad - n_real, axis=0)]) for k, v in batch.items()}
-            if stop_words:
+            if stop_words and not getattr(self.backend, "is_encoder_decoder", False):
+                # segment-wise stop checks grow the decoder-only CONTEXT with
+                # generated tokens; for encoder-decoder backends that would
+                # corrupt the encoder input, so rely on EOS + post-hoc trim
                 gen_ids, gen_logits = self._segmented_greedy(batch, max_new, stop_words)
             else:
                 gen_ids, gen_logits = self.backend.greedy(
