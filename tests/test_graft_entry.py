@@ -7,7 +7,7 @@ import pytest
 
 class TestDryrunMultichip:
     def test_dryrun_8_devices(self):
-        sys.path.insert(0, "/root/repo")
+        sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)  # dp=4 x tp=2 mesh; raises on failure

@@ -6,7 +6,7 @@ import sys
 
 def test_synthetic_world_perfect_recall():
     sys.argv = ["synthetic_eval", "--num_questions", "4", "--corpus_size", "40"]
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
     from benchmarks.synthetic_eval import main
 
     summary = main()
