@@ -69,6 +69,21 @@ class AlignerTrainer(BaseTrainer):
         self.temperature = temperature
         self.compute_dtype = compute_dtype
         self.num_candidates_per_query = num_candidates_per_query
+        if mesh is not None and mesh.shape.get("model", 1) > 1:
+            # tensor-parallel training: shard encoder weights over the model
+            # axis (Megatron layout); optimizer state inherits the shardings
+            from jax.sharding import NamedSharding
+
+            from kirag_tpu.models.bert import param_shardings
+
+            specs = param_shardings(bert_config)
+            # route through host numpy: device_put of a device array can alias
+            # the source's buffers as one replica, and the trainer DONATES its
+            # params each step — an alias would delete the caller's encoder
+            # weights out from under it
+            params = jax.tree.map(
+                lambda p, s: jax.device_put(np.asarray(p), NamedSharding(mesh, s)),
+                params, specs)
         super().__init__(params, config, train_loader, eval_loader,
                          mesh=mesh, batch_sharding=batch_sharding)
         self._jit_scores = jax.jit(self._score_batch)

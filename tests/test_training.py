@@ -184,6 +184,33 @@ class TestComputeLogits:
             DenseRetriever.compute_logits(rng.randn(2, 3, 8), rng.randn(5, 8))
 
 
+class TestTPTraining:
+    def test_tp_training_matches_replicated(self, tmp_path, mesh8):
+        """2x4 (data, model) TP training must track the replicated run."""
+        from kirag_tpu.parallel import create_mesh
+
+        trainer_a = _training_setup(tmp_path, batch_size=8)
+        mesh = create_mesh(data=2, model=4)
+        tmp2 = tmp_path / "tp"
+        tmp2.mkdir()
+        # rebuild with the mesh: AlignerTrainer shards params over 'model'
+        trainer_b = _training_setup(tmp2, batch_size=8)
+        from kirag_tpu.training import AlignerTrainer
+
+        trainer_b = AlignerTrainer(
+            trainer_a.params, trainer_b.bert_config, trainer_b.config,
+            trainer_b.train_loader, trainer_b.eval_loader,
+            temperature=0.05, mesh=mesh)
+        trainer_a.train_loader.set_epoch(0)
+        trainer_b.train_loader.set_epoch(0)
+        loss_a = trainer_a.training_step(next(iter(trainer_a.train_loader)))["loss"]
+        loss_b = trainer_b.training_step(next(iter(trainer_b.train_loader)))["loss"]
+        assert abs(loss_a - loss_b) < 1e-3
+        pa = np.asarray(jax.tree.leaves(trainer_a.params)[0])
+        pb = np.asarray(jax.tree.leaves(trainer_b.params)[0])
+        np.testing.assert_allclose(pa, pb, rtol=1e-3, atol=1e-4)
+
+
 class TestShardedTraining:
     def test_dp_training_matches_single_device(self, tmp_path, mesh8):
         """Batch sharded over the data axis must produce the same loss/grad
