@@ -175,6 +175,20 @@ class TPUIndexer:
 
     def _run_mips(self, queries, corpus, k, mode: str = "exact"):
         sharded = self.mesh is not None and self._shard_count() > 1
+        scales = self._device_scales if self.compression == "int8" else None
+        if mode == "approx":
+            # fused Pallas group-sampled kernel; composes with int8 (the
+            # kernel dequantizes in VMEM) and with corpus sharding
+            if sharded:
+                from kirag_tpu.ops.pallas_mips import sharded_approx_topk_mips
+
+                return sharded_approx_topk_mips(
+                    queries, corpus, k, self.mesh, axis=self.mesh_axis,
+                    valid_rows=self._device_rows, scales=scales)
+            from kirag_tpu.ops.pallas_mips import approx_topk_mips
+
+            return approx_topk_mips(queries, corpus, k,
+                                    valid_rows=self._device_rows, scales=scales)
         if self.compression == "int8":
             if sharded:
                 from kirag_tpu.ops.quantized import sharded_topk_mips_int8
@@ -188,13 +202,6 @@ class TPUIndexer:
             return topk_mips_int8(queries, corpus, self._device_scales, k,
                                   chunk_size=min(self.chunk_size, corpus.shape[0]),
                                   valid_rows=self._device_rows)
-        if mode == "approx":
-            if sharded:
-                raise NotImplementedError("approx mode is single-shard for now")
-            from kirag_tpu.ops.pallas_mips import approx_topk_mips
-
-            return approx_topk_mips(queries, corpus, k,
-                                    valid_rows=self._device_rows)
         if sharded:
             return sharded_topk_mips(queries, corpus, k, self.mesh, axis=self.mesh_axis,
                                      chunk_size=self.chunk_size, valid_rows=self._device_rows)
@@ -258,8 +265,9 @@ class TPUIndexer:
             assert cfg["vector_sz"] == self.vector_sz, (
                 f"index built with dim {cfg['vector_sz']}, indexer expects {self.vector_sz}")
             self.metric = cfg.get("metric", self.metric)
-            if self.mesh is None:  # int8 is single-shard; sharded loads stay uncompressed
-                self.compression = cfg.get("compression", self.compression)
+            # honored on meshes too: sharded int8 search exists
+            # (ops/quantized.py:sharded_topk_mips_int8)
+            self.compression = cfg.get("compression", self.compression)
         host = np.load(index_file, mmap_mode="r" if mmap else None)
         self._host_chunks = [host]
         with open(meta_file, "rb") as f:

@@ -24,31 +24,49 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.sharding import Mesh, PartitionSpec
 
 try:
     from jax.experimental.pallas import tpu as pltpu
 except ImportError:  # pragma: no cover
     pltpu = None
 
+try:  # jax>=0.4.35 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
 LANES = 128
 
 
-def _group_max_kernel(q_ref, c_ref, gmax_ref, gidx_ref, *, groups_per_chunk: int):
+def _group_max_kernel(q_ref, c_ref, *rest, groups_per_chunk: int):
     """One grid step: score a [CHUNK, D] corpus block against all queries and
     emit per-group (max, argmax-lane).
 
     Refs:
       q_ref:    [Q, D]               (VMEM, same block every step)
-      c_ref:    [CHUNK, D]           (VMEM, pipelined per chunk)
+      c_ref:    [CHUNK, D]           (VMEM, pipelined per chunk; bf16 or int8)
+      s_ref:    [1, CHUNK] f32       (optional per-row dequant scales)
       gmax_ref: [1, groups, Q] f32   (output block for this chunk)
       gidx_ref: [1, groups, Q] int32 (lane index of the max, ties -> lowest)
     """
+    if len(rest) == 3:
+        s_ref, gmax_ref, gidx_ref = rest
+    else:
+        s_ref = None
+        gmax_ref, gidx_ref = rest
     q = q_ref[:]
+    c = c_ref[:]
+    if c.dtype == jnp.int8:
+        c = c.astype(jnp.bfloat16)
+        q = q.astype(jnp.bfloat16)
     scores = jax.lax.dot_general(
-        q, c_ref[:],
+        q, c,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [Q, CHUNK] in VMEM
+    if s_ref is not None:
+        scores = scores * s_ref[0][None, :]
     n_q = scores.shape[0]
     s3 = scores.reshape(n_q, groups_per_chunk, LANES)
     m = jnp.max(s3, axis=-1)  # [Q, G]
@@ -68,13 +86,16 @@ def _resolve_interpret(interpret: Optional[bool]) -> bool:
 
 @functools.partial(jax.jit, static_argnames=("chunk_size", "interpret"))
 def grouped_max_scores(queries: jnp.ndarray, corpus: jnp.ndarray,
-                       chunk_size: int = 2048, interpret: bool = False
+                       chunk_size: int = 2048, interpret: bool = False,
+                       scales: Optional[jnp.ndarray] = None
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused scores + per-128-row-group (max, argmax) over the whole corpus.
 
     Returns (gmax [Q, N/128] f32, gidx [Q, N/128] int32 lane-in-group).
     ``corpus`` rows must be divisible by ``chunk_size`` and ``chunk_size`` by
-    128 (pad upstream).
+    128 (pad upstream). ``scales`` ([N] f32 per-row dequant factors) enables
+    int8-compressed corpora: the int8 chunk is cast to bf16 in VMEM and the
+    f32 scores are scaled before the group reduction.
     """
     n, d = corpus.shape
     n_q = queries.shape[0]
@@ -87,13 +108,18 @@ def grouped_max_scores(queries: jnp.ndarray, corpus: jnp.ndarray,
     if pltpu is not None and not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=int(1024 * 1024 * 100))
+    in_specs = [
+        pl.BlockSpec((n_q, d), lambda i: (0, 0)),
+        pl.BlockSpec((chunk_size, d), lambda i: (i, 0)),
+    ]
+    operands = [queries, corpus]
+    if scales is not None:
+        in_specs.append(pl.BlockSpec((1, chunk_size), lambda i: (i, 0)))
+        operands.append(scales.astype(jnp.float32).reshape(num_chunks, chunk_size))
     gmax, gidx = pl.pallas_call(
         kernel,
         grid=(num_chunks,),
-        in_specs=[
-            pl.BlockSpec((n_q, d), lambda i: (0, 0)),
-            pl.BlockSpec((chunk_size, d), lambda i: (i, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, groups_per_chunk, n_q), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, groups_per_chunk, n_q), lambda i: (i, 0, 0)),
@@ -104,7 +130,7 @@ def grouped_max_scores(queries: jnp.ndarray, corpus: jnp.ndarray,
         ],
         interpret=interpret,
         **kwargs,
-    )(queries, corpus)
+    )(*operands)
     # [num_chunks, groups, Q] -> [Q, total_groups]
     total_groups = num_chunks * groups_per_chunk
     gmax = gmax.reshape(total_groups, n_q).T
@@ -114,11 +140,15 @@ def grouped_max_scores(queries: jnp.ndarray, corpus: jnp.ndarray,
 
 def approx_topk_mips(queries: jnp.ndarray, corpus: jnp.ndarray, k: int,
                      chunk_size: int = 2048, valid_rows: Optional[int] = None,
-                     interpret: Optional[bool] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                     interpret: Optional[bool] = None,
+                     scales: Optional[jnp.ndarray] = None,
+                     row_offset=0) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Group-sampled top-k: one candidate (the argmax row) per 128-row group.
 
     Exact for k=1; recall@k ~ 1 - k(k-1)*64/N for random row order. Pads the
-    corpus to the chunk grid; padded rows are masked via ``valid_rows``.
+    corpus to the chunk grid; padded rows are masked via ``valid_rows``
+    (a traced scalar is accepted, for shard-local calls). ``scales`` enables
+    int8 corpora; ``row_offset`` shifts returned row ids (sharded search).
     """
     interpret = _resolve_interpret(interpret)
     n, d = corpus.shape
@@ -126,17 +156,70 @@ def approx_topk_mips(queries: jnp.ndarray, corpus: jnp.ndarray, k: int,
     pad_to = -(-n // chunk_size) * chunk_size
     if pad_to != n:
         corpus = jnp.pad(corpus, ((0, pad_to - n), (0, 0)))
+        if scales is not None:
+            scales = jnp.pad(scales, (0, pad_to - n))
     gmax, gidx = grouped_max_scores(queries, corpus, chunk_size=chunk_size,
-                                    interpret=interpret)
+                                    interpret=interpret, scales=scales)
     total_groups = gmax.shape[1]
     group_base = jnp.arange(total_groups, dtype=jnp.int32) * LANES
-    rows = group_base[None, :] + gidx  # [Q, groups] global row of each group max
+    rows = group_base[None, :] + gidx  # [Q, groups] local row of each group max
     gmax = jnp.where(rows < n_valid, gmax, -jnp.inf)
     k_eff = min(k, total_groups)
     vals, pos = jax.lax.top_k(gmax, k_eff)
-    idx = jnp.take_along_axis(rows, pos, axis=-1)
+    idx = jnp.take_along_axis(rows, pos, axis=-1) + row_offset
     idx = jnp.where(jnp.isfinite(vals), idx, 0)  # masked-out slots carry no row
     if k_eff < k:
         vals = jnp.pad(vals, ((0, 0), (0, k - k_eff)), constant_values=-jnp.inf)
         idx = jnp.pad(idx, ((0, 0), (0, k - k_eff)))
     return vals, idx
+
+
+def sharded_approx_topk_mips(queries: jnp.ndarray, corpus_sharded: jnp.ndarray,
+                             k: int, mesh: Mesh, axis: str = "data",
+                             chunk_size: int = 2048,
+                             valid_rows: Optional[int] = None,
+                             interpret: Optional[bool] = None,
+                             scales: Optional[jnp.ndarray] = None
+                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Group-sampled top-k over a corpus row-sharded across ``mesh[axis]``.
+
+    Each shard runs the fused Pallas kernel on its local rows (with globally
+    offset row ids), then per-shard [Q, k] candidates are all-gathered over ICI
+    and reduced with one final top-k — the same merge as the exact path
+    (:func:`kirag_tpu.ops.mips.sharded_topk_mips`).
+    """
+    interpret = _resolve_interpret(interpret)
+    n_total = corpus_sharded.shape[0]
+    n_valid = n_total if valid_rows is None else valid_rows
+    num_shards = mesh.shape[axis]
+    assert n_total % num_shards == 0, "corpus rows must divide the mesh axis"
+    shard_rows = n_total // num_shards
+
+    def local_search(q_local, corpus_local, *scale_args):
+        shard_id = jax.lax.axis_index(axis)
+        offset = shard_id * shard_rows
+        local_valid = jnp.clip(n_valid - offset, 0, shard_rows)
+        local_scales = scale_args[0] if scale_args else None
+        vals, idx = approx_topk_mips(
+            q_local, corpus_local, k, chunk_size=min(chunk_size, shard_rows),
+            valid_rows=local_valid, interpret=interpret, scales=local_scales,
+            row_offset=offset)
+        all_vals = jax.lax.all_gather(vals, axis, axis=1, tiled=True)
+        all_idx = jax.lax.all_gather(idx, axis, axis=1, tiled=True)
+        top_vals, pos = jax.lax.top_k(all_vals, k)
+        return top_vals, jnp.take_along_axis(all_idx, pos, axis=-1)
+
+    in_specs = [PartitionSpec(), PartitionSpec(axis)]
+    operands = [queries, corpus_sharded]
+    if scales is not None:
+        in_specs.append(PartitionSpec(axis))
+        operands.append(scales)
+    fn = shard_map(
+        local_search,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(PartitionSpec(), PartitionSpec()),
+        # outputs ARE replicated (all_gather + identical top_k on each shard)
+        check_vma=False,
+    )
+    return fn(*operands)

@@ -34,15 +34,19 @@ class _Request:
 
 class RetrievalEngine:
     def __init__(self, retriever, max_batch: int = 32, max_wait_ms: float = 2.0,
-                 warmup: bool = True, topk_buckets: Tuple[int, ...] = (10, 100)):
+                 warmup: bool = True, topk_buckets: Tuple[int, ...] = (10, 100),
+                 mode: Optional[str] = None):
         """
         Args:
           retriever: a DenseRetriever with indexer (+ optional corpus).
           max_batch: micro-batch cap (queries coalesced per device sweep).
           max_wait_ms: how long the batcher waits to fill a batch.
           warmup: pre-compile embed+search for the topk buckets at startup.
+          mode: "exact" | "approx" search mode (None = the retriever's own
+            search_mode; "approx" is the fused Pallas group-sampled kernel).
         """
         self.retriever = retriever
+        self.mode = mode
         self.max_batch = max_batch
         self.max_wait_ms = max_wait_ms
         self.topk_buckets = tuple(sorted(topk_buckets))
@@ -59,7 +63,7 @@ class RetrievalEngine:
         t0 = time.time()
         dummy = ["warmup query"] * 2
         for k in self.topk_buckets:
-            self.retriever.batch_retrieve(dummy, topk=k)
+            self.retriever.batch_retrieve(dummy, topk=k, mode=self.mode)
         logger.info(f"retrieval engine warmed in {time.time() - t0:.1f}s "
                     f"(topk buckets {self.topk_buckets})")
 
@@ -118,7 +122,7 @@ class RetrievalEngine:
     def _run_batch(self, batch: List[_Request]) -> None:
         all_texts = [t for req in batch for t in req.texts]
         k_eff = self._bucket_topk(max(req.topk for req in batch))
-        results = self.retriever.batch_retrieve(all_texts, topk=k_eff)
+        results = self.retriever.batch_retrieve(all_texts, topk=k_eff, mode=self.mode)
         self.stats["requests"] += len(batch)
         self.stats["batches"] += 1
         self.stats["queries"] += len(all_texts)

@@ -166,6 +166,24 @@ class TestApproxMode:
             assert ids_a[0] == ids_e[0]  # top-1 is exact in approx mode
             assert len(set(ids_e) & set(ids_a)) >= 3
 
+    def test_approx_sharded(self, rng, mesh8):
+        c = rng.randn(2048, 16).astype(np.float32)
+        c /= np.linalg.norm(c, axis=-1, keepdims=True)
+        indexer = TPUIndexer(16, mesh=mesh8)
+        indexer.index_data(range(2048), c)
+        approx = indexer.search_knn(c[:4], top_docs=5, mode="approx")
+        for row, (ids_a, _) in enumerate(approx):
+            assert ids_a[0] == str(row)  # top-1 exact across the shard merge
+
+    def test_approx_int8(self, rng):
+        c = rng.randn(1024, 16).astype(np.float32)
+        c /= np.linalg.norm(c, axis=-1, keepdims=True)
+        indexer = TPUIndexer(16, compression="int8")
+        indexer.index_data(range(1024), c)
+        approx = indexer.search_knn(c[:4], top_docs=5, mode="approx")
+        for row, (ids_a, _) in enumerate(approx):
+            assert ids_a[0] == str(row)
+
 
 class TestPersistence:
     def test_serialize_roundtrip(self, rng, tmp_path):
@@ -189,3 +207,20 @@ class TestPersistence:
         indexer.serialize(str(tmp_path))
         with pytest.raises(AssertionError):
             TPUIndexer(16).deserialize_from(str(tmp_path))
+
+    def test_int8_config_survives_mesh_load(self, rng, tmp_path, mesh8):
+        """An int8-built index loaded onto a mesh must KEEP the compression
+        (round-1 regression: it silently ran uncompressed on meshes)."""
+        c = rng.randn(512, 16).astype(np.float32)
+        c /= np.linalg.norm(c, axis=-1, keepdims=True)
+        built = TPUIndexer(16, compression="int8")
+        built.index_data(range(512), c)
+        built.serialize(str(tmp_path))
+
+        loaded = TPUIndexer(16, mesh=mesh8)
+        loaded.deserialize_from(str(tmp_path))
+        assert loaded.compression == "int8"
+        results = loaded.search_knn(c[:4], top_docs=3)
+        for row, (ids, _) in enumerate(results):
+            assert ids[0] == str(row)
+        assert loaded._device_corpus.dtype == np.int8
