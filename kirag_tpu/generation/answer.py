@@ -80,6 +80,7 @@ class AnswerGenerator(Generator):
             assert len(questions) == len(contexts)
         instructions, user_inputs = self.get_generator_inputs(
             questions, contexts, task_instructions)
+        kwargs.setdefault("return_logits", False)  # reader only parses text
         ids, _ = self.generator_generate(instructions, user_inputs, **kwargs)
         texts = self.tokenizer.batch_decode(ids, skip_special_tokens=True)
         return self.parse_generated_answers(texts)

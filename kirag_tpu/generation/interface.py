@@ -47,8 +47,14 @@ class Backend(Protocol):
     eos_token_id: int
 
     def greedy(self, input_ids: np.ndarray, attention_mask: np.ndarray,
-               max_new_tokens: int) -> Tuple[np.ndarray, np.ndarray]:
+               max_new_tokens: int, return_logits: bool = True
+               ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
         ...
+
+    # Optional resumable extension (duck-typed; see JaxLlamaBackend):
+    #   greedy_start(input_ids, attention_mask, total_new_tokens, return_logits)
+    #     -> (ids [B,1], logits|None, state)
+    #   greedy_resume(state, n_steps, return_logits) -> (ids, logits|None, state)
 
 
 def pad_token_ids(token_ids: np.ndarray, max_length: int, pad_token_id: int) -> np.ndarray:
@@ -148,9 +154,15 @@ class Generator:
                         stop_words: Optional[Sequence[str]] = None,
                         batch_size: Optional[int] = None,
                         pad_to_max_new_tokens: bool = False,
-                        **kwargs) -> Tuple[np.ndarray, np.ndarray]:
+                        return_logits: bool = True,
+                        **kwargs) -> Tuple[np.ndarray, Optional[np.ndarray]]:
         """Batched greedy decode returning (token_ids, per-step logits), the
-        reference contract (`generator/generator.py:171-235`)."""
+        reference contract (`generator/generator.py:171-235`).
+
+        ``return_logits=False`` skips materializing the [B, G, V] logits
+        buffer entirely (returns None) — use it on text-only paths like the
+        KiRAG constructor loop; only the TripleSelector needs logits.
+        """
         max_new = max_new_tokens or self.max_new_tokens
         bsz = batch_size or self.batch_size
         n = len(inputs["input_ids"])
@@ -169,58 +181,94 @@ class Generator:
                 batch = {k: np.concatenate(
                     [v, np.repeat(v[-1:], n_pad - n_real, axis=0)]) for k, v in batch.items()}
             if stop_words and not getattr(self.backend, "is_encoder_decoder", False):
-                # segment-wise stop checks grow the decoder-only CONTEXT with
-                # generated tokens; for encoder-decoder backends that would
-                # corrupt the encoder input, so rely on EOS + post-hoc trim
-                gen_ids, gen_logits = self._segmented_greedy(batch, max_new, stop_words)
+                # segment-wise stop checks on the decoder-only context; for
+                # encoder-decoder backends growing the context would corrupt
+                # the encoder input, so rely on EOS + post-hoc trim there
+                gen_ids, gen_logits = self._segmented_greedy(
+                    batch, max_new, stop_words, return_logits)
             else:
                 gen_ids, gen_logits = self.backend.greedy(
-                    batch["input_ids"], batch["attention_mask"], max_new)
+                    batch["input_ids"], batch["attention_mask"], max_new,
+                    return_logits=return_logits)
             ids_list.append(np.asarray(gen_ids)[:n_real])
-            logits_list.append(np.asarray(gen_logits)[:n_real])
+            if return_logits:
+                logits_list.append(np.asarray(gen_logits)[:n_real])
 
         max_len = max_new if pad_to_max_new_tokens else max(x.shape[1] for x in ids_list)
         pad_id = self.tokenizer.pad_token_id
         ids = np.concatenate([pad_token_ids(x, max_len, pad_id) for x in ids_list], axis=0)
+        if not return_logits:
+            return ids, None
         logits = np.concatenate([pad_token_logits(x, max_len) for x in logits_list], axis=0)
         return ids, logits
 
-    def _segmented_greedy(self, batch, max_new: int, stop_words: Sequence[str]):
-        """Generate in segments; after each, decode on host and stop when every
-        row contains a stop word or eos (StopWordCriteria semantics).
+    def _stop_status(self, gen_so_far: np.ndarray, stop_words: Sequence[str]) -> List[bool]:
+        done = []
+        for row in range(len(gen_so_far)):
+            text = self.tokenizer.decode(gen_so_far[row], skip_special_tokens=True)
+            has_stop = any(w in text for w in stop_words)
+            has_eos = bool(np.any(gen_so_far[row] == self.backend.eos_token_id))
+            done.append(has_stop or has_eos)
+        return done
 
-        COST NOTE: each segment re-prefills prompt+generated so far (the
-        backend contract is stateless); with S segments that is O(S) prefills
-        of a growing context. Keep ``stop_check_every`` coarse (default 16)
-        and rely on the backend's in-device EOS stopping for the common case;
-        stop-words only save work when generations routinely run far past the
-        stop marker. A KV-cache-resumable backend API is the planned fix.
+    def _segmented_greedy(self, batch, max_new: int, stop_words: Sequence[str],
+                          return_logits: bool = True):
+        """Generate in segments; after each, decode on host and stop when every
+        row contains a stop word or eos (the reference's `StopWordCriteria`
+        semantics, `generator/stop_word_criteria.py:7-59`, at segment
+        granularity instead of per-token host syncs).
+
+        Backends exposing the resumable API (``greedy_start``/``greedy_resume``)
+        pay ONE prefill total: the KV cache stays on device between segments
+        and each stop check costs only ``stop_check_every`` decode steps.
+        Stateless backends fall back to re-prefilling the grown context.
         """
         input_ids = batch["input_ids"]
         attention_mask = batch["attention_mask"]
         seg = self.stop_check_every
         all_ids, all_logits = [], []
+
+        if hasattr(self.backend, "greedy_resume"):
+            # reserve 1 (prefill token) + full segments so every resume call
+            # reuses ONE compiled program shape; surplus is trimmed below
+            n_segs = -(-(max_new - 1) // seg) if max_new > 1 else 0
+            total = 1 + n_segs * seg
+            gen_ids, gen_logits, state = self.backend.greedy_start(
+                input_ids, attention_mask, total, return_logits=return_logits)
+            all_ids.append(gen_ids)
+            all_logits.append(gen_logits)
+            produced = gen_ids.shape[1]
+            while produced < max_new:
+                if all(self._stop_status(np.concatenate(all_ids, axis=1), stop_words)):
+                    break
+                gen_ids, gen_logits, state = self.backend.greedy_resume(
+                    state, seg, return_logits=return_logits)
+                all_ids.append(gen_ids)
+                all_logits.append(gen_logits)
+                produced += gen_ids.shape[1]
+            ids = np.concatenate(all_ids, axis=1)[:, :max_new]
+            if not return_logits:
+                return ids, None
+            return ids, np.concatenate(all_logits, axis=1)[:, :max_new]
+
         produced = 0
         while produced < max_new:
             step = min(seg, max_new - produced)
-            gen_ids, gen_logits = self.backend.greedy(input_ids, attention_mask, step)
+            gen_ids, gen_logits = self.backend.greedy(
+                input_ids, attention_mask, step, return_logits=return_logits)
             all_ids.append(np.asarray(gen_ids))
-            all_logits.append(np.asarray(gen_logits))
+            all_logits.append(gen_logits)
             produced += gen_ids.shape[1]
-            done = []
-            gen_so_far = np.concatenate(all_ids, axis=1)
-            for row in range(len(gen_so_far)):
-                text = self.tokenizer.decode(gen_so_far[row], skip_special_tokens=True)
-                has_stop = any(w in text for w in stop_words)
-                has_eos = bool(np.any(gen_so_far[row] == self.backend.eos_token_id))
-                done.append(has_stop or has_eos)
-            if all(done):
+            if all(self._stop_status(np.concatenate(all_ids, axis=1), stop_words)):
                 break
             # extend context with the generated segment for the next round
             input_ids = np.concatenate([input_ids, np.asarray(gen_ids)], axis=1)
             attention_mask = np.concatenate(
                 [attention_mask, np.ones_like(np.asarray(gen_ids))], axis=1)
-        return np.concatenate(all_ids, axis=1), np.concatenate(all_logits, axis=1)
+        ids = np.concatenate(all_ids, axis=1)
+        if not return_logits:
+            return ids, None
+        return ids, np.concatenate(all_logits, axis=1)
 
     def generate(self, inputs: Dict[str, np.ndarray], **kwargs) -> Tuple[np.ndarray, np.ndarray]:
         kwargs.setdefault("max_new_tokens", kwargs.pop("max_tokens", None) or self.max_new_tokens)
@@ -248,6 +296,8 @@ class Generator:
     def generate_texts(self, instructions: List[str], inputs: List,
                        stop_words: Optional[Sequence[str]] = None,
                        **kwargs) -> List[str]:
+        # text-only consumers never need the [B, G, V] logits buffer
+        kwargs.setdefault("return_logits", False)
         ids, _ = self.generator_generate(instructions, inputs, stop_words=stop_words, **kwargs)
         texts = self.tokenizer.batch_decode(ids, skip_special_tokens=True)
         if stop_words:

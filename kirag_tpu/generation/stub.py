@@ -40,7 +40,8 @@ class StubBackend:
         return self.default_response
 
     def greedy(self, input_ids: np.ndarray, attention_mask: np.ndarray,
-               max_new_tokens: int) -> Tuple[np.ndarray, np.ndarray]:
+               max_new_tokens: int, return_logits: bool = True
+               ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
         prompts = [
             self.tokenizer.decode(row[mask.astype(bool)], skip_special_tokens=True)
             for row, mask in zip(input_ids, attention_mask)
@@ -59,7 +60,7 @@ class StubBackend:
             ids[i, : len(toks)] = toks
             # greedy-consistent logits: argmax(logits[t]) == emitted token
             logits[i, np.arange(width), ids[i]] = 10.0
-        return ids, logits
+        return ids, (logits if return_logits else None)
 
 
 def make_stub_generator(tokenizer, rules: Optional[Sequence[Rule]] = None,

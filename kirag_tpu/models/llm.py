@@ -341,22 +341,18 @@ def llama_block_forward(params: Params, input_ids, positions, config: LlamaConfi
     return logits, new_ks, new_vs
 
 
-@functools.partial(jax.jit, static_argnames=("config", "max_new_tokens", "compute_dtype",
-                                             "eos_token_id"))
-def greedy_decode(params: Params, input_ids: jnp.ndarray, attention_mask: jnp.ndarray,
-                  config: LlamaConfig, max_new_tokens: int, compute_dtype=jnp.float32,
-                  eos_token_id: Optional[int] = None
-                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Prefill + greedy scan decode. Left-padded inputs.
+def _prefill_state(params, input_ids, attention_mask, config, total_new_tokens,
+                   compute_dtype, eos_token_id):
+    """Run the prompt, preallocate caches with room for ``total_new_tokens``,
+    and return (first_token, first_logits, decode-state dict).
 
-    Returns (generated ids [B, max_new], per-step logits [B, max_new, V]).
-    Rows that emit ``eos_token_id`` keep emitting it for the remaining steps
-    (so decoded text is clean after the stop), matching HF generate's
-    pad-after-finish semantics.
+    The state is a device-resident pytree; ``pending`` is the latest generated
+    token, already counted in the output but not yet fed/cached — the next
+    decode step feeds it. ``write_at`` is where its K/V will be written.
     """
     bsz, t_prompt = input_ids.shape
     nkv, hd, nl = config.num_key_value_heads, config.head_dim, config.num_hidden_layers
-    t_cache = t_prompt + max_new_tokens
+    t_cache = t_prompt + total_new_tokens
 
     # positions: left padding -> clip(cumsum(mask)-1, 0)
     positions = jnp.clip(jnp.cumsum(attention_mask, axis=1) - 1, 0)
@@ -374,48 +370,136 @@ def greedy_decode(params: Params, input_ids: jnp.ndarray, attention_mask: jnp.nd
         cache = jnp.zeros((bsz, t_cache, nkv, hd), compute_dtype)
         return cache.at[:, :t_prompt].set(new)
 
-    k_caches = [alloc(k) for k in new_ks]
-    v_caches = [alloc(v) for v in new_vs]
-    cache_mask0 = jnp.pad(attention_mask, ((0, 0), (0, max_new_tokens)))
-    cache_pos0 = jnp.pad(positions, ((0, 0), (0, max_new_tokens)))
-
     next_token = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
-    next_pos = positions[:, -1] + 1
-    first_logits = logits[:, -1]
-
     done0 = (jnp.full((bsz,), False) if eos_token_id is None
              else next_token == eos_token_id)
+    state = {
+        "k": [alloc(k) for k in new_ks],
+        "v": [alloc(v) for v in new_vs],
+        "cache_mask": jnp.pad(attention_mask, ((0, 0), (0, total_new_tokens))),
+        "cache_pos": jnp.pad(positions, ((0, 0), (0, total_new_tokens))),
+        "pending": next_token,
+        "pos": positions[:, -1] + 1,
+        "done": done0,
+        "write_at": jnp.asarray(t_prompt, dtype=jnp.int32),
+    }
+    return next_token, logits[:, -1], state
 
-    def step(carry, t):
-        token, pos, ks, vs, cmask, cpos, done = carry
-        lg, nk, nv = llama_block_forward(
-            params, token[:, None], pos[:, None], config, ks, vs, cmask,
-            compute_dtype=compute_dtype, cache_positions=cpos)
-        # the new token attends to itself via the concat slot inside
-        # _attention_block; write its K/V into the cache for FUTURE steps
-        write_at = t_prompt + t
-        ks = [k.at[:, write_at].set(nk_[:, 0]) for k, nk_ in zip(ks, nk)]
-        vs = [v.at[:, write_at].set(nv_[:, 0]) for v, nv_ in zip(vs, nv)]
-        cmask = cmask.at[:, write_at].set(1)
-        cpos = cpos.at[:, write_at].set(pos)
-        new_token = jnp.argmax(lg[:, -1], axis=-1).astype(jnp.int32)
-        if eos_token_id is not None:
-            new_token = jnp.where(done, eos_token_id, new_token)
-            done = done | (new_token == eos_token_id)
-        return (new_token, pos + 1, ks, vs, cmask, cpos, done), (token, lg[:, -1])
+
+def _decode_step(params, state, config, compute_dtype, eos_token_id):
+    """Feed the pending token, write its K/V at ``write_at``, greedy-pick the
+    next. Returns (logits [B, V] of the fed token, new state)."""
+    token, pos = state["pending"], state["pos"]
+    lg, nk, nv = llama_block_forward(
+        params, token[:, None], pos[:, None], config, state["k"], state["v"],
+        state["cache_mask"], compute_dtype=compute_dtype,
+        cache_positions=state["cache_pos"])
+    # the new token attends to itself via the concat slot inside
+    # _attention_block; write its K/V into the cache for FUTURE steps
+    w = state["write_at"]
+    new_token = jnp.argmax(lg[:, -1], axis=-1).astype(jnp.int32)
+    done = state["done"]
+    if eos_token_id is not None:
+        new_token = jnp.where(done, eos_token_id, new_token)
+        done = done | (new_token == eos_token_id)
+    new_state = {
+        "k": [k.at[:, w].set(nk_[:, 0]) for k, nk_ in zip(state["k"], nk)],
+        "v": [v.at[:, w].set(nv_[:, 0]) for v, nv_ in zip(state["v"], nv)],
+        "cache_mask": state["cache_mask"].at[:, w].set(1),
+        "cache_pos": state["cache_pos"].at[:, w].set(pos),
+        "pending": new_token,
+        "pos": pos + 1,
+        "done": done,
+        "write_at": w + 1,
+    }
+    return lg[:, -1], new_state
+
+
+@functools.partial(jax.jit, static_argnames=("config", "max_new_tokens", "compute_dtype",
+                                             "eos_token_id", "return_logits"))
+def greedy_decode(params: Params, input_ids: jnp.ndarray, attention_mask: jnp.ndarray,
+                  config: LlamaConfig, max_new_tokens: int, compute_dtype=jnp.float32,
+                  eos_token_id: Optional[int] = None, return_logits: bool = True
+                  ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Prefill + greedy scan decode, one fused program. Left-padded inputs.
+
+    Returns (generated ids [B, max_new], per-step logits [B, max_new, V]).
+    With ``return_logits=False`` the logits are None and the [B, G, V] f32
+    buffer (~B*G*V*4 bytes — 262MB/row at Llama-3 vocab and G=512) is never
+    materialized; only the TripleSelector's option-probability beam needs
+    logits, the KiRAG constructor loop does not.
+    Rows that emit ``eos_token_id`` keep emitting it for the remaining steps
+    (so decoded text is clean after the stop), matching HF generate's
+    pad-after-finish semantics.
+    """
+    next_token, first_logits, state = _prefill_state(
+        params, input_ids, attention_mask, config, max_new_tokens,
+        compute_dtype, eos_token_id)
 
     if max_new_tokens == 1:
-        return next_token[:, None], first_logits[:, None]
+        return next_token[:, None], (first_logits[:, None] if return_logits else None)
 
-    carry = (next_token, next_pos, k_caches, v_caches, cache_mask0, cache_pos0, done0)
-    carry, (tokens, step_logits) = jax.lax.scan(
-        step, carry, jnp.arange(max_new_tokens - 1, dtype=jnp.int32))
-    # tokens: [G-1, B] are the tokens FED at each step == generated[0..G-2]
-    last_token = carry[0]
+    def step(state, _):
+        token = state["pending"]
+        lg, new_state = _decode_step(params, state, config, compute_dtype, eos_token_id)
+        return new_state, ((token, lg) if return_logits else token)
+
+    state, ys = jax.lax.scan(step, state,
+                             jnp.arange(max_new_tokens - 1, dtype=jnp.int32))
+    # fed tokens: [G-1, B] == generated[0..G-2]; pending == generated[G-1]
+    last_token = state["pending"]
+    if return_logits:
+        tokens, step_logits = ys
+        gen_logits = jnp.concatenate(
+            [first_logits[:, None], step_logits.transpose(1, 0, 2)], axis=1)
+    else:
+        tokens, gen_logits = ys, None
     gen_ids = jnp.concatenate([tokens.transpose(1, 0), last_token[:, None]], axis=1)
-    gen_logits = jnp.concatenate(
-        [first_logits[:, None], step_logits.transpose(1, 0, 2)], axis=1)
     return gen_ids, gen_logits
+
+
+@functools.partial(jax.jit, static_argnames=("config", "total_new_tokens",
+                                             "compute_dtype", "eos_token_id"))
+def prefill_decode(params: Params, input_ids: jnp.ndarray, attention_mask: jnp.ndarray,
+                   config: LlamaConfig, total_new_tokens: int,
+                   compute_dtype=jnp.float32, eos_token_id: Optional[int] = None):
+    """Prefill once, emit the FIRST generated token, return a resumable state.
+
+    The KV-cache-resumable half of segmented decoding: the reference stops
+    per-token for free on GPU (`generator/stop_word_criteria.py:7-59`); on TPU
+    the harness checks stop-words every N tokens and resumes from this state
+    via :func:`resume_decode` — one prefill total instead of O(segments)
+    re-prefills of a growing context. The state stays on device between calls.
+    """
+    next_token, first_logits, state = _prefill_state(
+        params, input_ids, attention_mask, config, total_new_tokens,
+        compute_dtype, eos_token_id)
+    return next_token[:, None], first_logits[:, None], state
+
+
+@functools.partial(jax.jit, static_argnames=("config", "n_steps", "compute_dtype",
+                                             "eos_token_id", "return_logits"))
+def resume_decode(params: Params, state, config: LlamaConfig, n_steps: int,
+                  compute_dtype=jnp.float32, eos_token_id: Optional[int] = None,
+                  return_logits: bool = True):
+    """Continue greedy decoding ``n_steps`` tokens from a prefill/resume state.
+
+    Returns (ids [B, n_steps], logits [B, n_steps, V] | None, new_state).
+    Output token t is produced by feeding state["pending"]; its logits row is
+    the distribution that CHOSE it — concatenating prefill + resume outputs
+    reproduces :func:`greedy_decode` exactly (tests pin this).
+    """
+
+    def step(state, _):
+        lg, new_state = _decode_step(params, state, config, compute_dtype, eos_token_id)
+        tok = new_state["pending"]
+        return new_state, ((tok, lg) if return_logits else tok)
+
+    state, ys = jax.lax.scan(step, state, jnp.arange(n_steps, dtype=jnp.int32))
+    if return_logits:
+        tokens, step_logits = ys
+        return tokens.transpose(1, 0), step_logits.transpose(1, 0, 2), state
+    return ys.transpose(1, 0), None, state
 
 
 # -----------------------------------------------------------------------------
@@ -439,8 +523,7 @@ class JaxLlamaBackend:
                 return b
         return self.prompt_buckets[-1]
 
-    def greedy(self, input_ids: np.ndarray, attention_mask: np.ndarray,
-               max_new_tokens: int) -> Tuple[np.ndarray, np.ndarray]:
+    def _bucket_inputs(self, input_ids: np.ndarray, attention_mask: np.ndarray):
         t = input_ids.shape[1]
         bucket = self._bucket(t)
         if bucket > t:  # extend LEFT padding to the bucket
@@ -450,11 +533,38 @@ class JaxLlamaBackend:
         elif bucket < t:  # prompt longer than the largest bucket: truncate left
             input_ids = input_ids[:, -bucket:]
             attention_mask = attention_mask[:, -bucket:]
+        return input_ids, attention_mask
+
+    def greedy(self, input_ids: np.ndarray, attention_mask: np.ndarray,
+               max_new_tokens: int, return_logits: bool = True
+               ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        input_ids, attention_mask = self._bucket_inputs(input_ids, attention_mask)
         ids, logits = greedy_decode(
             self.params, jnp.asarray(input_ids), jnp.asarray(attention_mask),
             self.config, max_new_tokens, self.compute_dtype,
+            eos_token_id=self.eos_token_id, return_logits=return_logits)
+        return np.asarray(ids), (np.asarray(logits) if return_logits else None)
+
+    # -- KV-cache-resumable segmented decode ----------------------------------
+
+    def greedy_start(self, input_ids: np.ndarray, attention_mask: np.ndarray,
+                     total_new_tokens: int, return_logits: bool = True):
+        """Prefill + first token; reserves cache room for ``total_new_tokens``.
+        Returns (ids [B,1], logits [B,1,V]|None, device-resident state)."""
+        input_ids, attention_mask = self._bucket_inputs(input_ids, attention_mask)
+        ids, logits, state = prefill_decode(
+            self.params, jnp.asarray(input_ids), jnp.asarray(attention_mask),
+            self.config, total_new_tokens, self.compute_dtype,
             eos_token_id=self.eos_token_id)
-        return np.asarray(ids), np.asarray(logits)
+        return np.asarray(ids), (np.asarray(logits) if return_logits else None), state
+
+    def greedy_resume(self, state, n_steps: int, return_logits: bool = True):
+        """Decode ``n_steps`` more tokens from a greedy_start/resume state —
+        no re-prefill; the KV cache never leaves the device."""
+        ids, logits, state = resume_decode(
+            self.params, state, self.config, n_steps, self.compute_dtype,
+            eos_token_id=self.eos_token_id, return_logits=return_logits)
+        return np.asarray(ids), (np.asarray(logits) if return_logits else None), state
 
     def shard_params(self, mesh, model_axis: str = "model"):
         from jax.sharding import NamedSharding

@@ -314,7 +314,8 @@ class JaxT5Backend:
         self.prompt_buckets = prompt_buckets
 
     def greedy(self, input_ids: np.ndarray, attention_mask: np.ndarray,
-               max_new_tokens: int) -> Tuple[np.ndarray, np.ndarray]:
+               max_new_tokens: int, return_logits: bool = True
+               ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
         t = input_ids.shape[1]
         bucket = next((b for b in self.prompt_buckets if b >= t), self.prompt_buckets[-1])
         if bucket > t:  # encoder input: extend RIGHT padding (mask handles it)
@@ -327,4 +328,4 @@ class JaxT5Backend:
             self.params, jnp.asarray(input_ids.astype(np.int32)),
             jnp.asarray(attention_mask.astype(np.int32)), self.config,
             max_new_tokens, self.compute_dtype, eos_token_id=self.eos_token_id)
-        return np.asarray(ids), np.asarray(logits)
+        return np.asarray(ids), (np.asarray(logits) if return_logits else None)

@@ -293,7 +293,8 @@ class KiRAG:
         forced = ["Thought: " + ". ".join(chain) for chain in reasoning_chains]
         ids, _ = self.constructor.generator_generate(
             instructions, inputs, current_generated_texts=forced,
-            max_new_tokens=self.constructor.max_new_tokens)
+            max_new_tokens=self.constructor.max_new_tokens,
+            return_logits=False)  # the constructor loop only parses text
         texts = self.constructor.tokenizer.batch_decode(ids, skip_special_tokens=True)
         texts = [t.strip().lstrip(".,;").strip() for t in texts]
 

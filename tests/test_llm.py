@@ -179,6 +179,101 @@ class TestBackend:
         assert logits.shape[:2] == ids.shape
 
 
+class TestResumableDecode:
+    def test_prefill_resume_matches_fused(self, converted, rng):
+        """prefill(1) + resume segments must reproduce greedy_decode exactly
+        (ids AND per-step logits) — the KV-cache-resumable contract."""
+        from kirag_tpu.models.llm import prefill_decode, resume_decode
+
+        config, params, _ = converted
+        ids, mask = left_padded_batch(rng)
+        max_new = 9
+        ref_ids, ref_logits = greedy_decode(
+            params, jnp.asarray(ids), jnp.asarray(mask), config, max_new)
+
+        first_ids, first_logits, state = prefill_decode(
+            params, jnp.asarray(ids), jnp.asarray(mask), config, max_new)
+        seg_ids, seg_logits = [np.asarray(first_ids)], [np.asarray(first_logits)]
+        for _ in range(2):  # two resume segments of 4
+            t, lg, state = resume_decode(params, state, config, 4)
+            seg_ids.append(np.asarray(t))
+            seg_logits.append(np.asarray(lg))
+        got_ids = np.concatenate(seg_ids, axis=1)
+        got_logits = np.concatenate(seg_logits, axis=1)
+        np.testing.assert_array_equal(got_ids, np.asarray(ref_ids))
+        np.testing.assert_allclose(got_logits, np.asarray(ref_logits),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_resume_respects_eos(self, converted, rng):
+        """Rows finished before a resume keep emitting eos across segments."""
+        from kirag_tpu.models.llm import prefill_decode, resume_decode
+
+        config, params, _ = converted
+        ids, mask = left_padded_batch(rng)
+        max_new = 8
+        # pick the token the model actually emits first for row 0 as "eos"
+        probe_ids, _ = greedy_decode(params, jnp.asarray(ids), jnp.asarray(mask),
+                                     config, 1)
+        eos = int(np.asarray(probe_ids)[0, 0])
+        ref_ids, _ = greedy_decode(params, jnp.asarray(ids), jnp.asarray(mask),
+                                   config, max_new, eos_token_id=eos)
+        f_ids, _, state = prefill_decode(params, jnp.asarray(ids), jnp.asarray(mask),
+                                         config, max_new, eos_token_id=eos)
+        t1, _, state = resume_decode(params, state, config, 4, eos_token_id=eos)
+        t2, _, state = resume_decode(params, state, config, 3, eos_token_id=eos)
+        got = np.concatenate([np.asarray(f_ids), np.asarray(t1), np.asarray(t2)], axis=1)
+        np.testing.assert_array_equal(got, np.asarray(ref_ids))
+        assert np.all(got[0] == eos)  # finished row stays eos
+
+    def test_return_logits_false(self, converted, rng):
+        from kirag_tpu.models.llm import prefill_decode, resume_decode
+
+        config, params, _ = converted
+        ids, mask = left_padded_batch(rng)
+        ref_ids, ref_logits = greedy_decode(
+            params, jnp.asarray(ids), jnp.asarray(mask), config, 6)
+        got_ids, got_logits = greedy_decode(
+            params, jnp.asarray(ids), jnp.asarray(mask), config, 6,
+            return_logits=False)
+        assert got_logits is None
+        np.testing.assert_array_equal(np.asarray(got_ids), np.asarray(ref_ids))
+        _, _, state = prefill_decode(params, jnp.asarray(ids), jnp.asarray(mask),
+                                     config, 6)
+        t, lg, _ = resume_decode(params, state, config, 5, return_logits=False)
+        assert lg is None
+        np.testing.assert_array_equal(np.asarray(t), np.asarray(ref_ids)[:, 1:])
+
+    def test_backend_segmented_stop_words(self, converted, tmp_path, rng):
+        """Generator + resumable backend: stop-words trigger early exit and
+        the emitted prefix matches the unsegmented decode."""
+        from tests.helpers import make_tokenizer
+
+        from kirag_tpu.generation.interface import Generator
+
+        config, params, _ = converted
+        tok = make_tokenizer(tmp_path)
+        if tok.pad_token_id is None:
+            tok.pad_token = "[PAD]"
+        backend = JaxLlamaBackend(params, config, eos_token_id=999,  # never hits
+                                  compute_dtype=jnp.float32, prompt_buckets=(32,))
+        gen = Generator(tok, backend, model_name="llama-3-tiny-instruct",
+                        max_length=32, max_new_tokens=12, stop_check_every=4)
+        gen.family = "generic"
+        enc = gen.tokenizer_encode(["alpha beta gamma"])
+        ref_ids, _ = gen.greedy_generate(enc, max_new_tokens=12)
+        # a stop word that never occurs: segmented path must still equal fused
+        seg_ids, seg_logits = gen.greedy_generate(
+            enc, max_new_tokens=12, stop_words=["☃never"])
+        np.testing.assert_array_equal(seg_ids, ref_ids)
+        assert seg_logits.shape[:2] == seg_ids.shape
+        # a stop word the model emits immediately: the loop exits early
+        first_text = tok.decode(ref_ids[0, :1], skip_special_tokens=True).strip()
+        if first_text:
+            early_ids, _ = gen.greedy_generate(
+                enc, max_new_tokens=12, stop_words=[first_text])
+            assert early_ids.shape[1] <= 5  # 1 prefill token + <=1 segment
+
+
 class TestInt8Weights:
     def test_quantized_decode_close_to_f32(self, converted, rng):
         from kirag_tpu.models.llm import quantize_llama_params
