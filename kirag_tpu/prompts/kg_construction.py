@@ -282,6 +282,254 @@ MUSIQUE_EXAMPLARS += [
     },
 ]
 
+# ---------------------------------------------------------------------------
+# Round-2 bank extension: documents backing the enlarged reasoning-chain /
+# selection banks in kg_selection.py (the reference ships ~8-10 documents per
+# dataset in `prompts/kg_construction/*_demonstrations.py`; these bring each
+# bank to reference scale with original text).
+# ---------------------------------------------------------------------------
+
+HOTPOTQA_EXAMPLARS += [
+    {
+        "title": "Eiffel Tower",
+        "text": "The Eiffel Tower is a wrought-iron lattice tower in Paris designed by "
+                "Gustave Eiffel's engineering company. Completed in 1889, it served as the "
+                "entrance arch to the 1889 World's Fair.",
+        "triples": "<Eiffel Tower; is; wrought-iron lattice tower> "
+                   "<Eiffel Tower; located in; Paris> "
+                   "<Eiffel Tower; designed by; Gustave Eiffel> "
+                   "<Eiffel Tower; completed in; 1889> "
+                   "<Eiffel Tower; served as; entrance arch to the 1889 World's Fair>",
+    },
+    {
+        "title": "Kon-Tiki",
+        "text": "Kon-Tiki was the balsa-wood raft used by the Norwegian explorer Thor "
+                "Heyerdahl to cross the Pacific Ocean in 1947. The raft is displayed at the "
+                "Kon-Tiki Museum in Oslo.",
+        "triples": "<Kon-Tiki; was; balsa-wood raft> <Kon-Tiki; raft of; Thor Heyerdahl> "
+                   "<Thor Heyerdahl; was; Norwegian explorer> "
+                   "<Kon-Tiki; crossed the Pacific in; 1947> "
+                   "<Kon-Tiki; displayed at; Kon-Tiki Museum> "
+                   "<Kon-Tiki Museum; located in; Oslo>",
+    },
+    {
+        "title": "Marie Curie",
+        "text": "Marie Curie was a physicist and chemist born in Warsaw in 1867. She was "
+                "the first person to win two Nobel Prizes, and together with her husband "
+                "Pierre Curie she discovered the elements polonium and radium.",
+        "triples": "<Marie Curie; was; physicist and chemist> "
+                   "<Marie Curie; born in; Warsaw> <Marie Curie; year of birth; 1867> "
+                   "<Marie Curie; was; first person to win two Nobel Prizes> "
+                   "<Marie Curie; spouse; Pierre Curie> "
+                   "<Marie Curie and Pierre Curie; discovered; polonium> "
+                   "<Marie Curie and Pierre Curie; discovered; radium>",
+    },
+    {
+        "title": "Neil Armstrong",
+        "text": "Neil Armstrong was an American astronaut born in Wapakoneta, Ohio. As "
+                "commander of Apollo 11 in 1969, he became the first person to walk on "
+                "the Moon.",
+        "triples": "<Neil Armstrong; was; American astronaut> "
+                   "<Neil Armstrong; born in; Wapakoneta, Ohio> "
+                   "<Neil Armstrong; commander of; Apollo 11> "
+                   "<Apollo 11; first Moon landing mission; 1969> "
+                   "<Neil Armstrong; first person to walk on; the Moon>",
+    },
+    {
+        "title": "Taj Mahal",
+        "text": "The Taj Mahal is an ivory-white marble mausoleum in Agra, India. It was "
+                "commissioned by the Mughal emperor Shah Jahan in memory of his wife "
+                "Mumtaz Mahal.",
+        "triples": "<Taj Mahal; is; ivory-white marble mausoleum> "
+                   "<Taj Mahal; located in; Agra> <Agra; country; India> "
+                   "<Taj Mahal; commissioned by; Shah Jahan> "
+                   "<Shah Jahan; was; Mughal emperor> "
+                   "<Taj Mahal; built in memory of; Mumtaz Mahal>",
+    },
+    {
+        "title": "Arthur Conan Doyle",
+        "text": "Arthur Conan Doyle was a British writer who created the detective "
+                "Sherlock Holmes. He studied medicine in Edinburgh, where his teacher "
+                "Joseph Bell inspired the detective's methods.",
+        "triples": "<Arthur Conan Doyle; was; British writer> "
+                   "<Sherlock Holmes; created by; Arthur Conan Doyle> "
+                   "<Arthur Conan Doyle; studied medicine in; Edinburgh> "
+                   "<Joseph Bell; teacher of; Arthur Conan Doyle> "
+                   "<Joseph Bell; inspired; Sherlock Holmes>",
+    },
+]
+
+WIKIMULTIHOPQA_EXAMPLARS += [
+    {
+        "title": "Akira Kurosawa",
+        "text": "Akira Kurosawa was a Japanese film director born in Tokyo in 1910. His "
+                "1954 film Seven Samurai is often ranked among the greatest films ever made.",
+        "triples": "<Akira Kurosawa; was; Japanese film director> "
+                   "<Akira Kurosawa; place of birth; Tokyo> "
+                   "<Akira Kurosawa; year of birth; 1910> "
+                   "<Seven Samurai; directed by; Akira Kurosawa> "
+                   "<Seven Samurai; released in; 1954>",
+    },
+    {
+        "title": "Wolfgang Amadeus Mozart",
+        "text": "Wolfgang Amadeus Mozart was a composer born in Salzburg in 1756. He "
+                "composed the opera The Magic Flute and died in Vienna in 1791.",
+        "triples": "<Wolfgang Amadeus Mozart; was; composer> "
+                   "<Wolfgang Amadeus Mozart; place of birth; Salzburg> "
+                   "<Wolfgang Amadeus Mozart; year of birth; 1756> "
+                   "<The Magic Flute; composed by; Wolfgang Amadeus Mozart> "
+                   "<Wolfgang Amadeus Mozart; place of death; Vienna> "
+                   "<Wolfgang Amadeus Mozart; year of death; 1791>",
+    },
+    {
+        "title": "Leo Tolstoy",
+        "text": "Leo Tolstoy was a Russian writer, the author of War and Peace and Anna "
+                "Karenina. He died at the railway station of Astapovo in 1910.",
+        "triples": "<Leo Tolstoy; was; Russian writer> "
+                   "<War and Peace; written by; Leo Tolstoy> "
+                   "<Anna Karenina; written by; Leo Tolstoy> "
+                   "<Leo Tolstoy; place of death; Astapovo> "
+                   "<Leo Tolstoy; year of death; 1910>",
+    },
+    {
+        "title": "Queen Victoria",
+        "text": "Queen Victoria reigned over the United Kingdom from 1837 until 1901. Her "
+                "father was Prince Edward, Duke of Kent, a son of King George III.",
+        "triples": "<Queen Victoria; reigned from; 1837> "
+                   "<Queen Victoria; reigned until; 1901> "
+                   "<Queen Victoria; father; Prince Edward, Duke of Kent> "
+                   "<Prince Edward, Duke of Kent; father; George III>",
+    },
+    {
+        "title": "Frida Kahlo",
+        "text": "Frida Kahlo was a Mexican painter born in Coyoacan. She was married to "
+                "the muralist Diego Rivera, who was born in 1886.",
+        "triples": "<Frida Kahlo; was; Mexican painter> "
+                   "<Frida Kahlo; born in; Coyoacan> "
+                   "<Frida Kahlo; spouse; Diego Rivera> "
+                   "<Diego Rivera; was; muralist> "
+                   "<Diego Rivera; year of birth; 1886>",
+    },
+    {
+        "title": "J. R. R. Tolkien",
+        "text": "J. R. R. Tolkien was an English writer and philologist who wrote The "
+                "Hobbit and The Lord of the Rings. He taught at the University of Oxford.",
+        "triples": "<J. R. R. Tolkien; was; English writer and philologist> "
+                   "<The Hobbit; written by; J. R. R. Tolkien> "
+                   "<The Lord of the Rings; written by; J. R. R. Tolkien> "
+                   "<J. R. R. Tolkien; taught at; University of Oxford>",
+    },
+]
+
+MUSIQUE_EXAMPLARS += [
+    {
+        "title": "Boeing",
+        "text": "Boeing is an American aerospace company founded by William Boeing in "
+                "1916. It manufactures the 747 wide-body airliner at its Everett factory "
+                "in Washington state.",
+        "triples": "<Boeing; is; American aerospace company> "
+                   "<Boeing; founded by; William Boeing> <Boeing; founded in; 1916> "
+                   "<747; manufactured by; Boeing> "
+                   "<747; built at; Everett factory> "
+                   "<Everett factory; located in; Washington state>",
+    },
+    {
+        "title": "Nile",
+        "text": "The Nile is a major river of northeastern Africa that flows through "
+                "Cairo, the capital of Egypt, and empties into the Mediterranean Sea "
+                "through a large delta.",
+        "triples": "<Nile; is; major river of northeastern Africa> "
+                   "<Cairo; lies on; Nile> <Cairo; capital of; Egypt> "
+                   "<Nile; empties into; Mediterranean Sea> "
+                   "<Nile; forms; large delta>",
+    },
+    {
+        "title": "Colosseum",
+        "text": "The Colosseum is an ancient amphitheatre in the centre of Rome, the "
+                "capital of Italy. Italy adopted the euro as its currency in 1999.",
+        "triples": "<Colosseum; is; ancient amphitheatre> "
+                   "<Colosseum; located in; Rome> <Rome; capital of; Italy> "
+                   "<Rome; country; Italy> <Italy; currency; euro> "
+                   "<Italy; adopted the euro in; 1999>",
+    },
+    {
+        "title": "Blade Runner",
+        "text": "Blade Runner is a 1982 science fiction film directed by Ridley Scott. "
+                "It is based on the novel Do Androids Dream of Electric Sheep? by "
+                "Philip K. Dick.",
+        "triples": "<Blade Runner; is a; 1982 science fiction film> "
+                   "<Blade Runner; directed by; Ridley Scott> "
+                   "<Blade Runner; based on; Do Androids Dream of Electric Sheep?> "
+                   "<Do Androids Dream of Electric Sheep?; written by; Philip K. Dick>",
+    },
+    {
+        "title": "Mustafa Kemal Ataturk",
+        "text": "Mustafa Kemal Ataturk was the first president of Turkey, whose largest "
+                "city is Istanbul. After his death in 1938 he was succeeded by Ismet Inonu.",
+        "triples": "<Mustafa Kemal Ataturk; first president of; Turkey> "
+                   "<Istanbul; largest city of; Turkey> "
+                   "<Mustafa Kemal Ataturk; died in; 1938> "
+                   "<Mustafa Kemal Ataturk; succeeded by; Ismet Inonu>",
+    },
+    {
+        "title": "Sistine Chapel",
+        "text": "The Sistine Chapel is a chapel in Vatican City named after Pope Sixtus "
+                "IV, who restored it in the 15th century. Its ceiling was painted by "
+                "Michelangelo between 1508 and 1512.",
+        "triples": "<Sistine Chapel; located in; Vatican City> "
+                   "<Sistine Chapel; named after; Pope Sixtus IV> "
+                   "<Pope Sixtus IV; restored; Sistine Chapel> "
+                   "<Sistine Chapel ceiling; painted by; Michelangelo> "
+                   "<Sistine Chapel ceiling; painted between; 1508 and 1512>",
+    },
+]
+
+WIKIPEDIA_EXAMPLARS += [
+    {
+        "title": "DNA",
+        "text": "DNA is the molecule that carries genetic information in living "
+                "organisms. Its double-helix structure was described in 1953 by James "
+                "Watson and Francis Crick, drawing on X-ray data from Rosalind Franklin.",
+        "triples": "<DNA; carries; genetic information> "
+                   "<DNA; structure; double helix> "
+                   "<DNA double helix; described by; James Watson and Francis Crick> "
+                   "<DNA double helix; described in; 1953> "
+                   "<Rosalind Franklin; provided X-ray data for; DNA double helix>",
+    },
+    {
+        "title": "Printing press",
+        "text": "The movable-type printing press was introduced to Europe by Johannes "
+                "Gutenberg around 1440 in Mainz. His forty-two-line Bible was among the "
+                "first major books printed with it.",
+        "triples": "<printing press; introduced to Europe by; Johannes Gutenberg> "
+                   "<printing press; introduced around; 1440> "
+                   "<Johannes Gutenberg; worked in; Mainz> "
+                   "<Gutenberg Bible; printed by; Johannes Gutenberg> "
+                   "<Gutenberg Bible; also called; forty-two-line Bible>",
+    },
+    {
+        "title": "Amazon rainforest",
+        "text": "The Amazon rainforest is the largest tropical rainforest on Earth, "
+                "spanning nine countries in South America. About sixty percent of it "
+                "lies within Brazil.",
+        "triples": "<Amazon rainforest; is; largest tropical rainforest on Earth> "
+                   "<Amazon rainforest; spans; nine countries> "
+                   "<Amazon rainforest; located in; South America> "
+                   "<Amazon rainforest; sixty percent within; Brazil>",
+    },
+    {
+        "title": "General relativity",
+        "text": "General relativity is a theory of gravitation published by Albert "
+                "Einstein in 1915. It was famously confirmed by Arthur Eddington's "
+                "observations of the 1919 solar eclipse.",
+        "triples": "<general relativity; is; theory of gravitation> "
+                   "<general relativity; published by; Albert Einstein> "
+                   "<general relativity; published in; 1915> "
+                   "<general relativity; confirmed by; Arthur Eddington> "
+                   "<Arthur Eddington; observed; 1919 solar eclipse>",
+    },
+]
+
 WIKIPEDIA_EXAMPLARS += [
     {
         "title": "Haber process",
