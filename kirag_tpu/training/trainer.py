@@ -125,10 +125,18 @@ class BaseTrainer:
 
     def _update(self, params, opt_state, batch):
         (loss, aux), grads = jax.value_and_grad(self._loss_with_aux, has_aux=True)(params, batch)
-        gnorm = optax.global_norm(grads)
+        leaves = jax.tree.leaves(grads)
+        # grad min/max/mean observability (reference `base_trainer.py:550-589`)
+        gstats = {
+            "grad_norm": optax.global_norm(grads),
+            "grad_min": jnp.min(jnp.stack([jnp.min(g) for g in leaves])),
+            "grad_max": jnp.max(jnp.stack([jnp.max(g) for g in leaves])),
+            "grad_mean": (sum(jnp.sum(g) for g in leaves)
+                          / sum(g.size for g in leaves)),
+        }
         updates, opt_state = self.optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss, gnorm, aux
+        return params, opt_state, loss, gstats, aux
 
     def _loss_with_aux(self, params, batch):
         out = self.loss_fn(params, batch)
@@ -143,10 +151,11 @@ class BaseTrainer:
 
     def training_step(self, batch) -> Dict[str, float]:
         batch = self.device_put_batch(batch)
-        self.params, self.opt_state, loss, gnorm, aux = self._jit_update(
+        self.params, self.opt_state, loss, gstats, aux = self._jit_update(
             self.params, self.opt_state, batch)
         self.step += 1
-        stats = {"loss": float(loss), "grad_norm": float(gnorm)}
+        stats = {"loss": float(loss)}
+        stats.update({k: float(v) for k, v in gstats.items()})
         for k, v in (aux or {}).items():
             stats[k] = float(v)
         return stats
@@ -220,31 +229,45 @@ class BaseTrainer:
         self.history.append(record)
         logger.info(" ".join(f"{k}={v:.6g}" if isinstance(v, float) else f"{k}={v}"
                              for k, v in record.items()))
+        # persist per-step metrics so an operator can tail/plot a run
+        with open(os.path.join(self.config.save_dir, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps({"time": time.time(), **record}) + "\n")
 
     def train(self, resume: bool = False) -> Dict[str, Any]:
         if resume:
             self.resume_training()
         steps_per_epoch = max(1, len(self.train_loader))
         start_time = time.time()
+        session_start_step = self.step  # steps_per_sec must not count pre-resume steps
         last_metric = None
 
         while self.epoch < self.config.num_train_epochs and self.step < self.total_steps:
-            self.train_loader.set_epoch(self.epoch)
             done_in_epoch = self.step - self.epoch * steps_per_epoch
+            if done_in_epoch >= steps_per_epoch:  # resumed at an epoch boundary
+                self.epoch += 1
+                continue
+            self.train_loader.set_epoch(self.epoch)
             iterator = (self.train_loader.iter_from(done_in_epoch)
-                        if 0 < done_in_epoch < steps_per_epoch else iter(self.train_loader))
+                        if 0 < done_in_epoch else iter(self.train_loader))
+            epoch_completed = True
             for batch in iterator:
                 stats = self.training_step(batch)
                 if self.step % self.config.log_steps == 0:
-                    stats["steps_per_sec"] = self.step / max(time.time() - start_time, 1e-9)
+                    stats["steps_per_sec"] = ((self.step - session_start_step)
+                                              / max(time.time() - start_time, 1e-9))
                     self.log(stats)
                 if self.eval_loader is not None and self.step % self.config.eval_steps == 0:
                     last_metric = float(self.evaluate(self.params, self.eval_loader))
                     self.log({"eval_metric": last_metric})
                     self.save_checkpoint(metric=last_metric)
                 if self.step >= self.total_steps:
+                    # max_steps hit MID-epoch: the epoch did not finish, so the
+                    # counter must not advance (a resume with a higher
+                    # max_steps continues from the right batch)
+                    epoch_completed = self.step - self.epoch * steps_per_epoch >= steps_per_epoch
                     break
-            self.epoch += 1
+            if epoch_completed:
+                self.epoch += 1
 
         if self.eval_loader is not None:
             last_metric = float(self.evaluate(self.params, self.eval_loader))

@@ -106,8 +106,10 @@ def _training_setup(tmp_path, batch_size=4, num_negatives=3, eval_too=True, **cf
                               collate_fn=collator, seed=0)
     eval_loader = DataLoader(examples[:8], batch_size=batch_size, shuffle=False,
                              collate_fn=collator) if eval_too else None
+    cfg_kw.setdefault("eval_steps", 1000)
+    cfg_kw.setdefault("log_steps", 1000)
     tcfg = TrainerConfig(learning_rate=3e-4, save_dir=str(tmp_path / "run"),
-                         num_train_epochs=2, eval_steps=1000, log_steps=1000, **cfg_kw)
+                         num_train_epochs=2, **cfg_kw)
     trainer = AlignerTrainer(params, config, tcfg, train_loader, eval_loader,
                              temperature=0.05)
     return trainer
@@ -139,6 +141,71 @@ class TestAlignerTraining:
         assert trainer2.resume_training()
         assert trainer2.step == step_before
         np.testing.assert_array_equal(np.asarray(jax.tree.leaves(trainer2.params)[0]), w_before)
+
+    def test_resume_mid_epoch_identical_trajectory(self, tmp_path):
+        """Interrupt mid-epoch, resume, and the per-step losses must match an
+        uninterrupted run exactly (loader fast-forward + full state restore)."""
+        (tmp_path / "a").mkdir()
+        (tmp_path / "b").mkdir()
+        full = _training_setup(tmp_path / "a", log_steps=1, eval_too=False)
+        full.train()
+        full_losses = {r["step"]: r["loss"] for r in full.history if "loss" in r}
+        assert len(full_losses) >= 8
+
+        interrupted = _training_setup(tmp_path / "b", log_steps=1, eval_too=False)
+        interrupted.train_loader.set_epoch(0)
+        for i, batch in enumerate(interrupted.train_loader):
+            interrupted.training_step(batch)
+            if i == 3:  # stop mid-epoch (6 steps per epoch)
+                break
+        interrupted.save_checkpoint()
+
+        resumed = _training_setup(tmp_path / "b", log_steps=1, eval_too=False)
+        resumed.train(resume=True)
+        resumed_losses = {r["step"]: r["loss"] for r in resumed.history if "loss" in r}
+        for step, loss in resumed_losses.items():
+            np.testing.assert_allclose(loss, full_losses[step], rtol=1e-6,
+                                       err_msg=f"divergence at step {step}")
+        assert min(resumed_losses) == 5  # picked up right after the interrupt
+
+    def test_metrics_jsonl_and_grad_stats(self, tmp_path):
+        import json as _json
+
+        trainer = _training_setup(tmp_path, log_steps=1, eval_too=False)
+        trainer.train_loader.set_epoch(0)
+        batch = next(iter(trainer.train_loader))
+        stats = trainer.training_step(batch)
+        for key in ("grad_norm", "grad_min", "grad_max", "grad_mean"):
+            assert key in stats and np.isfinite(stats[key])
+        assert stats["grad_min"] <= stats["grad_mean"] <= stats["grad_max"]
+        trainer.log(stats)
+        metrics_file = tmp_path / "run" / "metrics.jsonl"
+        assert metrics_file.exists()
+        rec = _json.loads(metrics_file.read_text().splitlines()[-1])
+        assert rec["step"] == 1 and "loss" in rec and "time" in rec
+
+    def test_steps_per_sec_resets_after_resume(self, tmp_path, monkeypatch):
+        """steps_per_sec counts SESSION steps, not the restored global step
+        (round-1 bug: step/wall gave ~3x inflated rates after resume)."""
+        import types
+
+        import kirag_tpu.training.trainer as trainer_mod
+
+        trainer = _training_setup(tmp_path, log_steps=2, eval_too=False,
+                                  max_steps=4)
+        trainer.train()
+
+        trainer2 = _training_setup(tmp_path, log_steps=2, eval_too=False,
+                                   max_steps=6)
+        clock = iter(range(10_000))
+        monkeypatch.setattr(trainer_mod, "time",
+                            types.SimpleNamespace(time=lambda: float(next(clock))))
+        trainer2.train(resume=True)
+        rates = [r["steps_per_sec"] for r in trainer2.history if "steps_per_sec" in r]
+        assert rates, "expected a steps_per_sec log record"
+        # fake clock: start=0s, log at global step 6 reads 1s -> 2 session
+        # steps / 1s. The buggy global formula would report 6.0.
+        assert rates[-1] == pytest.approx(2.0)
 
     def test_best_checkpoint_retention(self, tmp_path):
         trainer = _training_setup(tmp_path, keep_top_k=2)
