@@ -47,7 +47,8 @@ class TPUIndexer:
     def __init__(self, vector_sz: int, metric: str = "inner_product",
                  mesh=None, mesh_axis: str = "data",
                  device_dtype: jnp.dtype = jnp.float32, chunk_size: int = 262144,
-                 compression: str = "none", n_subquantizers: int = 0, n_bits: int = 8):
+                 compression: str = "none", n_subquantizers: int = 0, n_bits: int = 8,
+                 max_device_rows: Optional[int] = None):
         # drop-in compatibility with the reference ctor (`retriever/index.py:19`):
         # a PQ request maps to our int8 row compression (the TPU equal-memory play)
         if n_subquantizers > 0 and compression == "none":
@@ -67,6 +68,10 @@ class TPUIndexer:
         self.device_dtype = device_dtype
         self.chunk_size = chunk_size
         self.compression = compression
+        # rows beyond this stream through HBM block-by-block at search time
+        # (the beyond-HBM mode for e.g. the 21M-row DPR corpus on one chip);
+        # None = whole corpus resident (the fast path)
+        self.max_device_rows = max_device_rows
 
         self._host_chunks: List[np.ndarray] = []
         self.index_id_to_db_id: np.ndarray = np.empty((0,), dtype=object)
@@ -74,6 +79,7 @@ class TPUIndexer:
         self._device_scales: Optional[jnp.ndarray] = None
         self._device_sq_norms: Optional[jnp.ndarray] = None
         self._device_rows: int = 0
+        self._stream_blocks: Optional[List[dict]] = None
 
     # -- build ---------------------------------------------------------------
 
@@ -94,14 +100,23 @@ class TPUIndexer:
         new_ids = np.asarray([str(i) for i in ids], dtype=object)
         self.index_id_to_db_id = np.concatenate([self.index_id_to_db_id, new_ids])
         self._device_corpus = None  # invalidate
+        self._stream_blocks = None
         logger.info(f"Total data indexed {len(self.index_id_to_db_id)}")
 
-    def _host_matrix(self) -> np.ndarray:
-        if len(self._host_chunks) == 0:
+    def _host_rows(self, start: int, end: int) -> np.ndarray:
+        """Assemble rows [start, end) across the host chunk list WITHOUT
+        concatenating the whole corpus (chunks may be mmap'd shard files)."""
+        parts, ofs = [], 0
+        for chunk in self._host_chunks:
+            lo, hi = max(start - ofs, 0), min(end - ofs, len(chunk))
+            if lo < hi:
+                parts.append(np.asarray(chunk[lo:hi], dtype=np.float32))
+            ofs += len(chunk)
+            if ofs >= end:
+                break
+        if not parts:
             return np.zeros((0, self.vector_sz), dtype=np.float32)
-        if len(self._host_chunks) > 1:
-            self._host_chunks = [np.concatenate(self._host_chunks, axis=0)]
-        return self._host_chunks[0]
+        return parts[0] if len(parts) == 1 else np.concatenate(parts, axis=0)
 
     def _shard_count(self) -> int:
         if self.mesh is None:
@@ -109,52 +124,141 @@ class TPUIndexer:
         return self.mesh.shape[self.mesh_axis]
 
     def to_device(self) -> None:
-        """Pad rows to the shard grid and place the corpus into HBM."""
-        host = self._host_matrix()
-        n = len(host)
+        """Pad rows to the shard grid and place the corpus into HBM.
+
+        Assembly (and int8 quantization) run CHUNK-WISE over the host chunk
+        list, so an mmap'd multi-file index never materializes a second full
+        f32 copy — at DPR scale (21M x 1024) that copy alone is 86GB.
+        """
+        n = len(self)
+        d = self.vector_sz
         shards = self._shard_count()
         # rows must divide both the shard count and the tile sublane (8)
         n_pad = max(((n + 8 * shards - 1) // (8 * shards)) * (8 * shards), 8 * shards)
-        mat = host
-        if n_pad != n:
-            mat = np.zeros((n_pad, self.vector_sz), dtype=np.float32)
-            mat[:n] = host
+        block = 1 << 20
+
+        def shard_put(arr):
+            if self.mesh is None:
+                return jnp.asarray(arr)
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            return jax.device_put(arr, NamedSharding(self.mesh, PartitionSpec(self.mesh_axis)))
+
         if self.compression == "int8":
             from kirag_tpu.ops.quantized import quantize_rows_int8
 
-            q, scales = quantize_rows_int8(mat)
-            q_arr, s_arr = jnp.asarray(q), jnp.asarray(scales)
-            if self.mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec
-
-                sharding = NamedSharding(self.mesh, PartitionSpec(self.mesh_axis))
-                q_arr = jax.device_put(q_arr, sharding)
-                s_arr = jax.device_put(s_arr, sharding)
-            self._device_corpus = q_arr
-            self._device_scales = s_arr
+            q = np.zeros((n_pad, d), dtype=np.int8)
+            scales = np.zeros((n_pad,), dtype=np.float32)
+            for start in range(0, n, block):
+                rows = self._host_rows(start, min(start + block, n))
+                q[start:start + len(rows)], scales[start:start + len(rows)] = (
+                    quantize_rows_int8(rows))
+            self._device_corpus = shard_put(q)
+            self._device_scales = shard_put(scales)
             self._device_rows = n
             return
-        arr = jnp.asarray(mat, dtype=self.device_dtype)
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
 
-            arr = jax.device_put(arr, NamedSharding(self.mesh, PartitionSpec(self.mesh_axis)))
-        self._device_corpus = arr
+        import ml_dtypes
+
+        np_dtype = np.dtype(jnp.dtype(self.device_dtype).name) \
+            if self.device_dtype != jnp.bfloat16 else np.dtype(ml_dtypes.bfloat16)
+        mat = np.zeros((n_pad, d), dtype=np_dtype)
+        sq = np.zeros((n_pad,), dtype=np.float32) if self.metric == "l2" else None
+        for start in range(0, n, block):
+            rows = self._host_rows(start, min(start + block, n))
+            mat[start:start + len(rows)] = rows.astype(np_dtype)
+            if sq is not None:
+                sq[start:start + len(rows)] = np.sum(rows ** 2, axis=1)
+        self._device_corpus = shard_put(mat)
         self._device_rows = n
-        if self.metric == "l2":
-            sq = np.zeros((n_pad,), dtype=np.float32)
-            sq[:n] = np.sum(host.astype(np.float32) ** 2, axis=1)
-            sq_arr = jnp.asarray(sq)
-            if self.mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec
+        if sq is not None:
+            self._device_sq_norms = shard_put(sq)
 
-                sq_arr = jax.device_put(sq_arr, NamedSharding(self.mesh, PartitionSpec(self.mesh_axis)))
-            self._device_sq_norms = sq_arr
+    # -- streaming (beyond-HBM corpora) ----------------------------------------
+
+    def _use_streaming(self) -> bool:
+        return (self.max_device_rows is not None
+                and len(self) > self.max_device_rows)
+
+    def _prepare_stream_blocks(self) -> None:
+        """Pre-assemble uniform host blocks in their final device dtype (int8
+        + scales, or device_dtype) so every search reuses ONE compiled program
+        shape and pays only the host->HBM copy per block."""
+        if self._stream_blocks is not None:
+            return
+        assert self.mesh is None, "streaming mode is single-chip (shard the "\
+            "corpus across the mesh instead when chips are available)"
+        if self.metric != "inner_product":
+            raise NotImplementedError("streaming mode supports inner_product only")
+        import ml_dtypes
+
+        n, d = len(self), self.vector_sz
+        rows_per_block = max(8, (self.max_device_rows // 8) * 8)
+        blocks = []
+        for start in range(0, n, rows_per_block):
+            rows = self._host_rows(start, min(start + rows_per_block, n))
+            valid = len(rows)
+            if valid < rows_per_block:
+                rows = np.concatenate(
+                    [rows, np.zeros((rows_per_block - valid, d), np.float32)])
+            if self.compression == "int8":
+                from kirag_tpu.ops.quantized import quantize_rows_int8
+
+                q, scales = quantize_rows_int8(rows)
+                blocks.append({"corpus": q, "scales": scales,
+                               "start": start, "valid": valid})
+            else:
+                np_dtype = (np.dtype(ml_dtypes.bfloat16)
+                            if self.device_dtype == jnp.bfloat16
+                            else np.dtype(jnp.dtype(self.device_dtype).name))
+                blocks.append({"corpus": rows.astype(np_dtype),
+                               "start": start, "valid": valid})
+        self._stream_blocks = blocks
+
+    def _streaming_search(self, queries: jnp.ndarray, k: int, mode: str
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+        """Search a corpus larger than HBM: stream uniform row blocks through
+        the device and merge per-block top-k candidates on host (stable
+        lower-index tie-break, matching the resident path)."""
+        self._prepare_stream_blocks()
+        k_eff = min(k, len(self))
+        all_vals, all_idx = [], []
+        for blk in self._stream_blocks:
+            corpus = jnp.asarray(blk["corpus"])
+            if mode == "approx":
+                from kirag_tpu.ops.pallas_mips import approx_topk_mips
+
+                vals, idx = approx_topk_mips(
+                    queries, corpus, k_eff, valid_rows=blk["valid"],
+                    scales=(jnp.asarray(blk["scales"])
+                            if self.compression == "int8" else None))
+            elif self.compression == "int8":
+                from kirag_tpu.ops.quantized import topk_mips_int8
+
+                vals, idx = topk_mips_int8(
+                    queries, corpus, jnp.asarray(blk["scales"]), k_eff,
+                    chunk_size=min(self.chunk_size, corpus.shape[0]),
+                    valid_rows=blk["valid"])
+            else:
+                vals, idx = topk_mips(
+                    queries, corpus, k_eff,
+                    chunk_size=min(self.chunk_size, corpus.shape[0]),
+                    valid_rows=blk["valid"])
+            all_vals.append(np.asarray(vals))
+            all_idx.append(np.asarray(idx) + blk["start"])
+        vals = np.concatenate(all_vals, axis=1)
+        idx = np.concatenate(all_idx, axis=1)
+        # stable merge: by descending value, then ascending global row id
+        order = np.lexsort((idx, -vals), axis=1)[:, :k_eff]
+        return (np.take_along_axis(vals, order, axis=1),
+                np.take_along_axis(idx, order, axis=1))
 
     # -- search ----------------------------------------------------------------
 
     def _device_search(self, queries: jnp.ndarray, k: int, mode: str = "exact"
                        ) -> Tuple[np.ndarray, np.ndarray]:
+        if self._use_streaming():
+            return self._streaming_search(queries, k, mode)
         if self._device_corpus is None:
             self.to_device()
         corpus = self._device_corpus
@@ -241,24 +345,34 @@ class TPUIndexer:
 
     # -- persistence -----------------------------------------------------------
 
-    def serialize(self, dir_path: str) -> None:
+    def serialize(self, dir_path: str, rows_per_file: int = 1_000_000) -> None:
+        """Write the index as SHARD files ``index_{start}_{end}.npy`` (plus the
+        id map and config). Multi-file layout keeps writes/loads streamable at
+        21M-row scale — no monolithic 86GB ``index.npy`` — and shard files
+        mmap independently on load."""
         os.makedirs(dir_path, exist_ok=True)
-        index_file = os.path.join(dir_path, "index.npy")
         meta_file = os.path.join(dir_path, "index_meta.pkl")
         config_file = os.path.join(dir_path, "index_config.json")
-        logger.info(f"Serializing index to {index_file}, meta data to {meta_file}")
-        np.save(index_file, self._host_matrix())
+        n = len(self)
+        files = []
+        for start in range(0, max(n, 1), rows_per_file):
+            end = min(start + rows_per_file, n)
+            name = f"index_{start:010d}_{end:010d}.npy"
+            np.save(os.path.join(dir_path, name), self._host_rows(start, end))
+            files.append(name)
+            logger.info(f"wrote {name} ({end - start} rows)")
         with open(meta_file, "wb") as f:
             pickle.dump(list(self.index_id_to_db_id), f)
         with open(config_file, "w") as f:
             json.dump({"vector_sz": self.vector_sz, "metric": self.metric,
-                       "compression": self.compression}, f)
+                       "compression": self.compression, "nrows": n,
+                       "files": files}, f)
 
     def deserialize_from(self, dir_path: str, mmap: bool = True) -> None:
-        index_file = os.path.join(dir_path, "index.npy")
         meta_file = os.path.join(dir_path, "index_meta.pkl")
         config_file = os.path.join(dir_path, "index_config.json")
-        logger.info(f"Loading index from {index_file}, meta data from {meta_file}")
+        logger.info(f"Loading index from {dir_path}")
+        files = None
         if os.path.exists(config_file):
             with open(config_file) as f:
                 cfg = json.load(f)
@@ -268,10 +382,18 @@ class TPUIndexer:
             # honored on meshes too: sharded int8 search exists
             # (ops/quantized.py:sharded_topk_mips_int8)
             self.compression = cfg.get("compression", self.compression)
-        host = np.load(index_file, mmap_mode="r" if mmap else None)
-        self._host_chunks = [host]
+            files = cfg.get("files")
+        mode = "r" if mmap else None
+        if files:  # multi-file layout (mmap per shard)
+            self._host_chunks = [np.load(os.path.join(dir_path, f), mmap_mode=mode)
+                                 for f in files]
+        else:  # legacy monolithic index.npy
+            self._host_chunks = [np.load(os.path.join(dir_path, "index.npy"),
+                                         mmap_mode=mode)]
         with open(meta_file, "rb") as f:
             self.index_id_to_db_id = np.asarray(pickle.load(f), dtype=object)
-        assert len(self.index_id_to_db_id) == len(host), (
+        n_rows = sum(len(c) for c in self._host_chunks)
+        assert len(self.index_id_to_db_id) == n_rows, (
             "deserialized id map must match index size")
         self._device_corpus = None
+        self._stream_blocks = None

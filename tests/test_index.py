@@ -201,6 +201,94 @@ class TestPersistence:
             assert ids1 == ids2
             np.testing.assert_allclose(s1, s2)
 
+    def test_multi_file_serialization(self, rng, tmp_path):
+        """Indexes serialize as shard files (no monolithic index.npy at 21M
+        scale); loads mmap each shard independently."""
+        import os
+
+        c = rng.randn(100, 8).astype(np.float32)
+        indexer = TPUIndexer(8)
+        indexer.index_data([f"d{i}" for i in range(100)], c)
+        indexer.serialize(str(tmp_path), rows_per_file=32)
+        names = sorted(f for f in os.listdir(str(tmp_path)) if f.endswith(".npy"))
+        assert len(names) == 4  # 32+32+32+4
+        assert not os.path.exists(str(tmp_path / "index.npy"))
+        loaded = TPUIndexer(8)
+        loaded.deserialize_from(str(tmp_path))
+        assert len(loaded._host_chunks) == 4
+        q = rng.randn(2, 8).astype(np.float32)
+        r1 = indexer.search_knn(q, top_docs=5)
+        r2 = loaded.search_knn(q, top_docs=5)
+        for (ids1, s1), (ids2, s2) in zip(r1, r2):
+            assert ids1 == ids2
+            np.testing.assert_allclose(s1, s2)
+
+    def test_legacy_monolithic_load(self, rng, tmp_path):
+        """Round-1 indexes (single index.npy, config without 'files') load."""
+        import json
+        import pickle
+
+        c = rng.randn(30, 8).astype(np.float32)
+        np.save(str(tmp_path / "index.npy"), c)
+        with open(tmp_path / "index_meta.pkl", "wb") as f:
+            pickle.dump([f"d{i}" for i in range(30)], f)
+        with open(tmp_path / "index_config.json", "w") as f:
+            json.dump({"vector_sz": 8, "metric": "inner_product",
+                       "compression": "none"}, f)
+        loaded = TPUIndexer(8)
+        loaded.deserialize_from(str(tmp_path))
+        assert len(loaded) == 30
+        _, idx = oracle_ip(c[:2], c, 3)
+        results = loaded.search_knn(c[:2], top_docs=3)
+        for row, (db_ids, _) in enumerate(results):
+            assert db_ids == [f"d{i}" for i in idx[row]]
+
+
+class TestStreamingSearch:
+    """Beyond-HBM mode: corpus blocks stream through the device per search."""
+
+    def test_matches_resident_exact(self, rng):
+        c = rng.randn(500, 16).astype(np.float32)
+        q = rng.randn(3, 16).astype(np.float32)
+        resident = TPUIndexer(16, chunk_size=64)
+        resident.index_data(range(500), c)
+        streaming = TPUIndexer(16, chunk_size=64, max_device_rows=128)
+        streaming.index_data(range(500), c)
+        r_res = resident.search_knn(q, top_docs=7)
+        r_str = streaming.search_knn(q, top_docs=7)
+        for (ids_r, s_r), (ids_s, s_s) in zip(r_res, r_str):
+            assert ids_r == ids_s
+            np.testing.assert_allclose(s_r, s_s, rtol=1e-5, atol=1e-5)
+
+    def test_streaming_tie_break(self, rng):
+        # duplicated rows across different blocks: lowest index must win
+        base = rng.randn(64, 8).astype(np.float32)
+        c = np.concatenate([base, base, base])  # 3 blocks of duplicates
+        streaming = TPUIndexer(8, chunk_size=32, max_device_rows=64)
+        streaming.index_data(range(192), c)
+        (ids, _), = streaming.search_knn(base[:1], top_docs=3)
+        vals, idx = oracle_ip(base[:1], c, 3)
+        assert ids == [str(i) for i in idx[0]]
+
+    def test_streaming_int8(self, rng):
+        c = rng.randn(300, 16).astype(np.float32)
+        c /= np.linalg.norm(c, axis=-1, keepdims=True)
+        streaming = TPUIndexer(16, chunk_size=64, max_device_rows=128,
+                               compression="int8")
+        streaming.index_data(range(300), c)
+        results = streaming.search_knn(c[:4], top_docs=5)
+        for row, (ids, _) in enumerate(results):
+            assert ids[0] == str(row)
+
+    def test_streaming_approx(self, rng):
+        c = rng.randn(1024, 16).astype(np.float32)
+        c /= np.linalg.norm(c, axis=-1, keepdims=True)
+        streaming = TPUIndexer(16, max_device_rows=512)
+        streaming.index_data(range(1024), c)
+        results = streaming.search_knn(c[:4], top_docs=5, mode="approx")
+        for row, (ids, _) in enumerate(results):
+            assert ids[0] == str(row)  # approx top-1 is exact per block
+
     def test_dim_mismatch_raises(self, rng, tmp_path):
         indexer = TPUIndexer(8)
         indexer.index_data(range(4), rng.randn(4, 8).astype(np.float32))
