@@ -92,7 +92,9 @@ class TestCLIWorkflow:
             "--embedding_size", "32",
             "--save_dir", os.path.join(out, "index"),
         ], monkeypatch)
-        assert os.path.exists(os.path.join(out, "index", "index.npy"))
+        import glob as _glob
+
+        assert _glob.glob(os.path.join(out, "index", "index_*_*.npy"))
 
         # 3. iterative retrieval with the tiny llama
         from kirag_tpu.cli import retrieve
