@@ -1,12 +1,13 @@
 """Round-2 probe: where do the ~28ms of non-matmul time in exact MIPS go?
 
-Each probe is run in its own process (the driver shell gives each a timeout,
-since some program shapes have wedged the remote compiler before). Every timed
-loop fetches and VALIDATES its outputs — unvalidated timings on this relay can
-be silently wrong (see CLAUDE.md).
+Runs ALL probes in ONE process (the host->device corpus transfer costs ~20min
+through the tunnel, so it must be paid once), each under a SIGALRM guard
+(some program shapes have wedged the remote compiler before). Every timed
+loop fetches and VALIDATES its outputs — unvalidated timings on this relay
+can be silently wrong (see CLAUDE.md).
 
-Usage: python benchmarks/probe_r2.py --probe NAME [--iters N]
-Prints one JSON line on success.
+Usage: python benchmarks/probe_r2.py [--probes NAME ...] [--iters N]
+Appends one JSON line per probe to benchmarks/probe_r2_results.jsonl.
 """
 
 from __future__ import annotations
@@ -14,6 +15,7 @@ from __future__ import annotations
 import argparse
 import functools
 import json
+import signal
 import sys
 import time
 
@@ -24,28 +26,40 @@ D = 1024
 Q = 256
 K = 100
 LANES = 128
+FIN_MIN = float(np.finfo(np.float32).min)
+
+_CACHE = {}
 
 
-def _data(q_rows=Q, seed=0):
+def _data(q_rows=Q):
     import jax
     import ml_dtypes
 
-    rng = np.random.default_rng(seed)
-    corpus = rng.standard_normal((N, D), dtype=np.float32)
-    corpus /= np.linalg.norm(corpus, axis=-1, keepdims=True)
-    query_rows = rng.integers(0, N, size=q_rows)
-    queries = corpus[query_rows].copy()
-    c = jax.device_put(corpus.astype(ml_dtypes.bfloat16))
-    qs = jax.device_put(queries.astype(ml_dtypes.bfloat16))
-    c.block_until_ready()
-    return qs, c, query_rows
+    if "corpus" not in _CACHE:
+        rng = np.random.default_rng(0)
+        corpus = rng.standard_normal((N, D), dtype=np.float32)
+        corpus /= np.linalg.norm(corpus, axis=-1, keepdims=True)
+        c = jax.device_put(corpus.astype(ml_dtypes.bfloat16))
+        c.block_until_ready()
+        _CACHE["corpus"] = c
+        _CACHE["corpus_host"] = corpus
+        _CACHE["rng"] = rng
+    if ("queries", q_rows) not in _CACHE:
+        rng = np.random.default_rng(1)
+        rows = rng.integers(0, N, size=q_rows)
+        qs = jax.device_put(
+            _CACHE["corpus_host"][rows].astype(ml_dtypes.bfloat16))
+        qs.block_until_ready()
+        _CACHE[("queries", q_rows)] = (qs, rows)
+    qs, rows = _CACHE[("queries", q_rows)]
+    return qs, _CACHE["corpus"], rows
 
 
 def _time(fn, validate, iters):
     """Compile once, then time `iters` calls, fetching + validating each."""
-    out = fn()
     import jax
 
+    out = fn()
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     outs = [fn() for _ in range(iters)]
@@ -94,14 +108,16 @@ def _onehot_chunk_topk(scores, chunk_base, k):
     return vals, jnp.take_along_axis(cand_rows, pos, axis=-1)
 
 
-def _exact_onehot(queries, corpus, k, chunk_size):
+def _exact_onehot(queries, corpus, k, chunk_size, n_valid):
     import jax
     import jax.numpy as jnp
 
-    FIN_MIN = float(np.finfo(np.float32).min)
     q = queries.shape[0]
     n, d = corpus.shape
-    num_chunks = n // chunk_size
+    num_chunks = -(-n // chunk_size)
+    n_pad = num_chunks * chunk_size
+    if n_pad != n:
+        corpus = jnp.pad(corpus, ((0, n_pad - n), (0, 0)))
     chunks = corpus.reshape(num_chunks, chunk_size, d)
 
     init_vals = jnp.full((q, k), FIN_MIN, dtype=jnp.float32)
@@ -113,6 +129,10 @@ def _exact_onehot(queries, corpus, k, chunk_size):
         scores = jax.lax.dot_general(
             queries, chunk, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
+        col = chunk_i * chunk_size + jax.lax.broadcasted_iota(
+            jnp.int32, (q, chunk_size), 1)
+        # finite mask (not -inf): the one-hot matmul multiplies by 0
+        scores = jnp.where(col < n_valid, scores, FIN_MIN)
         new_vals, new_idx = _onehot_chunk_topk(scores, chunk_i * chunk_size, k)
         vals = jnp.concatenate([run_vals, new_vals], axis=-1)
         idx = jnp.concatenate([run_idx, new_idx], axis=-1)
@@ -129,7 +149,7 @@ def _probe_exact_onehot(iters, chunk, q_rows=Q):
     import jax
 
     qs, c, rows = _data(q_rows=q_rows)
-    fn = jax.jit(functools.partial(_exact_onehot, k=K, chunk_size=chunk))
+    fn = jax.jit(functools.partial(_exact_onehot, k=K, chunk_size=chunk, n_valid=N))
 
     def val(o):
         assert float(np.mean(o[1][:, 0] == rows)) > 0.99
@@ -146,10 +166,6 @@ def probe_exact_onehot_524k(iters):
     return _probe_exact_onehot(iters, 524288)
 
 
-def probe_exact_onehot_1m(iters):
-    return _probe_exact_onehot(iters, N)
-
-
 def probe_exact_onehot_262k_q1024(iters):
     return _probe_exact_onehot(iters, 262144, q_rows=1024)
 
@@ -161,7 +177,7 @@ def probe_matmul_only(iters):
     import jax.numpy as jnp
 
     qs, c, rows = _data()
-    chunk = 262144
+    chunk = 250000
     chunks = c.reshape(N // chunk, chunk, D)
 
     @jax.jit
@@ -264,6 +280,51 @@ def probe_onehot_gather(iters):
                   n_inner=4)
 
 
+def _probe_exact_onepass(iters, q_rows=Q):
+    from kirag_tpu.ops.mips import topk_mips_onepass
+
+    qs, c, rows = _data(q_rows=q_rows)
+    fn = lambda: topk_mips_onepass(qs, c, K)
+
+    def val(o):
+        assert float(np.mean(o[1][:, 0] == rows)) > 0.99
+
+    dt = _time(fn, val, iters)
+    return {"ms": dt * 1e3, "qps": q_rows / dt}
+
+
+def probe_exact_onepass_1m(iters):
+    return _probe_exact_onepass(iters)
+
+
+def probe_exact_onepass_1m_q1024(iters):
+    return _probe_exact_onepass(iters, q_rows=1024)
+
+
+def probe_exact_onepass_1m_q64(iters):
+    return _probe_exact_onepass(iters, q_rows=64)
+
+
+def probe_tiny_dispatch(iters):
+    """Round-trip latency of a tiny device program through the tunnel — the
+    cost floor for moving the aligner's candidate rescoring (item 6 of the
+    round-1 verdict) onto the device per turn."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    q = jax.device_put(rng.standard_normal((2, 1024), dtype=np.float32))
+    d = jax.device_put(rng.standard_normal((1024, 1024), dtype=np.float32))
+
+    @jax.jit
+    def rank(q, d):
+        scores = q @ d.T
+        return jax.lax.top_k(scores, 20)
+
+    dt = _time(lambda: rank(q, d), lambda o: np.isfinite(o[0]).all(), iters * 4)
+    return {"ms_per_op": dt * 1e3}
+
+
 # ---------------------------------------------------------------- pallas
 
 def _probe_pallas_gmax(iters, chunk):
@@ -294,22 +355,50 @@ def probe_pallas_gmax_32768(iters):
 PROBES = {name[len("probe_"):]: fn for name, fn in list(globals().items())
           if name.startswith("probe_")}
 
+DEFAULT_ORDER = [
+    "baseline_exact", "exact_onehot_262k", "matmul_only",
+    "topk_12800", "topk_8192", "topk_2048",
+    "gather_groups", "onehot_gather",
+    "exact_onehot_524k", "pallas_gmax_8192", "pallas_gmax_32768",
+    "exact_onehot_262k_q1024",
+]
+
+
+class _Timeout(Exception):
+    pass
+
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--probe", required=True, choices=sorted(PROBES))
+    p.add_argument("--probes", nargs="*", default=DEFAULT_ORDER)
     p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--timeout", type=int, default=1500)
+    p.add_argument("--out", default="benchmarks/probe_r2_results.jsonl")
     args = p.parse_args()
-    t0 = time.perf_counter()
-    try:
-        res = PROBES[args.probe](args.iters)
-        res.update(probe=args.probe, ok=True,
-                   wall_s=round(time.perf_counter() - t0, 1))
-    except Exception as e:  # noqa: BLE001 — must report, driver has a timeout
-        res = {"probe": args.probe, "ok": False, "error": f"{type(e).__name__}: {e}",
-               "wall_s": round(time.perf_counter() - t0, 1)}
-    print(json.dumps(res))
-    sys.stdout.flush()
+
+    def on_alarm(signum, frame):
+        raise _Timeout()
+
+    signal.signal(signal.SIGALRM, on_alarm)
+
+    for name in args.probes:
+        t0 = time.perf_counter()
+        signal.alarm(args.timeout)
+        try:
+            res = PROBES[name](args.iters)
+            res.update(probe=name, ok=True)
+        except _Timeout:
+            res = {"probe": name, "ok": False, "error": "timeout"}
+        except Exception as e:  # noqa: BLE001 — keep the suite going
+            res = {"probe": name, "ok": False,
+                   "error": f"{type(e).__name__}: {e}"}
+        finally:
+            signal.alarm(0)
+        res["wall_s"] = round(time.perf_counter() - t0, 1)
+        with open(args.out, "a") as f:
+            f.write(json.dumps(res) + "\n")
+        print(json.dumps(res))
+        sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -11,6 +11,7 @@ from kirag_tpu.ops import (
     sharded_topk_mips,
     topk_mips,
 )
+from kirag_tpu.ops.mips import sharded_topk_mips_onepass, topk_mips_onepass
 
 
 def numpy_topk(scores: np.ndarray, k: int):
@@ -94,6 +95,74 @@ class TestTopkMips:
         c = np.ones((10, 4), dtype=np.float32)  # all scores identical
         _, idx = topk_mips(jnp.asarray(q), jnp.asarray(c), 3, chunk_size=4)
         np.testing.assert_array_equal(np.asarray(idx)[0], [0, 1, 2])
+
+
+class TestTopkMipsOnepass:
+    """Scan-free exact path (round-2 redesign) against the same oracles."""
+
+    @pytest.mark.parametrize("n,k", [(100, 5), (1000, 17), (257, 10),
+                                     (4096, 10), (5000, 25)])
+    def test_matches_oracle(self, rng, n, k):
+        q = rng.randn(7, 32).astype(np.float32)
+        c = rng.randn(n, 32).astype(np.float32)
+        vals, idx = topk_mips_onepass(jnp.asarray(q), jnp.asarray(c), k)
+        oracle_vals, oracle_idx = numpy_topk(q @ c.T, k)
+        np.testing.assert_allclose(np.asarray(vals), oracle_vals, rtol=1e-4, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(idx), oracle_idx)
+
+    def test_valid_rows_masks_padding(self, rng):
+        q = rng.randn(3, 16).astype(np.float32)
+        c = rng.randn(4096, 16).astype(np.float32)
+        c[4000:] = 100.0
+        vals, idx = topk_mips_onepass(jnp.asarray(q), jnp.asarray(c), 5,
+                                      valid_rows=4000)
+        assert np.asarray(idx).max() < 4000
+        _, oracle_idx = numpy_topk(q @ c[:4000].T, 5)
+        np.testing.assert_array_equal(np.asarray(idx), oracle_idx)
+
+    def test_k_larger_than_n(self, rng):
+        q = rng.randn(2, 8).astype(np.float32)
+        c = rng.randn(3, 8).astype(np.float32)
+        vals, idx = topk_mips_onepass(jnp.asarray(q), jnp.asarray(c), 5)
+        assert vals.shape == (2, 5) and idx.shape == (2, 5)
+        assert bool(jnp.all(vals[:, 3:] == -jnp.inf))
+
+    def test_ties_prefer_lower_index(self):
+        q = np.ones((1, 8), dtype=np.float32)
+        c = np.ones((2048, 8), dtype=np.float32)  # all scores tie, grouped path
+        _, idx = topk_mips_onepass(jnp.asarray(q), jnp.asarray(c), 5)
+        np.testing.assert_array_equal(np.asarray(idx)[0], [0, 1, 2, 3, 4])
+
+    def test_negative_scores_not_poisoned_by_mask(self, rng):
+        # all-negative scores: the finite mask value must stay below them and
+        # the one-hot matmul must not produce NaNs
+        q = -np.abs(rng.randn(2, 16)).astype(np.float32)
+        c = np.abs(rng.randn(300, 16)).astype(np.float32)
+        vals, idx = topk_mips_onepass(jnp.asarray(q), jnp.asarray(c), 4,
+                                      valid_rows=290)
+        assert np.isfinite(np.asarray(vals)).all()
+        _, oracle_idx = numpy_topk(q @ c[:290].T, 4)
+        np.testing.assert_array_equal(np.asarray(idx), oracle_idx)
+
+    def test_sharded_matches_oracle(self, rng, mesh8):
+        n, d, k = 2048, 32, 13
+        q = rng.randn(5, d).astype(np.float32)
+        c = rng.randn(n, d).astype(np.float32)
+        vals, idx = sharded_topk_mips_onepass(jnp.asarray(q), jnp.asarray(c), k, mesh8)
+        oracle_vals, oracle_idx = numpy_topk(q @ c.T, k)
+        np.testing.assert_allclose(np.asarray(vals), oracle_vals, rtol=1e-4, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(idx), oracle_idx)
+
+    def test_sharded_valid_rows(self, rng, mesh8):
+        n, d, k = 2048, 16, 7
+        q = rng.randn(3, d).astype(np.float32)
+        c = rng.randn(n, d).astype(np.float32)
+        c[1900:] = 50.0
+        vals, idx = sharded_topk_mips_onepass(jnp.asarray(q), jnp.asarray(c), k,
+                                              mesh8, valid_rows=1900)
+        assert np.asarray(idx).max() < 1900
+        _, oracle_idx = numpy_topk(q @ c[:1900].T, k)
+        np.testing.assert_array_equal(np.asarray(idx), oracle_idx)
 
 
 class TestShardedTopkMips:
