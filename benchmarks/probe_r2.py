@@ -260,6 +260,52 @@ def probe_gather_groups(iters):
                   n_inner=4)
 
 
+def probe_gmax_only(iters):
+    """Isolate the [Q, G, 128] reshape + lane max-reduce."""
+    import jax.numpy as jnp
+
+    def op(x):
+        return x.reshape(Q, 2048, LANES).max(-1).sum()
+
+    return _micro(op, (Q, 2048 * LANES), lambda o: np.isfinite(o).all(), iters,
+                  n_inner=4)
+
+
+def probe_gather_only_fixed(iters):
+    """Isolate take_along_axis with a FIXED index set (no gmax/topk)."""
+    import jax.numpy as jnp
+
+    idx = (np.arange(K, dtype=np.int32) * 17 % 2048)[None, :, None].repeat(Q, 0)
+
+    def op(x):
+        s3 = x.reshape(Q, 2048, LANES)
+        return jnp.take_along_axis(s3, jnp.asarray(idx), axis=1).sum()
+
+    return _micro(op, (Q, 2048 * LANES), lambda o: np.isfinite(o).all(), iters,
+                  n_inner=4)
+
+
+def probe_onehot_only_fixed(iters):
+    """Isolate the one-hot einsum gather with a FIXED index set."""
+    import jax
+    import jax.numpy as jnp
+
+    idx = (np.arange(K, dtype=np.int32) * 17 % 2048)[None, :].repeat(Q, 0)
+    onehot_np = (idx[:, :, None] == np.arange(2048, dtype=np.int32)[None, None, :]
+                 ).astype(np.float32)
+
+    def op(x):
+        s3 = x.reshape(Q, 2048, LANES)
+        cand = jax.lax.dot_general(
+            jnp.asarray(onehot_np), s3,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        return cand.sum()
+
+    return _micro(op, (Q, 2048 * LANES), lambda o: np.isfinite(o).all(), iters,
+                  n_inner=4)
+
+
 def probe_onehot_gather(iters):
     """Same selection via one-hot MXU matmul."""
     import jax

@@ -7,9 +7,14 @@ The product of this framework — a re-design of the reference `KiRAG`
 1. dense-retrieve passages for the question (+ the latest chain triple),
 2. decompose the accumulated documents into knowledge triples (LLM, cached),
 3. rescore candidate triples with the trained Aligner bi-encoder against the
-   query "{question}\\nknowledge triples: {chain}." — here a single fused
-   device program (`DenseRetriever.encode_score_rank`) instead of the
-   reference's encode->host->matmul->host topk (`models.py:1514-1542`),
+   query "{question}\\nknowledge triples: {chain}." (`models.py:1514-1542`) —
+   embeddings are computed on device (shape-bucketed) and CACHED across turns
+   and questions, then the few-hundred-candidate ranking runs on host: with
+   the cache, most turns re-embed nothing, and a host argsort at this size is
+   cheaper than another device dispatch (measured: one tiny device program
+   round-trip costs ~ms through the tunnel, see benchmarks/probe_r2). The
+   fused single-program alternative exists as
+   `DenseRetriever.encode_score_rank` for one-shot rescoring workloads,
 4. extend each reasoning chain with the LLM constructor under a forced
    "Thought: <chain so far>" prefix (`models.py:1595-1629`),
 5. reinforce triples matching the generated step by token-F1 (+0.5,
