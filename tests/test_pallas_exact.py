@@ -1,0 +1,215 @@
+"""Fused exact Pallas MIPS kernels vs the numpy oracle (interpret mode)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kirag_tpu.ops.pallas_exact import (
+    exact_topk_mips,
+    sharded_exact_topk_mips,
+    topk_lastdim,
+)
+
+def numpy_topk(scores: np.ndarray, k: int):
+    """Oracle: exact top-k sorted by (-score, index) — flat-scan tie-breaking."""
+    order = np.lexsort(
+        (np.arange(scores.shape[-1])[None, :].repeat(len(scores), 0), -scores),
+        axis=-1)
+    idx = order[:, :k]
+    vals = np.take_along_axis(scores, idx, axis=-1)
+    return vals, idx
+
+
+class TestTopkLastdim:
+    @pytest.mark.parametrize("q,w,k", [(3, 256, 5), (8, 512, 17), (5, 384, 1)])
+    def test_kernel_matches_oracle(self, rng, q, w, k):
+        x = rng.randn(q, w).astype(np.float32)
+        vals, idx = topk_lastdim(jnp.asarray(x), k, interpret=True,
+                                 use_kernel=True)
+        ovals, oidx = numpy_topk(x, k)
+        np.testing.assert_allclose(np.asarray(vals), ovals, rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(idx), oidx)
+
+    def test_kernel_ties_prefer_lower_index(self):
+        x = np.zeros((2, 256), dtype=np.float32)
+        x[0, [7, 3, 200]] = 1.0  # three-way tie
+        x[1, :] = 2.0            # full-row tie
+        vals, idx = topk_lastdim(jnp.asarray(x), 3, interpret=True,
+                                 use_kernel=True)
+        np.testing.assert_array_equal(np.asarray(idx)[0], [3, 7, 200])
+        np.testing.assert_array_equal(np.asarray(idx)[1], [0, 1, 2])
+
+    def test_kernel_ragged_width_and_rows(self, rng):
+        # width not a lane multiple and rows not a sublane multiple: padding
+        # must never leak -inf into real slots
+        x = rng.randn(5, 300).astype(np.float32)
+        vals, idx = topk_lastdim(jnp.asarray(x), 7, interpret=True,
+                                 use_kernel=True)
+        ovals, oidx = numpy_topk(x, 7)
+        np.testing.assert_allclose(np.asarray(vals), ovals, rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(idx), oidx)
+
+    def test_fallback_matches_oracle(self, rng):
+        x = rng.randn(4, 100).astype(np.float32)
+        vals, idx = topk_lastdim(jnp.asarray(x), 5)
+        ovals, oidx = numpy_topk(x, 5)
+        np.testing.assert_allclose(np.asarray(vals), ovals, rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(idx), oidx)
+
+
+class TestExactTopkMips:
+    @pytest.mark.parametrize("n,k,chunk", [(1024, 5, 256), (4096, 25, 1024),
+                                           (2500, 10, 512)])
+    def test_matches_oracle(self, rng, n, k, chunk):
+        q = rng.randn(7, 32).astype(np.float32)
+        c = rng.randn(n, 32).astype(np.float32)
+        vals, idx = exact_topk_mips(jnp.asarray(q), jnp.asarray(c), k,
+                                    chunk_size=chunk, interpret=True)
+        ovals, oidx = numpy_topk(q @ c.T, k)
+        np.testing.assert_allclose(np.asarray(vals), ovals, rtol=1e-4,
+                                   atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(idx), oidx)
+
+    def test_tiny_corpus_fallback(self, rng):
+        q = rng.randn(3, 16).astype(np.float32)
+        c = rng.randn(100, 16).astype(np.float32)
+        vals, idx = exact_topk_mips(jnp.asarray(q), jnp.asarray(c), 5,
+                                    interpret=True)
+        ovals, oidx = numpy_topk(q @ c.T, 5)
+        np.testing.assert_allclose(np.asarray(vals), ovals, rtol=1e-4,
+                                   atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(idx), oidx)
+
+    def test_k_larger_than_n(self, rng):
+        q = rng.randn(2, 8).astype(np.float32)
+        c = rng.randn(3, 8).astype(np.float32)
+        vals, idx = exact_topk_mips(jnp.asarray(q), jnp.asarray(c), 5,
+                                    interpret=True)
+        assert vals.shape == (2, 5) and idx.shape == (2, 5)
+        assert bool(jnp.all(vals[:, 3:] == -jnp.inf))
+
+    def test_valid_rows_masks_poisoned_tail(self, rng):
+        q = rng.randn(3, 16).astype(np.float32)
+        c = rng.randn(2048, 16).astype(np.float32)
+        c[1900:] = 100.0  # would displace real groups if unmasked in pass A
+        vals, idx = exact_topk_mips(jnp.asarray(q), jnp.asarray(c), 7,
+                                    chunk_size=512, valid_rows=1900,
+                                    interpret=True)
+        assert np.asarray(idx).max() < 1900
+        _, oidx = numpy_topk(q @ c[:1900].T, 7)
+        np.testing.assert_array_equal(np.asarray(idx), oidx)
+
+    def test_all_scores_tie(self):
+        q = np.ones((1, 8), dtype=np.float32)
+        c = np.ones((2048, 8), dtype=np.float32)
+        _, idx = exact_topk_mips(jnp.asarray(q), jnp.asarray(c), 5,
+                                 chunk_size=512, interpret=True)
+        np.testing.assert_array_equal(np.asarray(idx)[0], [0, 1, 2, 3, 4])
+
+    def test_cross_group_tie_prefers_lower_row(self):
+        # row 130 (group 1) scores highest; rows 3 (group 0) and 200 (group 1)
+        # tie below it. Group 1 has the larger group-max, so an UNSORTED
+        # group gather would list row 200 before row 3.
+        d = 8
+        v = np.zeros(d, dtype=np.float32)
+        v[0] = 1.0
+        c = np.zeros((2048, d), dtype=np.float32)
+        c[3] = v
+        c[200] = v
+        c[130] = 2 * v
+        q = v[None, :]
+        vals, idx = exact_topk_mips(jnp.asarray(q), jnp.asarray(c), 3,
+                                    chunk_size=512, interpret=True)
+        np.testing.assert_array_equal(np.asarray(idx)[0], [130, 3, 200])
+        np.testing.assert_allclose(np.asarray(vals)[0], [2.0, 1.0, 1.0])
+
+    def test_int8_scales_match_dequantized_oracle(self, rng):
+        from kirag_tpu.ops.quantized import quantize_rows_int8
+
+        c = rng.randn(1024, 32).astype(np.float32)
+        c /= np.linalg.norm(c, axis=-1, keepdims=True)
+        q = c[:4]
+        ci8, scales = quantize_rows_int8(c)
+        vals, idx = exact_topk_mips(
+            jnp.asarray(q, dtype=jnp.bfloat16), jnp.asarray(ci8), 5,
+            chunk_size=256, interpret=True, scales=jnp.asarray(scales))
+        # self-retrieval survives int8 quantization
+        np.testing.assert_array_equal(np.asarray(idx)[:, 0], np.arange(4))
+        assert np.isfinite(np.asarray(vals)).all()
+
+    def test_negative_scores_not_poisoned_by_mask(self, rng):
+        q = -np.abs(rng.randn(2, 16)).astype(np.float32)
+        c = np.abs(rng.randn(600, 16)).astype(np.float32)
+        vals, idx = exact_topk_mips(jnp.asarray(q), jnp.asarray(c), 4,
+                                    chunk_size=256, valid_rows=590,
+                                    interpret=True)
+        assert np.isfinite(np.asarray(vals)).all()
+        _, oidx = numpy_topk(q @ c[:590].T, 4)
+        np.testing.assert_array_equal(np.asarray(idx), oidx)
+
+
+class TestShardedExact:
+    def test_matches_oracle(self, rng, mesh8):
+        n, d, k = 4096, 32, 13
+        q = rng.randn(5, d).astype(np.float32)
+        c = rng.randn(n, d).astype(np.float32)
+        vals, idx = sharded_exact_topk_mips(jnp.asarray(q), jnp.asarray(c), k,
+                                            mesh8, chunk_size=256,
+                                            interpret=True)
+        ovals, oidx = numpy_topk(q @ c.T, k)
+        np.testing.assert_allclose(np.asarray(vals), ovals, rtol=1e-4,
+                                   atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(idx), oidx)
+
+    def test_valid_rows_in_last_shard(self, rng, mesh8):
+        n, d, k = 2048, 16, 7
+        q = rng.randn(3, d).astype(np.float32)
+        c = rng.randn(n, d).astype(np.float32)
+        c[1900:] = 50.0
+        vals, idx = sharded_exact_topk_mips(jnp.asarray(q), jnp.asarray(c), k,
+                                            mesh8, chunk_size=256,
+                                            valid_rows=1900, interpret=True)
+        assert np.asarray(idx).max() < 1900
+        _, oidx = numpy_topk(q @ c[:1900].T, k)
+        np.testing.assert_array_equal(np.asarray(idx), oidx)
+
+    def test_sharded_int8(self, rng, mesh8):
+        from kirag_tpu.ops.quantized import quantize_rows_int8
+
+        c = rng.randn(2048, 16).astype(np.float32)
+        c /= np.linalg.norm(c, axis=-1, keepdims=True)
+        q = c[:4]
+        ci8, scales = quantize_rows_int8(c)
+        vals, idx = sharded_exact_topk_mips(
+            jnp.asarray(q, dtype=jnp.bfloat16), jnp.asarray(ci8), 5, mesh8,
+            chunk_size=256, interpret=True, scales=jnp.asarray(scales))
+        np.testing.assert_array_equal(np.asarray(idx)[:, 0], np.arange(4))
+
+
+class TestCrossGroupTieRegression:
+    """The same adversarial tie against the XLA exact paths (regression for
+    the unsorted-group-gather tie-break bug)."""
+
+    def _fixture(self):
+        d = 8
+        v = np.zeros(d, dtype=np.float32)
+        v[0] = 1.0
+        c = np.zeros((2048, d), dtype=np.float32)
+        c[3] = v
+        c[200] = v
+        c[130] = 2 * v
+        return v[None, :], c
+
+    def test_scan_path(self):
+        from kirag_tpu.ops.mips import topk_mips
+
+        q, c = self._fixture()
+        _, idx = topk_mips(jnp.asarray(q), jnp.asarray(c), 3, chunk_size=2048)
+        np.testing.assert_array_equal(np.asarray(idx)[0], [130, 3, 200])
+
+    def test_onepass_path(self):
+        from kirag_tpu.ops.mips import topk_mips_onepass
+
+        q, c = self._fixture()
+        _, idx = topk_mips_onepass(jnp.asarray(q), jnp.asarray(c), 3)
+        np.testing.assert_array_equal(np.asarray(idx)[0], [130, 3, 200])
