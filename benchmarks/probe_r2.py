@@ -56,17 +56,22 @@ def _data(q_rows=Q):
 
 
 def _time(fn, validate, iters):
-    """Compile once, then time `iters` calls, fetching + validating each."""
+    """Compile once, then time `iters` calls (device completion via
+    block_until_ready), then fetch + validate EVERY timed output.
+
+    The fetch happens OUTSIDE the timed window: through the tunnel a fetch
+    costs ~100ms+ of pure link latency (see tiny_dispatch), which is relay
+    overhead, not device time. Validation still covers each timed output."""
     import jax
 
     out = fn()
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     outs = [fn() for _ in range(iters)]
-    fetched = [jax.tree.map(np.asarray, o) for o in outs]
+    jax.block_until_ready(outs)
     dt = (time.perf_counter() - t0) / iters
-    for f in fetched:
-        validate(f)
+    for o in outs:
+        validate(jax.tree.map(np.asarray, o))
     return dt
 
 
@@ -372,6 +377,70 @@ def probe_tiny_dispatch(iters):
 
 
 # ---------------------------------------------------------------- pallas
+
+def _probe_exact_pallas(iters, chunk, q_rows=Q):
+    from kirag_tpu.ops.pallas_exact import exact_topk_mips
+
+    qs, c, rows = _data(q_rows=q_rows)
+    fn = lambda: exact_topk_mips(qs, c, K, chunk_size=chunk, interpret=False)
+
+    def val(o):
+        assert float(np.mean(o[1][:, 0] == rows)) > 0.99
+
+    dt = _time(fn, val, iters)
+    return {"ms": dt * 1e3, "qps": q_rows / dt}
+
+
+def probe_exact_pallas_c4096(iters):
+    return _probe_exact_pallas(iters, 4096)
+
+
+def probe_exact_pallas_c8192(iters):
+    return _probe_exact_pallas(iters, 8192)
+
+
+def probe_exact_pallas_c16384(iters):
+    return _probe_exact_pallas(iters, 16384)
+
+
+def probe_exact_pallas_c32768(iters):
+    return _probe_exact_pallas(iters, 32768)
+
+
+def probe_exact_pallas_c8192_q1024(iters):
+    return _probe_exact_pallas(iters, 8192, q_rows=1024)
+
+
+def _probe_topk_lastdim(iters, w, use_kernel):
+    """Pallas iterative top-k vs lax.top_k at the exact-path widths."""
+    import jax
+
+    from kirag_tpu.ops.pallas_exact import topk_lastdim
+
+    rng = np.random.default_rng(3)
+    x = jax.device_put(rng.standard_normal((Q, w), dtype=np.float32))
+    x.block_until_ready()
+    ref = np.argsort(-np.asarray(x), axis=-1, kind="stable")[:, :K]
+    fn = lambda: topk_lastdim(x, K, interpret=False, use_kernel=use_kernel)
+
+    def val(o):
+        assert np.array_equal(o[1], ref)
+
+    dt = _time(fn, val, iters)
+    return {"ms_per_op": dt * 1e3}
+
+
+def probe_topk_pallas_7936(iters):
+    return _probe_topk_lastdim(iters, 7936, True)
+
+
+def probe_topk_pallas_12800(iters):
+    return _probe_topk_lastdim(iters, 12800, True)
+
+
+def probe_topk_lax_12800(iters):
+    return _probe_topk_lastdim(iters, 12800, False)
+
 
 def _probe_pallas_gmax(iters, chunk):
     from kirag_tpu.ops.pallas_mips import approx_topk_mips

@@ -162,8 +162,40 @@ def _rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float,
     return (out * w).astype(x.dtype)
 
 
+INT4_BLOCK = 64  # input rows per int4 quantization block (NF4 uses 64 too)
+
+
+def _unpack_int4(packed: jnp.ndarray, dtype) -> jnp.ndarray:
+    """[in/2, out] uint8 (two signed nibbles per byte, low = even row) ->
+    [in, out] values in ``dtype``. Sign recovery via arithmetic shifts."""
+    p = packed.astype(jnp.int8)
+    lo = jnp.left_shift(p, 4) >> 4      # low nibble, sign-extended
+    hi = p >> 4                          # high nibble (arithmetic shift)
+    half, out = p.shape
+    q = jnp.stack([lo, hi], axis=1).reshape(2 * half, out)
+    return q.astype(dtype)
+
+
 def _dense(x, p):
-    if "kernel_q" in p:
+    if "kernel_q4" in p:
+        # weight-only int4: two signed nibbles per byte with per-
+        # (64-input-row block, output channel) scales — the TPU-native
+        # analogue of the reference's NF4 4-bit loading
+        # (`utils/pipeline_utils.py:6-24`): same 4x memory saving and block
+        # size; a linear grid instead of the NF4 codebook (a 16-way gather
+        # per element would stall the VPU; blockwise scaling recovers most
+        # of the quality). Unpack + dequant fuse into the matmul read.
+        q = _unpack_int4(p["kernel_q4"], x.dtype)
+        in_pad, out_dim = q.shape
+        nb = in_pad // INT4_BLOCK
+        scale = p["kernel_scale4"].astype(x.dtype)
+        kernel = (q.reshape(nb, INT4_BLOCK, out_dim) * scale[:, None, :]
+                  ).reshape(in_pad, out_dim)
+        if x.shape[-1] != in_pad:  # kernel rows were padded to the block grid
+            pad = [(0, 0)] * (x.ndim - 1) + [(0, in_pad - x.shape[-1])]
+            x = jnp.pad(x, pad)  # zero activations x zero pad rows == exact
+        out = jnp.dot(x, kernel, preferred_element_type=x.dtype)
+    elif "kernel_q" in p:
         # weight-only int8: kernel stored as int8 with per-output-channel
         # scales; dequant fuses into the matmul read (half the HBM bytes of
         # bf16 — decode is weight-bandwidth-bound, so ~2x decode throughput)
@@ -186,18 +218,44 @@ def _quantize_kernel_int8(kernel: np.ndarray) -> Dict[str, jnp.ndarray]:
     return {"kernel_q": jnp.asarray(q), "kernel_scale": jnp.asarray(scale)}
 
 
-def quantize_llama_params(params: Params) -> Params:
-    """Weight-only int8 quantization of every projection kernel.
+def _quantize_kernel_int4(kernel: np.ndarray,
+                          block: int = INT4_BLOCK) -> Dict[str, jnp.ndarray]:
+    """Blockwise symmetric int4 of a [in, out] kernel: one f32 scale per
+    (64-input-row block, output channel), two nibbles packed per byte along
+    the input dim. 4x the memory saving of bf16 (vs int8's 2x) — the match
+    for the reference's NF4 block-64 scheme minus the nonlinear codebook."""
+    k = np.asarray(kernel, dtype=np.float32)
+    in_dim, out_dim = k.shape
+    in_pad = -(-in_dim // block) * block
+    if in_pad != in_dim:
+        k = np.concatenate([k, np.zeros((in_pad - in_dim, out_dim), np.float32)])
+    nb = in_pad // block
+    blocks = k.reshape(nb, block, out_dim)
+    absmax = np.abs(blocks).max(axis=1)                        # [nb, out]
+    scale = np.where(absmax == 0, 1.0, absmax / 7.0).astype(np.float32)
+    q = np.clip(np.rint(blocks / scale[:, None, :]), -7, 7).astype(np.int8)
+    q = q.reshape(in_pad, out_dim)
+    packed = ((q[0::2] & 0x0F) | (q[1::2] << 4)).astype(np.uint8)
+    return {"kernel_q4": jnp.asarray(packed),
+            "kernel_scale4": jnp.asarray(scale)}
+
+
+def quantize_llama_params(params: Params, bits: int = 8) -> Params:
+    """Weight-only quantization of every projection kernel.
 
     The TPU analogue of the reference's 4-bit NF4 loading
-    (`utils/pipeline_utils.py:6-24`): per-output-channel symmetric int8 for
-    q/k/v/o/gate/up/down (+ lm_head); embeddings and norms stay as-is.
+    (`utils/pipeline_utils.py:6-24`): q/k/v/o/gate/up/down (+ lm_head)
+    kernels become int8 (per-output-channel scales) or int4 (block-64
+    scales, two nibbles per byte); embeddings and norms stay as-is.
     """
+    if bits not in (4, 8):
+        raise ValueError(f"bits must be 4 or 8, got {bits}")
+    quantize = _quantize_kernel_int4 if bits == 4 else _quantize_kernel_int8
 
     def quant_lin(p):
         if "kernel" not in p:
             return p
-        out = _quantize_kernel_int8(p["kernel"])
+        out = quantize(np.asarray(p["kernel"]))
         if "bias" in p:
             out["bias"] = p["bias"]
         return out
@@ -580,15 +638,21 @@ class JaxLlamaBackend:
 # -----------------------------------------------------------------------------
 
 def convert_hf_llama_state_dict(state_dict: Dict[str, np.ndarray], config: LlamaConfig,
-                                int8_weights: bool = False) -> Params:
-    """Map an HF llama state_dict to our pytree. With ``int8_weights``,
-    projection kernels are quantized ON HOST before device placement — full
-    precision weights never touch HBM (an 8B model fits one v5e chip)."""
+                                int8_weights: bool = False,
+                                quant_bits: Optional[int] = None) -> Params:
+    """Map an HF llama state_dict to our pytree. With ``int8_weights`` (or
+    ``quant_bits`` in {4, 8}), projection kernels are quantized ON HOST before
+    device placement — full precision weights never touch HBM (an 8B model
+    fits one v5e chip at int8, ~4.5GB at int4)."""
+    if int8_weights and quant_bits is None:
+        quant_bits = 8
     sd = {k.removeprefix("model."): np.asarray(v) for k, v in state_dict.items()}
 
     def lin(prefix):
         kernel = sd[f"{prefix}.weight"].T
-        if int8_weights:
+        if quant_bits == 4:
+            p = _quantize_kernel_int4(kernel)
+        elif quant_bits == 8:
             p = _quantize_kernel_int8(kernel)
         else:
             p = {"kernel": jnp.asarray(kernel)}
@@ -626,11 +690,14 @@ def convert_hf_llama_state_dict(state_dict: Dict[str, np.ndarray], config: Llama
 
 
 def load_llama(model_name_or_path: str, compute_dtype=jnp.bfloat16,
-               int8_weights: bool = False) -> Tuple[Params, LlamaConfig]:
+               int8_weights: bool = False,
+               quant_bits: Optional[int] = None) -> Tuple[Params, LlamaConfig]:
     """Load a Llama-architecture causal LM from a local HF checkpoint dir.
 
-    ``int8_weights`` quantizes projections on host during conversion, so an
-    8B model fits a single 16GB chip (full precision never reaches HBM).
+    ``int8_weights`` (== ``quant_bits=8``) quantizes projections on host
+    during conversion, so an 8B model fits a single 16GB chip (full precision
+    never reaches HBM); ``quant_bits=4`` packs block-64 int4 (the reference's
+    NF4 memory point, `utils/pipeline_utils.py:6-24`).
     """
     if not os.path.isdir(model_name_or_path):
         raise FileNotFoundError(
@@ -663,11 +730,19 @@ def load_llama(model_name_or_path: str, compute_dtype=jnp.bfloat16,
                                              weights_only=True).items()}
     else:
         raise FileNotFoundError(f"no safetensors/bin weights under {model_name_or_path}")
-    params = convert_hf_llama_state_dict(state_dict, config, int8_weights=int8_weights)
-    # cast 2-D float tensors (the big ones) to compute_dtype; int8 kernels stay
-    # int8 and small 1-D leaves (norms, biases, quant scales) stay f32
-    params = jax.tree.map(
-        lambda x: jnp.asarray(x, dtype=compute_dtype)
-        if jnp.issubdtype(x.dtype, jnp.floating) and x.ndim >= 2 else x,
-        params)
+    params = convert_hf_llama_state_dict(state_dict, config,
+                                         int8_weights=int8_weights,
+                                         quant_bits=quant_bits)
+    # cast 2-D float tensors (the big ones) to compute_dtype; int4/int8
+    # kernels stay packed and small 1-D leaves (norms, biases, quant scales)
+    # stay f32 — as do the 2-D blockwise int4 scales
+    def _cast(path, x):
+        key = getattr(path[-1], "key", None)
+        if key == "kernel_scale4":
+            return x
+        if jnp.issubdtype(x.dtype, jnp.floating) and x.ndim >= 2:
+            return jnp.asarray(x, dtype=compute_dtype)
+        return x
+
+    params = jax.tree_util.tree_map_with_path(_cast, params)
     return params, config

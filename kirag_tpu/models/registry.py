@@ -56,9 +56,12 @@ def resolve_model_path(name_or_path: str, model_dir: Optional[str] = None) -> st
 
 def load_llm(name_or_path: str, max_length: int = 4096, max_new_tokens: int = 128,
              batch_size: int = 4, compute_dtype=None, model_dir: Optional[str] = None,
-             int8_weights: bool = False) -> Tuple[object, object]:
+             int8_weights: bool = False,
+             quant_bits: Optional[int] = None) -> Tuple[object, object]:
     """Load (tokenizer, Generator) for a Llama-architecture chat model —
-    the counterpart of `load_llm_tokenizer_and_model`."""
+    the counterpart of `load_llm_tokenizer_and_model`. ``quant_bits=8``
+    (== ``int8_weights``) or ``quant_bits=4`` enable weight-only
+    quantization (the 4-bit point matches the reference's NF4 loading)."""
     import jax.numpy as jnp
     from transformers import AutoTokenizer
 
@@ -70,7 +73,7 @@ def load_llm(name_or_path: str, max_length: int = 4096, max_new_tokens: int = 12
     if tokenizer.pad_token is None or tokenizer.pad_token_id is None:
         tokenizer.pad_token = tokenizer.eos_token
     params, config = load_llama(path, compute_dtype=compute_dtype or jnp.bfloat16,
-                                int8_weights=int8_weights)
+                                int8_weights=int8_weights, quant_bits=quant_bits)
     backend = JaxLlamaBackend(params, config, eos_token_id=tokenizer.eos_token_id)
     generator = Generator(
         tokenizer, backend, model_name=MODEL_MAP.get(name_or_path, name_or_path),

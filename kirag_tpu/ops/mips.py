@@ -35,8 +35,11 @@ except AttributeError:  # pragma: no cover - older jax
 # jax backend before the caller can configure platforms
 NEG_INF = float("-inf")
 # finite mask value: the one-pass path routes masked scores through an MXU
-# matmul where 0 * -inf would poison candidates with NaN
-FIN_MIN = -3.4028235e38
+# matmul where 0 * -inf would poison candidates with NaN. Must be
+# bf16-REPRESENTABLE: the TPU MXU decomposes f32 operands into bf16 terms,
+# and f32max (3.4028e38) rounds to bf16 +-inf — which NaN-poisoned the 1M-row
+# padded path on real hardware (benchmarks/probe_r2b: exact_onepass_1m).
+FIN_MIN = -1e30
 LANES = 128
 
 
@@ -194,9 +197,14 @@ def _onepass_body(queries, corpus, k: int, n_valid):
     # candidate gather as a one-hot MXU matmul (NOT take_along_axis)
     onehot = (gsel[:, :, None] == jax.lax.broadcasted_iota(
         jnp.int32, (q, k_cap, groups), 2)).astype(jnp.float32)
+    # HIGHEST precision: the MXU's default f32 path truncates operands to
+    # bf16, which would round the gathered candidate VALUES (breaking parity
+    # with the f32 scores); the 3-term bf16 split reconstructs 0/1 * score
+    # products exactly
     cand = jax.lax.dot_general(
         onehot, s3, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32).reshape(q, k_cap * LANES)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST).reshape(q, k_cap * LANES)
     lane = jax.lax.broadcasted_iota(jnp.int32, (q, k_cap, LANES), 2)
     cand_rows = (gsel[:, :, None] * LANES + lane).reshape(q, k_cap * LANES)
     vals, pos = jax.lax.top_k(cand, k_cap)

@@ -52,9 +52,11 @@ except AttributeError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map  # type: ignore
 
 LANES = 128
-# finite mask value (not -inf): masked scores flow through MXU matmuls where
-# 0 * -inf would poison the candidates with NaN
-FIN_MIN = -3.4028235e38
+# finite mask value (not -inf, and bf16-REPRESENTABLE): masked scores flow
+# through MXU matmuls where 0 * -inf would poison the candidates with NaN,
+# and the MXU decomposes f32 operands into bf16 terms (f32max rounds to
+# bf16 inf — measured NaN poisoning at 1M rows, benchmarks/probe_r2b)
+FIN_MIN = -1e30
 
 
 def _resolve_interpret(interpret: Optional[bool]) -> bool:
@@ -227,9 +229,13 @@ def _gather_kernel(q_ref, c_ref, gsel_ref, *rest, groups_per_chunk: int,
     rel = gsel_ref[:] - i * groups_per_chunk             # [Q, k]
     gc = jax.lax.broadcasted_iota(jnp.int32, (n_q, k, groups_per_chunk), 2)
     onehot = (rel[:, :, None] == gc).astype(jnp.float32)
+    # HIGHEST precision: the default f32 MXU path truncates operands to bf16
+    # (rounds the gathered candidate values); the 3-term bf16 split keeps
+    # 0/1 * score products exact
     contrib = jax.lax.dot_general(
         onehot, s3, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)              # [Q, k, LANES]
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)             # [Q, k, LANES]
 
     @pl.when(i == 0)
     def _():

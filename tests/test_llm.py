@@ -318,3 +318,67 @@ class TestShardings:
         got_ids, _ = greedy_decode(backend.params, jnp.asarray(ids), jnp.asarray(mask),
                                    config, 4)
         np.testing.assert_array_equal(np.asarray(got_ids), np.asarray(base_ids))
+
+
+class TestInt4Weights:
+    def test_unpack_roundtrip(self, rng):
+        from kirag_tpu.models.llm import _quantize_kernel_int4, _unpack_int4
+
+        k = rng.randn(128, 48).astype(np.float32)
+        p = _quantize_kernel_int4(k)
+        q = np.asarray(_unpack_int4(p["kernel_q4"], jnp.float32))
+        scale = np.asarray(p["kernel_scale4"])
+        deq = (q.reshape(-1, 64, 48) * scale[:, None, :]).reshape(128, 48)
+        # block-64 int4: max error is scale/2 = absmax/14 per block
+        blocks = k.reshape(2, 64, 48)
+        bound = np.abs(blocks).max(axis=1, keepdims=True) / 14.0 + 1e-6
+        assert np.all(np.abs(deq.reshape(2, 64, 48) - blocks) <= bound)
+
+    def test_dense_matches_dequant_oracle(self, rng):
+        from kirag_tpu.models.llm import (
+            _dense, _quantize_kernel_int4, _unpack_int4)
+
+        k = rng.randn(100, 32).astype(np.float32)  # ragged in_dim: pads to 128
+        x = rng.randn(3, 100).astype(np.float32)
+        p = _quantize_kernel_int4(k)
+        got = np.asarray(_dense(jnp.asarray(x), p))
+        q = np.asarray(_unpack_int4(p["kernel_q4"], jnp.float32))
+        scale = np.asarray(p["kernel_scale4"])
+        deq = (q.reshape(-1, 64, 32) * scale[:, None, :]).reshape(-1, 32)[:100]
+        np.testing.assert_allclose(got, x @ deq, rtol=1e-4, atol=1e-4)
+
+    def test_quantized_decode_close_to_f32(self, converted, rng):
+        from kirag_tpu.models.llm import quantize_llama_params
+
+        config, params, _ = converted
+        ids, mask = left_padded_batch(rng)
+        base_ids, base_logits = greedy_decode(
+            params, jnp.asarray(ids), jnp.asarray(mask), config, 4)
+        qparams = quantize_llama_params(params, bits=4)
+        q_ids, q_logits = greedy_decode(
+            qparams, jnp.asarray(ids), jnp.asarray(mask), config, 4)
+        diff = np.abs(np.asarray(q_logits[:, 0]) - np.asarray(base_logits[:, 0]))
+        assert float(diff.mean()) < 0.1  # looser than int8 (4-bit grid)
+
+    def test_memory_quarters(self, rng):
+        # at real dims (in_dim >> block 64) int4 packs two weights per byte:
+        # ~8x below f32 and ~2x below int8 (block scales are 1/64 overhead)
+        from kirag_tpu.models.llm import (
+            _quantize_kernel_int4, _quantize_kernel_int8)
+
+        k = rng.randn(512, 256).astype(np.float32)
+
+        def nbytes(tree):
+            return sum(np.asarray(x).nbytes for x in tree.values())
+
+        n4 = nbytes(_quantize_kernel_int4(k))
+        n8 = nbytes(_quantize_kernel_int8(k))
+        assert n4 < 0.56 * n8
+        assert n4 < 0.145 * k.nbytes
+
+    def test_bad_bits_raises(self, converted):
+        from kirag_tpu.models.llm import quantize_llama_params
+
+        _, params, _ = converted
+        with pytest.raises(ValueError):
+            quantize_llama_params(params, bits=3)
