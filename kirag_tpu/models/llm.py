@@ -151,6 +151,62 @@ def llama_param_shardings(config: LlamaConfig, model_axis: str = "model") -> Par
     return specs
 
 
+def llama_param_shardings_like(params: Params, config: LlamaConfig,
+                               model_axis: str = "model") -> Params:
+    """Megatron PartitionSpecs matching the STRUCTURE of ``params`` — handles
+    quantized trees (kernel_q/kernel_scale, kernel_q4/kernel_scale4) whose
+    leaf names differ from the float layout that
+    :func:`llama_param_shardings` describes.
+
+    Quantized leaves shard with the dim they scale: column-parallel kernels
+    shard scales over the output channel; row-parallel int4 trees shard both
+    the packed rows and the per-block scales over the (packed) input dim.
+    """
+    base = llama_param_shardings(config, model_axis)
+
+    def expand(p, spec_group):
+        if "kernel" in p:
+            out = dict(spec_group)
+            for extra in p:
+                out.setdefault(extra, P())
+            return out
+        kernel_spec = spec_group["kernel"]
+        in_spec, out_spec = kernel_spec[0], kernel_spec[1]
+        out = {}
+        if "kernel_q" in p:       # int8: [in, out] + per-out scales
+            out["kernel_q"] = kernel_spec
+            out["kernel_scale"] = P(out_spec)
+        if "kernel_q4" in p:      # int4: packed [in/2, out] + [in/64, out]
+            out["kernel_q4"] = kernel_spec
+            # block scales replicate on the input dim (they are kernel/32
+            # bytes; [in/64] rarely divides small meshes) and follow the
+            # kernel on the output dim
+            out["kernel_scale4"] = P(None, out_spec)
+        if "bias" in p:
+            out["bias"] = spec_group.get("bias", P(out_spec))
+        return out
+
+    proj_names = ("q_proj", "k_proj", "v_proj", "o_proj",
+                  "gate_proj", "up_proj", "down_proj", "lm_head")
+
+    def walk(p, s):
+        if isinstance(p, dict):
+            out = {}
+            for k in p:
+                if k not in s:  # e.g. gemma2 sandwich norms: replicate
+                    out[k] = jax.tree.map(lambda _: P(), p[k])
+                elif k in proj_names and isinstance(p[k], dict):
+                    out[k] = expand(p[k], s[k])
+                else:
+                    out[k] = walk(p[k], s[k])
+            return out
+        if isinstance(p, list):
+            return [walk(pi, si) for pi, si in zip(p, s)]
+        return s
+
+    return walk(params, base)
+
+
 def _rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float,
               plus_one: bool = False) -> jnp.ndarray:
     xf = x.astype(jnp.float32)
@@ -627,7 +683,9 @@ class JaxLlamaBackend:
     def shard_params(self, mesh, model_axis: str = "model"):
         from jax.sharding import NamedSharding
 
-        specs = llama_param_shardings(self.config, model_axis)
+        # structure-matching specs: works for float AND quantized (int8/int4)
+        # trees, and for gemma2's sandwich norms
+        specs = llama_param_shardings_like(self.params, self.config, model_axis)
         self.params = jax.tree.map(
             lambda p, s: jax.device_put(p, NamedSharding(mesh, s)), self.params, specs)
         return self

@@ -382,3 +382,39 @@ class TestInt4Weights:
         _, params, _ = converted
         with pytest.raises(ValueError):
             quantize_llama_params(params, bits=3)
+
+
+class TestQuantizedSharding:
+    def test_int8_tp_sharded_decode_matches(self, converted, rng):
+        from kirag_tpu.parallel import create_mesh
+        from kirag_tpu.models.llm import quantize_llama_params
+
+        config, params, _ = converted
+        mesh = create_mesh(data=2, model=4)
+        ids, mask = left_padded_batch(rng)
+        qparams = quantize_llama_params(params, bits=8)
+        base_ids, _ = greedy_decode(qparams, jnp.asarray(ids), jnp.asarray(mask),
+                                    config, 4)
+        backend = JaxLlamaBackend(jax.tree.map(jnp.asarray, qparams), config,
+                                  eos_token_id=2,
+                                  compute_dtype=jnp.float32).shard_params(mesh)
+        got_ids, _ = greedy_decode(backend.params, jnp.asarray(ids),
+                                   jnp.asarray(mask), config, 4)
+        np.testing.assert_array_equal(np.asarray(got_ids), np.asarray(base_ids))
+
+    def test_int4_tp_sharded_decode_matches(self, converted, rng):
+        from kirag_tpu.parallel import create_mesh
+        from kirag_tpu.models.llm import quantize_llama_params
+
+        config, params, _ = converted
+        mesh = create_mesh(data=2, model=4)
+        ids, mask = left_padded_batch(rng)
+        qparams = quantize_llama_params(params, bits=4)
+        base_ids, _ = greedy_decode(qparams, jnp.asarray(ids), jnp.asarray(mask),
+                                    config, 4)
+        backend = JaxLlamaBackend(jax.tree.map(jnp.asarray, qparams), config,
+                                  eos_token_id=2,
+                                  compute_dtype=jnp.float32).shard_params(mesh)
+        got_ids, _ = greedy_decode(backend.params, jnp.asarray(ids),
+                                   jnp.asarray(mask), config, 4)
+        np.testing.assert_array_equal(np.asarray(got_ids), np.asarray(base_ids))
