@@ -1,0 +1,92 @@
+"""Single-chip 8M-row int8 exact + approx MIPS benchmark (VERDICT r1 item 2).
+
+The DPR north star is 21M passages (BASELINE.md); one v5e chip holds ~15M
+int8 rows. This measures the largest power-of-two-ish corpus that fits
+comfortably next to the search working set: 8M x 1024 int8 (8.2 GB HBM +
+32 MB scales).
+
+Every timed iteration's output is fetched and VALIDATED (self-retrieval)
+after the timed window (fetch latency through the tunnel is relay overhead,
+not device time).
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/bench_8m_int8.py
+Appends JSON lines to benchmarks/bench_8m_results.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+N = 8_388_608  # 8M, divisible by every chunk grid in play
+D = 1024
+Q = 256
+K = 100
+BLOCK = 1 << 20
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from kirag_tpu.ops.quantized import quantize_rows_int8
+
+    rng = np.random.default_rng(0)
+    # build int8 + scales blockwise: never hold the f32 corpus (32GB) at once
+    corpus_i8 = np.empty((N, D), dtype=np.int8)
+    scales = np.empty((N,), dtype=np.float32)
+    q_rows = rng.integers(0, N, size=Q)
+    queries_f32 = np.empty((Q, D), dtype=np.float32)
+    for start in range(0, N, BLOCK):
+        block = rng.standard_normal((min(BLOCK, N - start), D), dtype=np.float32)
+        block /= np.linalg.norm(block, axis=-1, keepdims=True)
+        corpus_i8[start:start + len(block)], scales[start:start + len(block)] = (
+            quantize_rows_int8(block))
+        in_blk = (q_rows >= start) & (q_rows < start + len(block))
+        queries_f32[in_blk] = block[q_rows[in_blk] - start]
+    print(f"host int8 corpus built: {corpus_i8.nbytes / 2**30:.1f} GiB", flush=True)
+
+    import ml_dtypes
+
+    c = jax.device_put(corpus_i8)
+    s = jax.device_put(scales)
+    q = jax.device_put(queries_f32.astype(ml_dtypes.bfloat16))
+    jax.block_until_ready((c, s, q))
+    print("corpus on device", flush=True)
+
+    def timed(name, fn, iters=5):
+        t0 = time.perf_counter()
+        out = fn()
+        jax.block_until_ready(out)
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        outs = [fn() for _ in range(iters)]
+        jax.block_until_ready(outs)
+        dt = (time.perf_counter() - t0) / iters
+        hits = []
+        for o in outs:
+            idx = np.asarray(o[1])
+            hits.append(float(np.mean(idx[:, 0] == q_rows)))
+        rec = {"bench": name, "rows": N, "ms": round(dt * 1e3, 2),
+               "qps": round(Q / dt, 1), "self_hit": min(hits),
+               "compile_s": round(compile_s, 1)}
+        print(json.dumps(rec), flush=True)
+        with open("benchmarks/bench_8m_results.jsonl", "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        assert min(hits) > 0.97, f"{name}: invalid timed output {hits}"
+
+    from kirag_tpu.ops.pallas_exact import exact_topk_mips
+    from kirag_tpu.ops.pallas_mips import approx_topk_mips
+
+    timed("exact_pallas_int8_8m",
+          lambda: exact_topk_mips(q, c, K, chunk_size=8192, scales=s,
+                                  interpret=False))
+    timed("approx_pallas_int8_8m",
+          lambda: approx_topk_mips(q, c, K, chunk_size=8192, scales=s,
+                                   interpret=False))
+
+
+if __name__ == "__main__":
+    main()

@@ -56,21 +56,50 @@ def _data(q_rows=Q):
 
 
 def _time(fn, validate, iters):
-    """Compile once, then time `iters` calls (device completion via
-    block_until_ready), then fetch + validate EVERY timed output.
-
-    The fetch happens OUTSIDE the timed window: through the tunnel a fetch
-    costs ~100ms+ of pure link latency (see tiny_dispatch), which is relay
-    overhead, not device time. Validation still covers each timed output."""
+    """Legacy timer: fetch every output INSIDE the window (matches round-1
+    bench.py). Honest end-to-end, but today's relay adds ~100ms of link
+    latency per fetch, drowning kernel-level differences."""
     import jax
 
     out = fn()
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     outs = [fn() for _ in range(iters)]
-    jax.block_until_ready(outs)
+    fetched = [jax.tree.map(np.asarray, o) for o in outs]
     dt = (time.perf_counter() - t0) / iters
-    for o in outs:
+    for f in fetched:
+        validate(f)
+    return dt
+
+
+def _time_chained(fn_d, validate, iters, q_rows, dtype):
+    """Relay-proof device timer for kernel A/B comparisons.
+
+    Each iteration's input is perturbed by a ZERO delta computed from the
+    previous iteration's output, so (a) no layer can dedup/reorder identical
+    executions and (b) the device serializes all iterations; the FINAL
+    output is fetched inside the window (block_until_ready alone has been
+    observed not to block through this relay: probe exact_onepass_1m
+    'ran' 5x537 GFLOP in 1ms). Remaining outputs are validated after.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    zero = jnp.zeros((q_rows, 1), dtype=dtype)
+    out = fn_d(zero)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    outs = []
+    prev = out
+    for _ in range(iters):
+        delta = (0.0 * prev[0][:, :1]).astype(dtype)
+        o = fn_d(delta)
+        outs.append(o)
+        prev = o
+    final = jax.tree.map(np.asarray, outs[-1])
+    dt = (time.perf_counter() - t0 - 0.0) / iters
+    validate(final)
+    for o in outs[:-1]:
         validate(jax.tree.map(np.asarray, o))
     return dt
 
@@ -440,6 +469,70 @@ def probe_topk_pallas_12800(iters):
 
 def probe_topk_lax_12800(iters):
     return _probe_topk_lastdim(iters, 12800, False)
+
+
+# ------------------------------------------------------- chained A/B probes
+
+def _probe_chained(iters, call, q_rows=Q):
+    qs, c, rows = _data(q_rows=q_rows)
+
+    def val(o):
+        assert float(np.mean(o[1][:, 0] == rows)) > 0.99
+
+    dt = _time_chained(lambda d: call(qs + d, c), val, iters, q_rows, qs.dtype)
+    return {"ms": dt * 1e3, "qps": q_rows / dt}
+
+
+def probe_ch_exact_scan(iters):
+    from kirag_tpu.ops.mips import topk_mips
+
+    return _probe_chained(iters, lambda q, c: topk_mips(q, c, K, chunk_size=262144))
+
+
+def probe_ch_exact_onepass(iters):
+    from kirag_tpu.ops.mips import topk_mips_onepass
+
+    return _probe_chained(iters, lambda q, c: topk_mips_onepass(q, c, K))
+
+
+def probe_ch_exact_pallas_c8192(iters):
+    from kirag_tpu.ops.pallas_exact import exact_topk_mips
+
+    return _probe_chained(
+        iters, lambda q, c: exact_topk_mips(q, c, K, chunk_size=8192,
+                                            interpret=False))
+
+
+def probe_ch_exact_pallas_c16384(iters):
+    from kirag_tpu.ops.pallas_exact import exact_topk_mips
+
+    return _probe_chained(
+        iters, lambda q, c: exact_topk_mips(q, c, K, chunk_size=16384,
+                                            interpret=False))
+
+
+def probe_ch_exact_pallas_c32768(iters):
+    from kirag_tpu.ops.pallas_exact import exact_topk_mips
+
+    return _probe_chained(
+        iters, lambda q, c: exact_topk_mips(q, c, K, chunk_size=32768,
+                                            interpret=False))
+
+
+def probe_ch_approx_pallas(iters):
+    from kirag_tpu.ops.pallas_mips import approx_topk_mips
+
+    return _probe_chained(
+        iters, lambda q, c: approx_topk_mips(q, c, K, chunk_size=8192,
+                                             interpret=False))
+
+
+def probe_ch_exact_pallas_c16384_q1024(iters):
+    from kirag_tpu.ops.pallas_exact import exact_topk_mips
+
+    return _probe_chained(
+        iters, lambda q, c: exact_topk_mips(q, c, K, chunk_size=16384,
+                                            interpret=False), q_rows=1024)
 
 
 def _probe_pallas_gmax(iters, chunk):

@@ -113,16 +113,18 @@ def topk_lastdim(x: jnp.ndarray, k: int, interpret: Optional[bool] = None,
     """Exact top-k over the last dim of ``x`` [Q, W] -> (vals f32, idx int32),
     descending, score ties broken toward the lower index.
 
-    On TPU this is the iterative Pallas kernel (k masked-max extractions —
-    O(k*W) VPU work, beating `lax.top_k`'s O(W log W) sort for k << W); on
-    CPU/interpret it falls back to `lax.top_k` (whose stable ordering gives
-    the same tie-breaking). ``use_kernel=True`` forces the kernel (tests
-    exercise it under the interpreter at small sizes).
+    Default = `lax.top_k` (stable ordering gives the same tie-breaking).
+    ``use_kernel=True`` selects the iterative Pallas kernel (k masked-max
+    extractions). MEASURED on v5e (benchmarks/probe_r2b, W=7936/12800,
+    Q=256, k=100): the kernel is 2.5-3.6x SLOWER than lax.top_k — the k
+    sequential VPU reductions are latency-bound — so it stays opt-in; the
+    kernel remains useful as a fusion building block and for future
+    lower-latency selection work.
     """
     interpret = _resolve_interpret(interpret)
     q, w = x.shape
     if use_kernel is None:
-        use_kernel = not interpret and 1024 < w
+        use_kernel = False
     if not use_kernel or k >= w or q == 0:
         # small widths: the sort is fine; interpret: fori_loop of k steps is
         # pathologically slow under the interpreter but lax.top_k is the
