@@ -150,6 +150,44 @@ def _attention(x: jnp.ndarray, mask_bias: jnp.ndarray, p: Params, config: BertCo
     return _dense(ctx, p["output"])
 
 
+def _flash_attention(x: jnp.ndarray, attention_mask: jnp.ndarray, p: Params,
+                     config: BertConfig) -> jnp.ndarray:
+    """Fused Pallas flash attention (TPU): never materializes the [b, nh, t, t]
+    score tensor to HBM (~268MB/layer at b128 x s256 x 16h in the XLA path).
+
+    Padding is expressed as segment ids (pad=0, real=1): pad QUERIES attend
+    among themselves instead of over real keys as in the additive-bias path —
+    an intentional difference, as pad rows never reach the pooling heads
+    (masked mean / CLS-at-0)."""
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+    b, t, h = x.shape
+    nh, hd = config.num_attention_heads, config.head_dim
+    q = _dense(x, p["query"]).reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+    k = _dense(x, p["key"]).reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+    v = _dense(x, p["value"]).reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+    seg = attention_mask.astype(jnp.int32)
+    blk = min(512, t)
+    sizes = fa.BlockSizes(
+        block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+        block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,
+        block_q_dkv=blk, block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk)
+    ctx = fa.flash_attention(
+        q, k, v, segment_ids=fa.SegmentIds(q=seg, kv=seg),
+        sm_scale=1.0 / math.sqrt(hd), block_sizes=sizes)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, h)
+    return _dense(ctx, p["output"])
+
+
+def _resolve_attention_impl(impl: str, t: int, config: BertConfig) -> str:
+    if impl != "auto":
+        return impl
+    if (jax.default_backend() == "tpu" and t % 128 == 0
+            and config.head_dim % 64 == 0):
+        return "flash"
+    return "xla"
+
+
 def bert_encode(
     params: Params,
     input_ids: jnp.ndarray,
@@ -157,8 +195,14 @@ def bert_encode(
     config: BertConfig,
     token_type_ids: Optional[jnp.ndarray] = None,
     compute_dtype: jnp.dtype = jnp.float32,
+    attention_impl: str = "auto",
 ) -> jnp.ndarray:
-    """Run the transformer stack; returns last_hidden_state [B, T, H]."""
+    """Run the transformer stack; returns last_hidden_state [B, T, H].
+
+    ``attention_impl``: "xla" (einsum softmax, the parity oracle), "flash"
+    (fused Pallas kernel, TPU only), or "auto" (flash on TPU when the
+    sequence is lane-aligned, else xla).
+    """
     b, t = input_ids.shape
     if token_type_ids is None:
         token_type_ids = jnp.zeros_like(input_ids)
@@ -171,12 +215,16 @@ def bert_encode(
     )
     x = _layer_norm(x, emb_p["layer_norm"], config.layer_norm_eps).astype(compute_dtype)
 
+    impl = _resolve_attention_impl(attention_impl, t, config)
     # additive attention bias like HF: large negative where masked
     neg = jnp.finfo(jnp.float32).min
     mask_bias = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * neg
 
     for layer_p in params["layers"]:
-        attn_out = _attention(x, mask_bias, layer_p["attention"], config)
+        if impl == "flash":
+            attn_out = _flash_attention(x, attention_mask, layer_p["attention"], config)
+        else:
+            attn_out = _attention(x, mask_bias, layer_p["attention"], config)
         x = _layer_norm(x + attn_out, layer_p["attention"]["output_layer_norm"], config.layer_norm_eps)
         mlp_p = layer_p["mlp"]
         inter = jax.nn.gelu(_dense(x, mlp_p["intermediate"]).astype(jnp.float32), approximate=False)

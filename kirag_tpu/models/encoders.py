@@ -52,10 +52,14 @@ RETRIEVER_NAME_TO_ENCODER = {
 }
 
 
-@functools.partial(jax.jit, static_argnames=("config", "pooling", "normalize", "compute_dtype"))
+@functools.partial(jax.jit, static_argnames=("config", "pooling", "normalize",
+                                             "compute_dtype", "attention_impl"))
 def _embed(params: Params, input_ids, attention_mask, *, config: BertConfig,
-           pooling: str, normalize: bool, compute_dtype) -> jnp.ndarray:
-    hidden = bert_encode(params, input_ids, attention_mask, config, compute_dtype=compute_dtype)
+           pooling: str, normalize: bool, compute_dtype,
+           attention_impl: str = "auto") -> jnp.ndarray:
+    hidden = bert_encode(params, input_ids, attention_mask, config,
+                         compute_dtype=compute_dtype,
+                         attention_impl=attention_impl)
     pool = ENCODER_POOLING[pooling]["pool"]
     pooled = pool(hidden.astype(jnp.float32), attention_mask)
     if normalize:
@@ -71,7 +75,8 @@ class Encoder:
     """
 
     def __init__(self, params: Params, config: BertConfig, encoder_type: str = "e5",
-                 compute_dtype=jnp.float32, normalize: Optional[bool] = None):
+                 compute_dtype=jnp.float32, normalize: Optional[bool] = None,
+                 attention_impl: str = "auto"):
         if encoder_type not in ENCODER_POOLING:
             raise KeyError(
                 f"{encoder_type} is not implemented! Available encoders: {list(ENCODER_POOLING)}")
@@ -80,6 +85,7 @@ class Encoder:
         self.encoder_type = encoder_type
         self.compute_dtype = compute_dtype
         self.normalize = ENCODER_POOLING[encoder_type]["normalize"] if normalize is None else normalize
+        self.attention_impl = attention_impl
 
     @property
     def embedding_size(self) -> int:
@@ -94,6 +100,7 @@ class Encoder:
             pooling=self.encoder_type,
             normalize=self.normalize,
             compute_dtype=self.compute_dtype,
+            attention_impl=self.attention_impl,
         )
 
     def shard_params(self, mesh, model_axis: str = "model"):
