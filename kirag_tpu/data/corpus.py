@@ -14,11 +14,14 @@ Differences by design:
 
 from __future__ import annotations
 
+import logging
 import os
 import string
 from typing import Dict, Iterator, List, Optional
 
 from kirag_tpu.utils.io import load_json
+
+logger = logging.getLogger(__name__)
 
 # Override via env or constructor; mirrors CORPUS_PATH (`dataset/corpus.py:10`).
 DEFAULT_CORPUS_PATHS = {
@@ -29,12 +32,26 @@ DEFAULT_CORPUS_PATHS = {
 }
 
 
-def load_psg_data(path: str) -> List[dict]:
+def load_psg_data(path: str, native: Optional[bool] = None):
     """Load the DPR 21M-passage TSV (`id \\t text \\t title`), skipping the header.
 
     Reference: `dataset/corpus.py:17-42` (including its punctuation-stripping of
     the first/last character and doubled-quote collapsing).
+
+    ``native=None`` tries the C++ parser (native/tsv_corpus.cpp — packed
+    blobs + lazy dict views, no per-row Python objects at 21M-row scale)
+    and falls back to the Python loop; ``native=False`` forces Python,
+    ``native=True`` requires the native parser.
     """
+    if native is None or native:
+        try:
+            from kirag_tpu.data.native_tsv import load_psg_data_native
+
+            return load_psg_data_native(path)
+        except Exception as e:  # no g++ / build failure: Python fallback
+            if native:
+                raise
+            logger.info(f"native tsv parser unavailable ({e}); using Python loader")
     punctuation = set(string.punctuation)
 
     def clean(text: str) -> str:
