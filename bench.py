@@ -29,7 +29,7 @@ def tpu_qps() -> float:
     import jax
     import jax.numpy as jnp
 
-    from kirag_tpu.ops.mips import topk_mips
+    from kirag_tpu.ops.pallas_exact import exact_topk_mips
 
     import ml_dtypes
 
@@ -46,9 +46,16 @@ def tpu_qps() -> float:
     corpus.block_until_ready()
     del corpus_host
 
+    # the product exact path (TPUIndexer exact_impl=auto on TPU): fused
+    # two-pass Pallas kernel — measured 1560x the round-1 scan path and
+    # ~equal to the one-pass XLA variant with a fraction of its HBM use
+    # (benchmarks/probe_r2b_results.jsonl, chained timing)
+    run = lambda q: exact_topk_mips(q, corpus, TOPK, chunk_size=16384,
+                                    interpret=False)
+
     # warmup/compile
-    vals, idx = topk_mips(queries, corpus, TOPK, chunk_size=262144)
-    vals.block_until_ready()
+    vals, idx = run(queries)
+    jax.block_until_ready((vals, idx))
     # sanity: queries sampled from the corpus must retrieve themselves top-1
     # (bf16 rounding can flip the odd near-tie, hence 0.99 not 1.0)
     self_hit = float(np.mean(np.asarray(idx[:, 0]) == query_rows))
@@ -56,9 +63,10 @@ def tpu_qps() -> float:
 
     iters = 5
     t0 = time.perf_counter()
-    outs = [topk_mips(queries, corpus, TOPK, chunk_size=262144) for _ in range(iters)]
+    outs = [run(queries) for _ in range(iters)]
     # fetch + validate every iteration: on this relay, timings without
-    # validated outputs can be silently wrong (see CLAUDE.md)
+    # validated outputs can be silently wrong (see CLAUDE.md); the fetch
+    # stays inside the window for round-1 comparability
     fetched = [np.asarray(i) for v, i in outs]
     dt = (time.perf_counter() - t0) / iters
     for f in fetched:

@@ -1,0 +1,133 @@
+"""Weight-only int8 vs int4 decode throughput at Llama-3-8B geometry (1 chip).
+
+Decode is weight-bandwidth-bound: every generated token reads all projection
+weights once. int8 halves the bytes of bf16 (round 1: 138 tok/s at b2, 73% of
+the HBM ceiling); block-64 int4 halves them again — this measures how much of
+that survives the unpack/dequant arithmetic.
+
+Random-init weights (quality is irrelevant to bandwidth), built host-side
+kernel-by-kernel so the f32 originals never exceed one projection at a time.
+Timing is chained on the token ids (each step consumes the previous output);
+outputs validated finite + in-vocab.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/bench_decode_quant.py \
+    [--bits 4 8] [--batch 2] [--new 64]
+Appends JSON lines to benchmarks/bench_decode_results.jsonl.
+"""
+
+from __future__ import annotations
+
+import argparse
+import gc
+import json
+import time
+
+import numpy as np
+
+
+def build_quantized_params(config, bits: int):
+    """Host-side random-init + quantize, one projection at a time."""
+    import jax.numpy as jnp
+
+    from kirag_tpu.models.llm import (_quantize_kernel_int4,
+                                      _quantize_kernel_int8)
+    import ml_dtypes
+
+    quantize = _quantize_kernel_int4 if bits == 4 else _quantize_kernel_int8
+    rng = np.random.default_rng(0)
+    h, i = config.hidden_size, config.intermediate_size
+    kv = config.num_key_value_heads * config.head_dim
+
+    def qlin(in_dim, out_dim):
+        k = (rng.standard_normal((in_dim, out_dim), dtype=np.float32)
+             * (0.4 / np.sqrt(in_dim)))
+        out = {name: jnp.asarray(v) for name, v in quantize(k).items()}
+        del k
+        gc.collect()
+        return out
+
+    params = {
+        "embed_tokens": jnp.asarray(
+            rng.standard_normal((config.vocab_size, h), dtype=np.float32)
+            .astype(ml_dtypes.bfloat16) * 0.02),
+        "norm": {"scale": jnp.ones((h,), jnp.float32)},
+        "layers": [],
+        "lm_head": qlin(h, config.vocab_size),
+    }
+    for _ in range(config.num_hidden_layers):
+        params["layers"].append({
+            "input_layernorm": {"scale": jnp.ones((h,), jnp.float32)},
+            "post_attention_layernorm": {"scale": jnp.ones((h,), jnp.float32)},
+            "q_proj": qlin(h, h),
+            "k_proj": qlin(h, kv),
+            "v_proj": qlin(h, kv),
+            "o_proj": qlin(h, h),
+            "gate_proj": qlin(h, i),
+            "up_proj": qlin(h, i),
+            "down_proj": qlin(i, h),
+        })
+    return params
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--bits", type=int, nargs="*", default=[8, 4])
+    p.add_argument("--batch", type=int, default=2)
+    p.add_argument("--new", type=int, default=64)
+    p.add_argument("--iters", type=int, default=3)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from kirag_tpu.models.llm import LlamaConfig, greedy_decode
+
+    config = LlamaConfig(vocab_size=128256, hidden_size=4096,
+                         num_hidden_layers=32, num_attention_heads=32,
+                         num_key_value_heads=8, intermediate_size=14336,
+                         max_position_embeddings=8192, rope_theta=500000.0)
+    rng = np.random.default_rng(1)
+    ids = rng.integers(1, 100000, size=(args.batch, 64)).astype(np.int32)
+    mask = np.ones_like(ids)
+
+    for bits in args.bits:
+        t0 = time.perf_counter()
+        params = build_quantized_params(config, bits)
+        params = jax.device_put(params)
+        jax.block_until_ready(params)
+        print(f"int{bits} params on device in {time.perf_counter()-t0:.0f}s",
+              flush=True)
+
+        run = lambda i: greedy_decode(params, jnp.asarray(i), jnp.asarray(mask),
+                                      config, args.new,
+                                      compute_dtype=jnp.bfloat16,
+                                      return_logits=False)
+        out = run(ids)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        outs = []
+        prev = out
+        for _ in range(args.iters):
+            # chain: perturb input ids by 0 * previous output — fetching the
+            # previous ids forces real sequential execution through the relay
+            # (~100ms fetch per iter against ~seconds of decode: acceptable)
+            o = run(ids + 0 * np.asarray(prev[0])[:, :1].astype(np.int32))
+            outs.append(o)
+            prev = o
+        final = np.asarray(outs[-1][0])
+        dt = (time.perf_counter() - t0) / args.iters
+        assert final.shape[1] == args.new and (final >= 0).all() \
+            and (final < config.vocab_size).all()
+        toks = args.batch * args.new / dt
+        rec = {"bench": f"decode_8b_int{bits}", "batch": args.batch,
+               "new_tokens": args.new, "ms_per_step": round(dt * 1e3 / args.new, 2),
+               "tok_per_s": round(toks, 1)}
+        print(json.dumps(rec), flush=True)
+        with open("benchmarks/bench_decode_results.jsonl", "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        del params
+        gc.collect()
+
+
+if __name__ == "__main__":
+    main()

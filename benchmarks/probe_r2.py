@@ -88,6 +88,12 @@ def _time_chained(fn_d, validate, iters, q_rows, dtype):
     zero = jnp.zeros((q_rows, 1), dtype=dtype)
     out = fn_d(zero)
     jax.block_until_ready(out)
+    # warm the FULL chained step: the delta's eager ops (mul/slice/astype)
+    # compile through the remote relay on first use — measured as a
+    # multi-second penalty inside iteration 1 of every process's first probe
+    out = fn_d((0.0 * out[0][:, :1]).astype(dtype))
+    jax.block_until_ready(out)
+    np.asarray(jax.tree.map(np.asarray, out))
     t0 = time.perf_counter()
     outs = []
     prev = out
@@ -525,6 +531,103 @@ def probe_ch_approx_pallas(iters):
     return _probe_chained(
         iters, lambda q, c: approx_topk_mips(q, c, K, chunk_size=8192,
                                              interpret=False))
+
+
+def probe_ch_gmax_only_c8192(iters):
+    """Pass A alone: the fused scoring+group-max kernel (with argmax)."""
+    from kirag_tpu.ops.pallas_mips import grouped_max_scores
+
+    qs, c, rows = _data()
+    n_pad = -(-N // 8192) * 8192
+    import jax.numpy as jnp
+
+    c_pad = jnp.pad(c, ((0, n_pad - N), (0, 0)))
+
+    def val(o):
+        gmax = o[0]
+        own_group = rows // 128
+        assert float(np.mean(
+            gmax[np.arange(Q), own_group] > 0.97)) > 0.99
+
+    dt = _time_chained(
+        lambda d: grouped_max_scores(qs + d, c_pad, chunk_size=8192,
+                                     interpret=False),
+        val, iters, Q, qs.dtype)
+    return {"ms": dt * 1e3}
+
+
+def _probe_ch_topk(iters, fn_name):
+    """Group-selection stage alone on a realistic [Q, 7936] f32 input."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    x_host = rng.standard_normal((Q, 7936), dtype=np.float32)
+    ref = np.argsort(-x_host, axis=-1, kind="stable")[:, :K]
+    x = jax.device_put(x_host)
+    x.block_until_ready()
+
+    if fn_name == "topk":
+        f = jax.jit(lambda y: jax.lax.top_k(y, K))
+
+        def val(o):
+            assert np.array_equal(o[1], ref)
+    else:
+        f = jax.jit(lambda y: jax.lax.approx_max_k(
+            y, K, recall_target=0.99, aggregate_to_topk=True))
+
+        def val(o):
+            rec = np.mean([len(set(o[1][i]) & set(ref[i])) / K
+                           for i in range(Q)])
+            assert rec > 0.95, rec
+
+    def fn_d(d):
+        return f(x + d)
+
+    dt = _time_chained(fn_d, val, iters, Q, jnp.float32)
+    return {"ms": dt * 1e3}
+
+
+def probe_ch_topk_7936(iters):
+    return _probe_ch_topk(iters, "topk")
+
+
+def probe_ch_approxmaxk_7936(iters):
+    return _probe_ch_topk(iters, "approx_max_k")
+
+
+def _probe_ch_approxmaxk_exact(iters, w):
+    """approx_max_k with recall_target=1.0: is it EXACT (values, indices,
+    lower-index tie-break) and how fast vs lax.top_k?"""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    x_host = rng.standard_normal((Q, w), dtype=np.float32)
+    x_host[7, :] = 2.5          # full-row tie: indices must be 0..K-1
+    x_host[11, 100] = x_host[11, 900] = 7.0   # pairwise tie across segments
+    ref = np.argsort(-x_host, axis=-1, kind="stable")[:, :K]
+    x = jax.device_put(x_host)
+    x.block_until_ready()
+    f = jax.jit(lambda y: jax.lax.approx_max_k(
+        y, K, recall_target=1.0, aggregate_to_topk=True))
+
+    def val(o):
+        vals_ok = np.allclose(o[0], np.take_along_axis(x_host, ref, -1))
+        idx_match = float(np.mean(o[1] == ref))
+        assert vals_ok, "values differ from exact"
+        assert idx_match == 1.0, f"index/tie mismatch rate {1-idx_match}"
+
+    dt = _time_chained(lambda d: f(x + d), val, iters, Q, jnp.float32)
+    return {"ms": dt * 1e3}
+
+
+def probe_ch_approxmaxk_exact_7936(iters):
+    return _probe_ch_approxmaxk_exact(iters, 7936)
+
+
+def probe_ch_approxmaxk_exact_12800(iters):
+    return _probe_ch_approxmaxk_exact(iters, 12800)
 
 
 def probe_ch_exact_pallas_c16384_q1024(iters):
