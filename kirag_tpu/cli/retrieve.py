@@ -60,6 +60,11 @@ def setup_parser():
     parser.add_argument("--llm_tokenizer", type=str, default=None,
                         help="tokenizer path (defaults to --llm)")
     parser.add_argument("--cached_kg_triples_file", type=str, default=None)
+    parser.add_argument("--llm_quant_bits", type=int, default=None,
+                        choices=[4, 8],
+                        help="weight-only LLM quantization: 8 (per-channel "
+                             "int8) or 4 (block-64 int4, the reference's NF4 "
+                             "memory point)")
     parser.add_argument("--llm_int8", action="store_true",
                         help="weight-only int8 LLM (the 4-bit-loading analogue; ~2x decode)")
     parser.add_argument("--aligner_model", type=str, default="e5", choices=["e5", "bge"])
@@ -112,7 +117,8 @@ def setup_llm_generator(args):
     if tokenizer.pad_token is None:
         tokenizer.pad_token = tokenizer.eos_token
     params, config = load_llama(args.llm, compute_dtype=jnp.bfloat16,
-                                int8_weights=getattr(args, 'llm_int8', False))
+                                int8_weights=getattr(args, 'llm_int8', False),
+                                quant_bits=getattr(args, 'llm_quant_bits', None))
     backend = JaxLlamaBackend(params, config, eos_token_id=tokenizer.eos_token_id)
     constructor = Generator(tokenizer, backend, model_name=args.llm,
                             max_length=4096, max_new_tokens=64, batch_size=4)
