@@ -47,7 +47,7 @@ def tpu_qps() -> float:
     del corpus_host
 
     # the product exact path (TPUIndexer exact_impl=auto on TPU): fused
-    # two-pass Pallas kernel — measured 1560x the round-1 scan path and
+    # two-pass Pallas kernel — measured ~1.55x the round-1 scan path and
     # ~equal to the one-pass XLA variant with a fraction of its HBM use
     # (benchmarks/probe_r2b_results.jsonl, chained timing)
     run = lambda q: exact_topk_mips(q, corpus, TOPK, chunk_size=16384,
