@@ -525,6 +525,22 @@ def probe_ch_exact_pallas_c32768(iters):
                                             interpret=False))
 
 
+def probe_ch_exact_pallas_hier_c16384(iters):
+    from kirag_tpu.ops.pallas_exact import exact_topk_mips
+
+    return _probe_chained(
+        iters, lambda q, c: exact_topk_mips(q, c, K, chunk_size=16384,
+                                            interpret=False, select="hier"))
+
+
+def probe_ch_exact_pallas_hier_c8192(iters):
+    from kirag_tpu.ops.pallas_exact import exact_topk_mips
+
+    return _probe_chained(
+        iters, lambda q, c: exact_topk_mips(q, c, K, chunk_size=8192,
+                                            interpret=False, select="hier"))
+
+
 def probe_ch_approx_pallas(iters):
     from kirag_tpu.ops.pallas_mips import approx_topk_mips
 

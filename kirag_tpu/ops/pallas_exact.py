@@ -165,6 +165,50 @@ def topk_lastdim(x: jnp.ndarray, k: int, interpret: Optional[bool] = None,
     return vals[:q], idx[:q]
 
 
+def hier_topk(x: jnp.ndarray, k: int, block: int = 16
+              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k over the last dim via two-level selection.
+
+    Same exactness/displacement argument as the group selection: every true
+    top-k element lives in a ``block``-wide slice whose max is >= the kth
+    value, and at most k slices can hold top-k elements, so the top-k slices
+    by slice-max contain them all. Replaces one wide `lax.top_k` (O(W) sort
+    width) with two narrow ones (W/block and k*block) plus a one-hot MXU
+    gather. Ties: slice ids sort ascending before the gather, so the final
+    stable top_k keeps lower-index-wins.
+
+    Inputs may contain -inf (mask values): x is clamped to FIN_MIN before
+    the gather matmul (MXU bf16 operand decomposition turns f32max/-inf
+    into NaN via 0*inf; see FIN_MIN).
+    """
+    q, w = x.shape
+    x = x.astype(jnp.float32)
+    w1 = -(-w // block)
+    if k >= w1 or w <= 2 * block:
+        return jax.lax.top_k(x, min(k, w))
+    w_pad = w1 * block
+    if w_pad != w:
+        x = jnp.pad(x, ((0, 0), (0, w_pad - w)), constant_values=-jnp.inf)
+    xc = jnp.maximum(x, FIN_MIN)
+    x3 = xc.reshape(q, w1, block)
+    bmax = x3.max(-1)                                     # [Q, W/block]
+    _, bsel = jax.lax.top_k(bmax, k)                      # stable ties
+    bsel = jnp.sort(bsel, axis=-1)                        # ascending ids
+    onehot = (bsel[:, :, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (q, k, w1), 2)).astype(jnp.float32)
+    cand = jax.lax.dot_general(
+        onehot, x3, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST).reshape(q, k * block)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (q, k, block), 2)
+    cand_idx = (bsel[:, :, None] * block + lane).reshape(q, k * block)
+    cand = jnp.where(cand_idx < w, cand, -jnp.inf)        # drop pad slots
+    vals, pos = jax.lax.top_k(cand, k)
+    # restore -inf for clamped mask values (callers test isfinite)
+    vals = jnp.where(vals <= FIN_MIN, -jnp.inf, vals)
+    return vals, jnp.take_along_axis(cand_idx, pos, axis=-1)
+
+
 # ------------------------------------------------------------------- pass A
 
 
@@ -262,9 +306,10 @@ def _pad_to_chunks(corpus, scales, chunk_size):
 
 
 def _exact_body(queries, corpus, k_eff: int, chunk_size: int, n_valid,
-                interpret: bool, scales):
+                interpret: bool, scales, select: str = "flat"):
     """Shared by the jitted single-chip entry and the shard_map local body
-    (``n_valid`` may be a traced scalar)."""
+    (``n_valid`` may be a traced scalar). ``select`` picks the selection
+    stages: "flat" = lax.top_k, "hier" = two-level :func:`hier_topk`."""
     n, d = corpus.shape
     n_q = queries.shape[0]
     corpus, scales = _pad_to_chunks(corpus, scales, chunk_size)
@@ -323,7 +368,10 @@ def _exact_body(queries, corpus, k_eff: int, chunk_size: int, n_valid,
 
     # ---- group selection; ascending sort => candidates in global row order,
     # so the final stable top-k breaks score ties toward the lower row id
-    _, gsel = topk_lastdim(gmax, k_eff, interpret=interpret)
+    if select == "hier":
+        _, gsel = hier_topk(gmax, k_eff)
+    else:
+        _, gsel = topk_lastdim(gmax, k_eff, interpret=interpret)
     gsel = jnp.sort(gsel, axis=-1)
 
     # ---- pass B: fused re-score + one-hot candidate gather
@@ -354,7 +402,10 @@ def _exact_body(queries, corpus, k_eff: int, chunk_size: int, n_valid,
     cand = jnp.where(rows < n_valid, cand, -jnp.inf)
 
     # ---- final selection over k*128 candidates
-    vals, pos = topk_lastdim(cand, k_eff, interpret=interpret)
+    if select == "hier":
+        vals, pos = hier_topk(cand, k_eff)
+    else:
+        vals, pos = topk_lastdim(cand, k_eff, interpret=interpret)
     idx = jnp.take_along_axis(rows, pos, axis=-1)
     idx = jnp.where(jnp.isfinite(vals), idx, 0)
     return vals, idx
@@ -362,14 +413,14 @@ def _exact_body(queries, corpus, k_eff: int, chunk_size: int, n_valid,
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "chunk_size", "valid_rows",
-                                    "interpret"))
+                                    "interpret", "select"))
 def _exact_topk_jit(queries, corpus, k, chunk_size, valid_rows, interpret,
-                    scales):
+                    scales, select="flat"):
     n = corpus.shape[0]
     n_valid = n if valid_rows is None else valid_rows
     k_eff = min(k, n)
     vals, idx = _exact_body(queries, corpus, k_eff, chunk_size, n_valid,
-                            interpret, scales)
+                            interpret, scales, select=select)
     if k_eff < k:
         vals = jnp.pad(vals, ((0, 0), (0, k - k_eff)),
                        constant_values=-jnp.inf)
@@ -381,8 +432,8 @@ def exact_topk_mips(queries: jnp.ndarray, corpus: jnp.ndarray, k: int,
                     chunk_size: int = 4096,
                     valid_rows: Optional[int] = None,
                     interpret: Optional[bool] = None,
-                    scales: Optional[jnp.ndarray] = None
-                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                    scales: Optional[jnp.ndarray] = None,
+                    select: str = "flat") -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k inner-product search, fully fused on TPU.
 
     Same contract as :func:`kirag_tpu.ops.mips.topk_mips` (which is the test
@@ -393,7 +444,7 @@ def exact_topk_mips(queries: jnp.ndarray, corpus: jnp.ndarray, k: int,
     interpret = _resolve_interpret(interpret)
     chunk_size = max(LANES, min(chunk_size, -(-corpus.shape[0] // LANES) * LANES))
     return _exact_topk_jit(queries, corpus, k, chunk_size, valid_rows,
-                           interpret, scales)
+                           interpret, scales, select=select)
 
 
 def sharded_exact_topk_mips(queries: jnp.ndarray, corpus_sharded: jnp.ndarray,

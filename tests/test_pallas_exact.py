@@ -1,5 +1,6 @@
 """Fused exact Pallas MIPS kernels vs the numpy oracle (interpret mode)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -213,3 +214,83 @@ class TestCrossGroupTieRegression:
         q, c = self._fixture()
         _, idx = topk_mips_onepass(jnp.asarray(q), jnp.asarray(c), 3)
         np.testing.assert_array_equal(np.asarray(idx)[0], [130, 3, 200])
+
+
+class TestHierTopk:
+    @pytest.mark.parametrize("w,k,block", [(512, 10, 16), (1000, 7, 8),
+                                           (4096, 100, 16)])
+    def test_matches_oracle(self, rng, w, k, block):
+        from kirag_tpu.ops.pallas_exact import hier_topk
+
+        x = rng.randn(5, w).astype(np.float32)
+        vals, idx = jax.jit(hier_topk, static_argnums=(1, 2))(
+            jnp.asarray(x), k, block)
+        ovals, oidx = numpy_topk(x, k)
+        np.testing.assert_allclose(np.asarray(vals), ovals, rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(idx), oidx)
+
+    def test_cross_block_ties(self):
+        from kirag_tpu.ops.pallas_exact import hier_topk
+
+        # tie spans blocks where the later block has the larger block-max
+        x = np.zeros((1, 512), dtype=np.float32)
+        x[0, 3] = 1.0
+        x[0, 200] = 1.0
+        x[0, 130] = 2.0
+        vals, idx = hier_topk(jnp.asarray(x), 3, block=16)
+        np.testing.assert_array_equal(np.asarray(idx)[0], [130, 3, 200])
+
+    def test_neg_inf_mask_values(self, rng):
+        from kirag_tpu.ops.pallas_exact import hier_topk
+
+        x = rng.randn(2, 512).astype(np.float32)
+        x[:, 400:] = -np.inf
+        vals, idx = hier_topk(jnp.asarray(x), 5)
+        ovals, oidx = numpy_topk(x[:, :400], 5)
+        np.testing.assert_array_equal(np.asarray(idx), oidx)
+        assert np.isfinite(np.asarray(vals)).all()
+
+    def test_all_masked_returns_neg_inf(self):
+        from kirag_tpu.ops.pallas_exact import hier_topk
+
+        x = np.full((1, 512), -np.inf, dtype=np.float32)
+        vals, _ = hier_topk(jnp.asarray(x), 3)
+        assert bool(jnp.all(vals == -jnp.inf))
+
+
+class TestExactSelectHier:
+    @pytest.mark.parametrize("n,k,chunk", [(4096, 25, 1024), (2500, 10, 512)])
+    def test_matches_oracle(self, rng, n, k, chunk):
+        q = rng.randn(7, 32).astype(np.float32)
+        c = rng.randn(n, 32).astype(np.float32)
+        vals, idx = exact_topk_mips(jnp.asarray(q), jnp.asarray(c), k,
+                                    chunk_size=chunk, interpret=True,
+                                    select="hier")
+        ovals, oidx = numpy_topk(q @ c.T, k)
+        np.testing.assert_allclose(np.asarray(vals), ovals, rtol=1e-4,
+                                   atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(idx), oidx)
+
+    def test_cross_group_tie(self):
+        d = 8
+        v = np.zeros(d, dtype=np.float32)
+        v[0] = 1.0
+        c = np.zeros((4096, d), dtype=np.float32)
+        c[3] = v
+        c[200] = v
+        c[130] = 2 * v
+        vals, idx = exact_topk_mips(jnp.asarray(v[None]), jnp.asarray(c), 3,
+                                    chunk_size=512, interpret=True,
+                                    select="hier")
+        np.testing.assert_array_equal(np.asarray(idx)[0], [130, 3, 200])
+
+    def test_valid_rows(self, rng):
+        q = rng.randn(3, 16).astype(np.float32)
+        c = rng.randn(2048, 16).astype(np.float32)
+        c[1900:] = 100.0
+        vals, idx = exact_topk_mips(jnp.asarray(q), jnp.asarray(c), 7,
+                                    chunk_size=512, valid_rows=1900,
+                                    interpret=True, select="hier")
+        assert np.asarray(idx).max() < 1900
+        _, oidx = numpy_topk(q @ c[:1900].T, 7)
+        np.testing.assert_array_equal(np.asarray(idx), oidx)
