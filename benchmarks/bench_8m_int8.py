@@ -33,20 +33,34 @@ def main() -> None:
 
     from kirag_tpu.ops.quantized import quantize_rows_int8
 
+    import os
+
+    cache = f"/tmp/bench8m_cache_{N}_{D}_{Q}.npz"
     rng = np.random.default_rng(0)
-    # build int8 + scales blockwise: never hold the f32 corpus (32GB) at once
-    corpus_i8 = np.empty((N, D), dtype=np.int8)
-    scales = np.empty((N,), dtype=np.float32)
-    q_rows = rng.integers(0, N, size=Q)
-    queries_f32 = np.empty((Q, D), dtype=np.float32)
-    for start in range(0, N, BLOCK):
-        block = rng.standard_normal((min(BLOCK, N - start), D), dtype=np.float32)
-        block /= np.linalg.norm(block, axis=-1, keepdims=True)
-        corpus_i8[start:start + len(block)], scales[start:start + len(block)] = (
-            quantize_rows_int8(block))
-        in_blk = (q_rows >= start) & (q_rows < start + len(block))
-        queries_f32[in_blk] = block[q_rows[in_blk] - start]
-    print(f"host int8 corpus built: {corpus_i8.nbytes / 2**30:.1f} GiB", flush=True)
+    if os.path.exists(cache):
+        z = np.load(cache, mmap_mode=None)
+        corpus_i8, scales = z["corpus"], z["scales"]
+        q_rows, queries_f32 = z["q_rows"], z["queries"]
+        print(f"host int8 corpus loaded from cache ({cache})", flush=True)
+    else:
+        # build int8 + scales blockwise: never hold the f32 corpus (32GB)
+        # at once (~25 min single-core; cached for reruns)
+        corpus_i8 = np.empty((N, D), dtype=np.int8)
+        scales = np.empty((N,), dtype=np.float32)
+        q_rows = rng.integers(0, N, size=Q)
+        queries_f32 = np.empty((Q, D), dtype=np.float32)
+        for start in range(0, N, BLOCK):
+            block = rng.standard_normal((min(BLOCK, N - start), D),
+                                        dtype=np.float32)
+            block /= np.linalg.norm(block, axis=-1, keepdims=True)
+            (corpus_i8[start:start + len(block)],
+             scales[start:start + len(block)]) = quantize_rows_int8(block)
+            in_blk = (q_rows >= start) & (q_rows < start + len(block))
+            queries_f32[in_blk] = block[q_rows[in_blk] - start]
+            print(f"  built rows {start + len(block)}/{N}", flush=True)
+        np.savez(cache, corpus=corpus_i8, scales=scales, q_rows=q_rows,
+                 queries=queries_f32)
+    print(f"host int8 corpus ready: {corpus_i8.nbytes / 2**30:.1f} GiB", flush=True)
 
     import ml_dtypes
 
