@@ -679,6 +679,63 @@ def probe_pallas_gmax_32768(iters):
     return _probe_pallas_gmax(iters, 32768)
 
 
+# ------------------------------------------------------- round-3 probes
+# The single-read kernel (impl="single"): one corpus read, scores to HBM,
+# candidates gathered from the score matrix; select="hier" replaces the
+# wide lax.top_k sorts (11.7ms at [256, 7936]) with two narrow ones.
+
+
+def _probe_ch_single(iters, chunk, select="flat", q_rows=Q):
+    from kirag_tpu.ops.pallas_exact import exact_topk_mips
+
+    return _probe_chained(
+        iters, lambda q, c: exact_topk_mips(q, c, K, chunk_size=chunk,
+                                            interpret=False, select=select,
+                                            impl="single"), q_rows=q_rows)
+
+
+def probe_ch_exact_single_c8192(iters):
+    return _probe_ch_single(iters, 8192)
+
+
+def probe_ch_exact_single_c16384(iters):
+    return _probe_ch_single(iters, 16384)
+
+
+def probe_ch_exact_single_hier_c8192(iters):
+    return _probe_ch_single(iters, 8192, select="hier")
+
+
+def probe_ch_exact_single_hier_c16384(iters):
+    return _probe_ch_single(iters, 16384, select="hier")
+
+
+def probe_ch_exact_single_hier_c8192_q1024(iters):
+    return _probe_ch_single(iters, 8192, select="hier", q_rows=1024)
+
+
+def probe_ch_hier_7936(iters):
+    """hier_topk alone at the group-selection width (vs ch_topk_7936=11.7ms)."""
+    import jax
+
+    from kirag_tpu.ops.pallas_exact import hier_topk
+
+    rng = np.random.default_rng(5)
+    x_host = rng.standard_normal((Q, 7936), dtype=np.float32)
+    ref = np.argsort(-x_host, axis=-1, kind="stable")[:, :K]
+    x = jax.device_put(x_host)
+    x.block_until_ready()
+    f = jax.jit(lambda y: hier_topk(y, K))
+
+    def val(o):
+        assert np.array_equal(o[1], ref)
+
+    import jax.numpy as jnp
+
+    dt = _time_chained(lambda d: f(x + d), val, iters, Q, jnp.float32)
+    return {"ms": dt * 1e3}
+
+
 PROBES = {name[len("probe_"):]: fn for name, fn in list(globals().items())
           if name.startswith("probe_")}
 

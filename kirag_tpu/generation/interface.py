@@ -211,6 +211,42 @@ class Generator:
             done.append(has_stop or has_eos)
         return done
 
+    class _StopTracker:
+        """Incremental stop-word/eos detection across decode segments.
+
+        Decodes only each NEW segment (plus a fixed token overlap so a stop
+        word spanning a segment boundary is still seen) — O(generated tokens)
+        total host decode per generation instead of the naive
+        O(segments x generated tokens) full re-decode each check. Rows are
+        sticky: once a stop word or eos is seen the row never decodes again.
+        """
+
+        OVERLAP = 32  # tokens re-decoded across the boundary; stop words are
+        # short strings ("\n", "Thought:", ...) — 32 tokens is > any of them
+
+        def __init__(self, tokenizer, stop_words: Sequence[str],
+                     eos_token_id: int, n_rows: int):
+            self.tokenizer = tokenizer
+            self.stop_words = stop_words
+            self.eos_token_id = eos_token_id
+            self.done = [False] * n_rows
+            self._tails: List[np.ndarray] = [
+                np.empty(0, dtype=np.int64)] * n_rows
+
+        def update(self, new_ids: np.ndarray) -> List[bool]:
+            for row in range(len(self.done)):
+                if self.done[row]:
+                    continue
+                seg = np.asarray(new_ids[row])
+                window = np.concatenate([self._tails[row], seg])
+                text = self.tokenizer.decode(window, skip_special_tokens=True)
+                if any(w in text for w in self.stop_words) or bool(
+                        np.any(seg == self.eos_token_id)):
+                    self.done[row] = True
+                else:
+                    self._tails[row] = window[-self.OVERLAP:]
+            return self.done
+
     def _segmented_greedy(self, batch, max_new: int, stop_words: Sequence[str],
                           return_logits: bool = True):
         """Generate in segments; after each, decode on host and stop when every
@@ -227,6 +263,9 @@ class Generator:
         attention_mask = batch["attention_mask"]
         seg = self.stop_check_every
         all_ids, all_logits = [], []
+        tracker = self._StopTracker(self.tokenizer, stop_words,
+                                    self.backend.eos_token_id,
+                                    len(input_ids))
 
         if hasattr(self.backend, "greedy_resume"):
             # reserve 1 (prefill token) + full segments so every resume call
@@ -239,7 +278,7 @@ class Generator:
             all_logits.append(gen_logits)
             produced = gen_ids.shape[1]
             while produced < max_new:
-                if all(self._stop_status(np.concatenate(all_ids, axis=1), stop_words)):
+                if all(tracker.update(np.asarray(gen_ids))):
                     break
                 gen_ids, gen_logits, state = self.backend.greedy_resume(
                     state, seg, return_logits=return_logits)
@@ -259,7 +298,7 @@ class Generator:
             all_ids.append(np.asarray(gen_ids))
             all_logits.append(gen_logits)
             produced += gen_ids.shape[1]
-            if all(self._stop_status(np.concatenate(all_ids, axis=1), stop_words)):
+            if all(tracker.update(np.asarray(gen_ids))):
                 break
             # extend context with the generated segment for the next round
             input_ids = np.concatenate([input_ids, np.asarray(gen_ids)], axis=1)

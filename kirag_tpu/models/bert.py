@@ -167,7 +167,9 @@ def _flash_attention(x: jnp.ndarray, attention_mask: jnp.ndarray, p: Params,
     k = _dense(x, p["key"]).reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
     v = _dense(x, p["value"]).reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
     seg = attention_mask.astype(jnp.int32)
-    blk = min(512, t)
+    # largest block that divides t (BlockSizes requires it): t=640/768/896
+    # pass the auto gate (t % 128 == 0) but are not divisible by 512
+    blk = next((c for c in (512, 384, 256, 128) if t % c == 0), min(t, 512))
     sizes = fa.BlockSizes(
         block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
         block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,
@@ -180,6 +182,9 @@ def _flash_attention(x: jnp.ndarray, attention_mask: jnp.ndarray, p: Params,
 
 
 def _resolve_attention_impl(impl: str, t: int, config: BertConfig) -> str:
+    """auto -> flash on TPU: validated on-chip round 3 (cosine 0.999999 vs
+    the XLA oracle, 1.71x faster at e5-large b128 x s256 — 544.5 vs 318.1
+    passages/s, benchmarks/bench_encoder_results.jsonl)."""
     if impl != "auto":
         return impl
     if (jax.default_backend() == "tpu" and t % 128 == 0

@@ -6,27 +6,33 @@ speed-of-light. The XLA exact paths in :mod:`kirag_tpu.ops.mips` either
 materialize the full [Q, N] f32 score matrix to HBM (one-pass) or pay a
 sort-dominated per-chunk selection (scan); both leave most of the chip idle.
 
-Structure (exactness argument in :func:`exact_topk_mips`):
+Structure of the round-3 default, ``impl="single"`` (exactness argument in
+:func:`exact_topk_mips`; the corpus is read from HBM exactly ONCE):
 
-1. **Pass A** (:func:`_gmax_kernel`): chunked MXU matmul fused with a
-   per-128-lane-group max — scores never leave VMEM, only the [Q, N/128] f32
-   group maxima are written (256 KB per 1M rows per query block of 8).
-   Invalid rows (``valid_rows`` padding) are masked in-kernel so garbage
-   rows can never displace a real group.
+1. **Fused pass** (:func:`_score_gmax_kernel`): chunked MXU matmul fused
+   with a per-128-lane-group max; the f32 score chunk is streamed to HBM
+   (4*Q*N bytes) alongside the [Q, N/128] group maxima. Invalid rows
+   (``valid_rows`` padding) are masked in-kernel so garbage rows can never
+   displace a real group.
 2. **Group selection**: top-k of the group maxima. Any true top-k row lives
    in a group whose max is >= the kth overall score, and at most k distinct
    groups can contain top-k rows, so the top-k groups by max are a superset
    of the groups containing the true top-k. Selected group ids are sorted
    ascending so candidate order is global-row order (FAISS tie-breaking).
-3. **Pass B** (:func:`_gather_kernel`): a second fused pass re-scores the
-   corpus and extracts the k selected groups per query with a one-hot MXU
-   matmul, accumulating the [Q, k, 128] candidate block in VMEM across grid
-   steps (each group lives in exactly one chunk, so summation is exact).
+3. **Candidate gather**: `take_along_axis` of the k selected 128-lane groups
+   from the materialized score matrix — contiguous 512-byte reads, ~13 MB at
+   Q=256/k=100, no re-score.
 4. **Final selection**: exact top-k of the k*128 candidates.
 
-Selections (steps 2 and 4) use :func:`topk_lastdim` — an iterative
-masked-max-extraction Pallas kernel (k sequential VPU reductions, no sort)
-— with `lax.top_k` as the interpret/CPU fallback oracle.
+``impl="twopass"`` keeps the round-2 kernel pair (:func:`_gmax_kernel` +
+:func:`_gather_kernel` one-hot MXU re-score): scores never leave VMEM, at
+the cost of reading the corpus twice — the right trade only when the
+[Q, N] f32 score write does not fit in HBM next to the index.
+
+Selections (steps 2 and 4) default to `lax.top_k`; ``select="hier"`` uses
+:func:`hier_topk` (two narrow sorts + one-hot MXU gather) — on-chip probes
+showed the WIDE sort dominates end-to-end time (11.7 ms for lax.top_k over
+[256, 7936] vs ~5 ms of matmul+HBM; benchmarks/probe_r2b_results.jsonl).
 
 All kernels run in interpret mode on CPU (tests) and compiled on TPU.
 """
@@ -69,7 +75,7 @@ def _compiler_params(interpret: bool):
     if pltpu is None or interpret:
         return {}
     return {"compiler_params": pltpu.CompilerParams(
-        vmem_limit_bytes=100 * 1024 * 1024)}
+        vmem_limit_bytes=128 * 1024 * 1024)}
 
 
 # --------------------------------------------------------------- pallas top-k
@@ -179,7 +185,10 @@ def hier_topk(x: jnp.ndarray, k: int, block: int = 16
 
     Inputs may contain -inf (mask values): x is clamped to FIN_MIN before
     the gather matmul (MXU bf16 operand decomposition turns f32max/-inf
-    into NaN via 0*inf; see FIN_MIN).
+    into NaN via 0*inf; see FIN_MIN). Domain restriction: legitimate scores
+    at or below FIN_MIN (-1e30) are indistinguishable from mask values and
+    are reported as -inf — unreachable for normalized-embedding inner
+    products (|score| <= 1), which is this op's domain.
     """
     q, w = x.shape
     x = x.astype(jnp.float32)
@@ -238,6 +247,45 @@ def _gmax_kernel(q_ref, c_ref, valid_ref, *rest, groups_per_chunk: int,
     row = pl.program_id(0) * chunk_size + jax.lax.broadcasted_iota(
         jnp.int32, scores.shape, 1)
     scores = jnp.where(row < valid_ref[0, 0], scores, FIN_MIN)
+    s3 = scores.reshape(n_q, groups_per_chunk, LANES)
+    gmax_ref[0] = jnp.max(s3, axis=-1).T                 # [G, Q]
+
+
+# ------------------------------------------------- pass A (single-read v3)
+
+
+def _score_gmax_kernel(q_ref, c_ref, valid_ref, *rest, groups_per_chunk: int,
+                       chunk_size: int):
+    """Single-read fused pass: scoring matmul + per-group max, WITH the f32
+    score chunk written to HBM so candidate extraction is a cheap gather
+    instead of a second full corpus re-score (round-3 redesign: the round-2
+    two-pass kernel read the corpus twice — 2x HBM bytes and 2x MXU FLOPs
+    by construction; VERDICT r2 item 1a).
+
+    Refs: q [Q, D] (constant), c [CHUNK, D] (per chunk), valid [1,1] SMEM,
+    optional s [1, CHUNK] f32 dequant scales; outs: scores [Q, CHUNK] f32
+    (per chunk), gmax [1, G, Q] f32.
+    """
+    if len(rest) == 3:
+        s_ref, scores_ref, gmax_ref = rest
+    else:
+        s_ref = None
+        scores_ref, gmax_ref = rest
+    q = q_ref[:]
+    c = c_ref[:]
+    if c.dtype == jnp.int8:
+        c = c.astype(jnp.bfloat16)
+        q = q.astype(jnp.bfloat16)
+    scores = jax.lax.dot_general(
+        q, c, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [Q, CHUNK]
+    if s_ref is not None:
+        scores = scores * s_ref[0][None, :]
+    n_q = scores.shape[0]
+    row = pl.program_id(0) * chunk_size + jax.lax.broadcasted_iota(
+        jnp.int32, scores.shape, 1)
+    scores = jnp.where(row < valid_ref[0, 0], scores, FIN_MIN)
+    scores_ref[:] = scores
     s3 = scores.reshape(n_q, groups_per_chunk, LANES)
     gmax_ref[0] = jnp.max(s3, axis=-1).T                 # [G, Q]
 
@@ -306,10 +354,15 @@ def _pad_to_chunks(corpus, scales, chunk_size):
 
 
 def _exact_body(queries, corpus, k_eff: int, chunk_size: int, n_valid,
-                interpret: bool, scales, select: str = "flat"):
+                interpret: bool, scales, select: str = "flat",
+                impl: str = "single"):
     """Shared by the jitted single-chip entry and the shard_map local body
     (``n_valid`` may be a traced scalar). ``select`` picks the selection
-    stages: "flat" = lax.top_k, "hier" = two-level :func:`hier_topk`."""
+    stages: "flat" = lax.top_k, "hier" = two-level :func:`hier_topk`.
+    ``impl``: "single" = one corpus read, scores materialized to HBM,
+    candidates gathered from the score matrix; "twopass" = the round-2
+    kernel pair that re-scores the corpus to gather candidates (kept for
+    A/B and as a low-HBM fallback: it never materializes [Q, N] scores)."""
     n, d = corpus.shape
     n_q = queries.shape[0]
     corpus, scales = _pad_to_chunks(corpus, scales, chunk_size)
@@ -352,49 +405,84 @@ def _exact_body(queries, corpus, k_eff: int, chunk_size: int, n_valid,
         operands.append(
             scales.astype(jnp.float32).reshape(num_chunks, chunk_size))
 
-    # ---- pass A: fused matmul + masked group max
-    gmax = pl.pallas_call(
-        functools.partial(_gmax_kernel, groups_per_chunk=groups_per_chunk,
-                          chunk_size=chunk_size),
-        grid=(num_chunks,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, groups_per_chunk, n_q), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((num_chunks, groups_per_chunk, n_q),
-                                       jnp.float32),
-        interpret=interpret,
-        **_compiler_params(interpret),
-    )(*operands)
-    gmax = gmax.reshape(groups, n_q).T                   # [Q, groups]
+    if impl == "single":
+        # ---- one fused pass: matmul + masked group max, scores kept in HBM
+        scores, gmax = pl.pallas_call(
+            functools.partial(_score_gmax_kernel,
+                              groups_per_chunk=groups_per_chunk,
+                              chunk_size=chunk_size),
+            grid=(num_chunks,),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((n_q, chunk_size), lambda i: (0, i)),
+                pl.BlockSpec((1, groups_per_chunk, n_q), lambda i: (i, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_q, n_pad), jnp.float32),
+                jax.ShapeDtypeStruct((num_chunks, groups_per_chunk, n_q),
+                                     jnp.float32),
+            ],
+            interpret=interpret,
+            **_compiler_params(interpret),
+        )(*operands)
+        gmax = gmax.reshape(groups, n_q).T               # [Q, groups]
 
-    # ---- group selection; ascending sort => candidates in global row order,
-    # so the final stable top-k breaks score ties toward the lower row id
-    if select == "hier":
-        _, gsel = hier_topk(gmax, k_eff)
+        # group selection; ascending sort => candidates in global row order
+        if select == "hier":
+            _, gsel = hier_topk(gmax, k_eff)
+        else:
+            _, gsel = topk_lastdim(gmax, k_eff, interpret=interpret)
+        gsel = jnp.sort(gsel, axis=-1)
+
+        # candidate extraction = contiguous 128-lane gather from the score
+        # matrix (13 MB at Q=256/k=100) — no second corpus read
+        cand = jnp.take_along_axis(
+            scores.reshape(n_q, groups, LANES), gsel[:, :, None], axis=1)
     else:
-        _, gsel = topk_lastdim(gmax, k_eff, interpret=interpret)
-    gsel = jnp.sort(gsel, axis=-1)
+        # ---- pass A: fused matmul + masked group max (scores stay in VMEM)
+        gmax = pl.pallas_call(
+            functools.partial(_gmax_kernel, groups_per_chunk=groups_per_chunk,
+                              chunk_size=chunk_size),
+            grid=(num_chunks,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, groups_per_chunk, n_q),
+                                   lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((num_chunks, groups_per_chunk, n_q),
+                                           jnp.float32),
+            interpret=interpret,
+            **_compiler_params(interpret),
+        )(*operands)
+        gmax = gmax.reshape(groups, n_q).T               # [Q, groups]
 
-    # ---- pass B: fused re-score + one-hot candidate gather
-    gather_specs = [
-        pl.BlockSpec((n_q, d), lambda i: (0, 0)),
-        pl.BlockSpec((chunk_size, d), lambda i: (i, 0)),
-        pl.BlockSpec((n_q, k_eff), lambda i: (0, 0)),
-    ]
-    gather_ops = [queries, corpus, gsel]
-    if scales is not None:
-        gather_specs.append(pl.BlockSpec((1, chunk_size), lambda i: (i, 0)))
-        gather_ops.append(
-            scales.astype(jnp.float32).reshape(num_chunks, chunk_size))
-    cand = pl.pallas_call(
-        functools.partial(_gather_kernel, groups_per_chunk=groups_per_chunk,
-                          k=k_eff),
-        grid=(num_chunks,),
-        in_specs=gather_specs,
-        out_specs=pl.BlockSpec((n_q, k_eff, LANES), lambda i: (0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n_q, k_eff, LANES), jnp.float32),
-        interpret=interpret,
-        **_compiler_params(interpret),
-    )(*gather_ops)
+        # group selection; ascending sort => candidates in global row order,
+        # so the final stable top-k breaks score ties toward the lower row id
+        if select == "hier":
+            _, gsel = hier_topk(gmax, k_eff)
+        else:
+            _, gsel = topk_lastdim(gmax, k_eff, interpret=interpret)
+        gsel = jnp.sort(gsel, axis=-1)
+
+        # ---- pass B: fused re-score + one-hot candidate gather
+        gather_specs = [
+            pl.BlockSpec((n_q, d), lambda i: (0, 0)),
+            pl.BlockSpec((chunk_size, d), lambda i: (i, 0)),
+            pl.BlockSpec((n_q, k_eff), lambda i: (0, 0)),
+        ]
+        gather_ops = [queries, corpus, gsel]
+        if scales is not None:
+            gather_specs.append(pl.BlockSpec((1, chunk_size), lambda i: (i, 0)))
+            gather_ops.append(
+                scales.astype(jnp.float32).reshape(num_chunks, chunk_size))
+        cand = pl.pallas_call(
+            functools.partial(_gather_kernel,
+                              groups_per_chunk=groups_per_chunk, k=k_eff),
+            grid=(num_chunks,),
+            in_specs=gather_specs,
+            out_specs=pl.BlockSpec((n_q, k_eff, LANES), lambda i: (0, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((n_q, k_eff, LANES), jnp.float32),
+            interpret=interpret,
+            **_compiler_params(interpret),
+        )(*gather_ops)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (n_q, k_eff, LANES), 2)
     rows = (gsel[:, :, None] * LANES + lane).reshape(n_q, k_eff * LANES)
@@ -413,14 +501,14 @@ def _exact_body(queries, corpus, k_eff: int, chunk_size: int, n_valid,
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "chunk_size", "valid_rows",
-                                    "interpret", "select"))
+                                    "interpret", "select", "impl"))
 def _exact_topk_jit(queries, corpus, k, chunk_size, valid_rows, interpret,
-                    scales, select="flat"):
+                    scales, select="flat", impl="single"):
     n = corpus.shape[0]
     n_valid = n if valid_rows is None else valid_rows
     k_eff = min(k, n)
     vals, idx = _exact_body(queries, corpus, k_eff, chunk_size, n_valid,
-                            interpret, scales, select=select)
+                            interpret, scales, select=select, impl=impl)
     if k_eff < k:
         vals = jnp.pad(vals, ((0, 0), (0, k - k_eff)),
                        constant_values=-jnp.inf)
@@ -433,18 +521,29 @@ def exact_topk_mips(queries: jnp.ndarray, corpus: jnp.ndarray, k: int,
                     valid_rows: Optional[int] = None,
                     interpret: Optional[bool] = None,
                     scales: Optional[jnp.ndarray] = None,
-                    select: str = "flat") -> Tuple[jnp.ndarray, jnp.ndarray]:
+                    select: str = "flat",
+                    impl: str = "single") -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k inner-product search, fully fused on TPU.
 
     Same contract as :func:`kirag_tpu.ops.mips.topk_mips` (which is the test
     oracle): (values [Q, k] f32, indices [Q, k] int32), descending, ties to
     the lower row id. ``scales`` ([N] f32 per-row dequant factors) enables
     int8-compressed corpora, matching the dequantized oracle.
+
+    ``impl="single"`` (default): the round-3 single-read kernel — one fused
+    scoring pass materializes f32 scores + group maxima; candidates come
+    from a contiguous gather of the score matrix. HBM cost: corpus bytes +
+    4*Q*N score write. ``impl="twopass"``: the round-2 kernel pair (corpus
+    read twice, scores never leave VMEM) for HBM-constrained corpora where
+    the [Q, N] f32 write does not fit alongside the index.
     """
     interpret = _resolve_interpret(interpret)
-    chunk_size = max(LANES, min(chunk_size, -(-corpus.shape[0] // LANES) * LANES))
+    # round DOWN to a LANES multiple (a stray chunk like 1000 would break the
+    # in-kernel [Q, G, LANES] reshape with an opaque trace error), then clamp
+    chunk_size = max(LANES, (chunk_size // LANES) * LANES)
+    chunk_size = min(chunk_size, -(-corpus.shape[0] // LANES) * LANES)
     return _exact_topk_jit(queries, corpus, k, chunk_size, valid_rows,
-                           interpret, scales, select=select)
+                           interpret, scales, select=select, impl=impl)
 
 
 def sharded_exact_topk_mips(queries: jnp.ndarray, corpus_sharded: jnp.ndarray,
@@ -452,7 +551,8 @@ def sharded_exact_topk_mips(queries: jnp.ndarray, corpus_sharded: jnp.ndarray,
                             chunk_size: int = 4096,
                             valid_rows: Optional[int] = None,
                             interpret: Optional[bool] = None,
-                            scales: Optional[jnp.ndarray] = None
+                            scales: Optional[jnp.ndarray] = None,
+                            impl: str = "single"
                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused exact top-k over a corpus row-sharded across ``mesh[axis]``:
     per-shard fused search with global row ids, candidates all-gathered over
@@ -464,7 +564,8 @@ def sharded_exact_topk_mips(queries: jnp.ndarray, corpus_sharded: jnp.ndarray,
     assert n_total % num_shards == 0, "corpus rows must divide the mesh axis"
     shard_rows = n_total // num_shards
     k_eff = min(k, shard_rows)
-    local_chunk = max(LANES, min(chunk_size, -(-shard_rows // LANES) * LANES))
+    local_chunk = max(LANES, (chunk_size // LANES) * LANES)
+    local_chunk = min(local_chunk, -(-shard_rows // LANES) * LANES)
 
     def local_search(q_local, corpus_local, *scale_args):
         shard_id = jax.lax.axis_index(axis)
@@ -472,7 +573,8 @@ def sharded_exact_topk_mips(queries: jnp.ndarray, corpus_sharded: jnp.ndarray,
         local_valid = jnp.clip(n_valid - offset, 0, shard_rows)
         local_scales = scale_args[0] if scale_args else None
         vals, idx = _exact_body(q_local, corpus_local, k_eff, local_chunk,
-                                local_valid, interpret, local_scales)
+                                local_valid, interpret, local_scales,
+                                impl=impl)
         idx = idx + offset
         all_vals = jax.lax.all_gather(vals, axis, axis=1, tiled=True)
         all_idx = jax.lax.all_gather(idx, axis, axis=1, tiled=True)

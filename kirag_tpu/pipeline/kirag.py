@@ -67,7 +67,8 @@ class KiRAG:
                  adaptive_examplars: bool = True, embedder=None,
                  num_turns: int = 5, topk: int = 10, num_candidate_triples: int = 20,
                  maximum_possible_choices: int = 100, use_title_in_triples: bool = False,
-                 reasoning_chain_examplars: Optional[List[Dict]] = None, **kwargs):
+                 reasoning_chain_examplars: Optional[List[Dict]] = None,
+                 reinforcement: str = "f1", **kwargs):
         """
         Args:
           retriever: DenseRetriever with indexer+corpus (passage retrieval).
@@ -77,6 +78,11 @@ class KiRAG:
             Reasoning Chain Aligner (`models.py:1277-1307`).
           embedder: optional embedder for adaptive examplar ranking (defaults
             to the aligner).
+          reinforcement: how generated reasoning steps reinforce stored
+            triples — "f1" (token-F1 + answer-string, the reference main
+            loop's choice), "string" (exact <h; r; t> component match,
+            `models.py:1378-1416`), or "similarity" (nearest stored triple
+            by embedding, `models.py:1418-1462`).
         """
         self.retriever = retriever
         self.kg_generator = kg_generator
@@ -90,6 +96,9 @@ class KiRAG:
         self.num_candidate_triples = num_candidate_triples
         self.maximum_possible_choices = maximum_possible_choices
         self.use_title_in_triples = use_title_in_triples
+        if reinforcement not in ("f1", "string", "similarity"):
+            raise ValueError(f"unknown reinforcement mode: {reinforcement!r}")
+        self.reinforcement = reinforcement
         self.kwargs = kwargs
 
         if reasoning_chain_examplars is not None:
@@ -185,6 +194,59 @@ class KiRAG:
                     if answer.lower() in id2triple[tid]["text"].lower():
                         id2score[tid] += 0.5
                         break
+        return id2score, id2triple
+
+    def update_reasoning_chains_triples_based_on_string(
+            self, id2score: Dict[str, float], id2triple: Dict[str, dict],
+            triples: List[str]) -> Tuple[Dict[str, float], Dict[str, dict]]:
+        """Exact-match reinforcement (`models.py:1378-1416`): +0.5 to the
+        first stored triple whose <h; r; t> components equal the parsed
+        generated step, case/whitespace-insensitively."""
+        if not triples:
+            return id2score, id2triple
+
+        def components(text: str):
+            parts = text.replace("<", "").replace(">", "").split(";")
+            if len(parts) != 3:
+                return None
+            return tuple(p.strip().lower() for p in parts)
+
+        stored = [(tid, components(t["text"])) for tid, t in id2triple.items()]
+        for triple in triples:
+            parsed = parse_triples_text(triple)
+            if not parsed:
+                continue
+            target = components(parsed[0])
+            if target is None:
+                continue
+            for tid, comp in stored:
+                if comp is not None and comp == target:
+                    id2score[tid] += 0.5
+                    break
+        return id2score, id2triple
+
+    def update_reasoning_chains_triples_based_on_similarity(
+            self, id2score: Dict[str, float], id2triple: Dict[str, dict],
+            triples: List[str]) -> Tuple[Dict[str, float], Dict[str, dict]]:
+        """Embedding-similarity reinforcement (`models.py:1418-1462`): each
+        non-empty, non-yes/no generated step adds +0.5 to its nearest stored
+        triple by aligner-embedding inner product. The reference threads an
+        incremental (index2id, embeddings) state through the loop; here the
+        cross-turn triple-embedding cache makes stored-triple embeddings
+        free to re-assemble, so no extra state is carried."""
+        if not triples or not id2triple:
+            return id2score, id2triple
+        ids = list(id2triple.keys())
+        stored = self._triple_embeddings([id2triple[t]["text"] for t in ids])
+        steps = [t for t in triples
+                 if len(t) > 0 and "answer is: yes" not in t.lower()
+                 and "answer is: no" not in t.lower()]
+        if not steps:
+            return id2score, id2triple
+        step_emb = self._triple_embeddings(steps)
+        nearest = np.argmax(step_emb @ stored.T, axis=1)
+        for row in nearest:
+            id2score[ids[int(row)]] += 0.5
         return id2score, id2triple
 
     @staticmethod
@@ -357,8 +419,12 @@ class KiRAG:
                 ranked_examplars_indices=ranked_examplars_indices,
             )
             new_steps = [chain[turn] for chain in reasoning_chains if len(chain) > turn]
-            id2score, id2triple = self.update_reasoning_chains_triples_based_on_f1_score(
-                id2score, id2triple, new_steps)
+            reinforce = {
+                "f1": self.update_reasoning_chains_triples_based_on_f1_score,
+                "string": self.update_reasoning_chains_triples_based_on_string,
+                "similarity": self.update_reasoning_chains_triples_based_on_similarity,
+            }[self.reinforcement]
+            id2score, id2triple = reinforce(id2score, id2triple, new_steps)
 
         if id2score:
             docids_to_scores = self.get_docids_to_scores_from_triples(id2score, id2triple)

@@ -204,14 +204,78 @@ class TripleSelector(KiRAG):
         new_chains.sort(key=lambda c: c["score"], reverse=True)
         return new_chains[:max_num_chains] if max_num_chains else new_chains
 
+    # -- retriever-only beam (no LLM in the expansion step) --------------------------
+
+    def select_wo_selector(self, question: str, documents: List[dict],
+                           existing_reasoning_chains: Optional[List[dict]] = None,
+                           num_beams: int = 5,
+                           max_num_chains: Optional[int] = None,
+                           return_triple_filter_scores: bool = False
+                           ) -> List[dict]:
+        """Retriever-only beam expansion (reference `forward_wo_selector`,
+        `models.py:1102-1183`): each unfinished chain forks into its top
+        ``num_beams`` aligner-scored candidates — no LLM call; a chain's
+        score is the running SUM of its triples' aligner scores (vs the
+        selector beam's product of option probabilities). Candidates at or
+        below the reference's -1e4 sentinel stop the fork. One deliberate
+        fix: ``triple_filter_scores`` is each chain's OWN per-step score
+        list (the reference attaches the full list-of-lists to every row).
+        """
+        if existing_reasoning_chains:
+            chains = [c["triples"] for c in existing_reasoning_chains]
+            chains_scores = [c["score"] for c in existing_reasoning_chains]
+            chains_finished = [c["finished"] for c in existing_reasoning_chains]
+            chains_tfs = [list(c.get("triple_filter_scores", []))
+                          for c in existing_reasoning_chains]
+            if all(chains_finished):
+                return existing_reasoning_chains
+        else:
+            chains, chains_scores = [[]], [0.0]
+            chains_finished, chains_tfs = [False], [[]]
+
+        all_triples = self.get_candidate_triples_from_documents(documents)
+        if all_triples:
+            cand_indices, cand_scores = self.filter_candidate_triples(
+                question, chains, all_triples, self.num_candidate_triples)
+        else:
+            cand_indices = [[] for _ in chains]
+            cand_scores = [[] for _ in chains]
+        cand_indices, cand_scores = self.filter_duplicate_triples(
+            chains, all_triples, cand_indices, cand_scores)
+
+        new_chains: List[dict] = []
+        for i, (chain, score, finished) in enumerate(
+                zip(chains, chains_scores, chains_finished)):
+            if finished or len(cand_indices[i]) == 0:
+                new_chains.append({"triples": chain, "score": score,
+                                   "finished": True,
+                                   "triple_filter_scores": chains_tfs[i]})
+                continue
+            for ix, sc in list(zip(cand_indices[i], cand_scores[i]))[:num_beams]:
+                if sc <= -1e4:
+                    break
+                new_chains.append({
+                    "triples": chain + [all_triples[ix]],
+                    "score": score + float(sc), "finished": False,
+                    "triple_filter_scores": chains_tfs[i] + [float(sc)]})
+
+        new_chains.sort(key=lambda c: c["score"], reverse=True)
+        if not return_triple_filter_scores:
+            for c in new_chains:
+                c.pop("triple_filter_scores", None)
+        return new_chains[:max_num_chains] if max_num_chains else new_chains
+
     # -- full retrieval with the selector --------------------------------------------
 
     def retrieve(self, question: str, num_beams: int = 5,
-                 max_num_chains: int = 5, **kwargs):
+                 max_num_chains: int = 5, use_llm_selector: bool = True,
+                 **kwargs):
         """Iterative retrieval where chain extension is the option-prob beam
-        instead of free generation."""
+        instead of free generation. ``use_llm_selector=False`` swaps in the
+        retriever-only beam (:meth:`select_wo_selector`)."""
         docids_to_scores: Dict[str, float] = {}
         chains: List[dict] = []
+        step = self.select if use_llm_selector else self.select_wo_selector
         for turn in range(self.num_turns):
             if chains and all(c["finished"] for c in chains):
                 break
@@ -222,9 +286,9 @@ class TripleSelector(KiRAG):
             docids_to_scores = self.update_retrieved_documents(docids_to_scores, retrieved)
             documents = self.retriever.get_documents(docids_to_scores)
             documents_with_kgs = self.kg_generator(documents)
-            chains = self.select(question, documents_with_kgs,
-                                 existing_reasoning_chains=chains,
-                                 num_beams=num_beams, max_num_chains=max_num_chains)
+            chains = step(question, documents_with_kgs,
+                          existing_reasoning_chains=chains,
+                          num_beams=num_beams, max_num_chains=max_num_chains)
 
         doc_scores: Dict[str, float] = {}
         for c in chains:

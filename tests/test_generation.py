@@ -92,6 +92,61 @@ class TestStubGenerator:
         assert texts[0].strip().startswith("beta gamma")
         assert "next" not in texts[0]
 
+    def test_incremental_stop_decode_is_linear(self, tok):
+        """The segment stop check must decode each generated token O(1) times
+        (plus a fixed overlap), not re-decode the full generation per segment;
+        outputs must be unchanged vs the naive full re-decode."""
+        rule = ("alpha", "one two three four five six seven eight . question : tail")
+        naive = make_stub_generator(tok, rules=[rule], stop_check_every=2)
+        texts_naive = naive.generate_texts(["i"], ["alpha"],
+                                           stop_words=["question"])
+
+        gen = make_stub_generator(tok, rules=[rule], stop_check_every=2)
+        texts = gen.generate_texts(["i"], ["alpha"], stop_words=["question"])
+        assert texts == texts_naive
+
+        # linearity: every per-check decode window is bounded by
+        # segment + OVERLAP, independent of prior generation length
+        from kirag_tpu.generation.interface import Generator
+
+        calls = []
+
+        class CountingTok:
+            def decode(self, ids, **kw):
+                calls.append(len(ids))
+                return tok.decode(ids, **kw)
+
+        seg = 4
+        tracker = Generator._StopTracker(CountingTok(), ["zzz"], -1, 2)
+        rng = np.random.RandomState(0)
+        for _ in range(40):  # 160 tokens in 4-token segments
+            tracker.update(rng.randint(5, 50, size=(2, seg)))
+        bound = seg + Generator._StopTracker.OVERLAP
+        assert calls and max(calls) <= bound, (max(calls), bound)
+
+    def test_stop_word_spanning_segment_boundary(self, tok):
+        # the two-token stop phrase "mu nu" spans a 2-token segment boundary:
+        # the overlap tail must still catch it (and not before)
+        from kirag_tpu.generation.interface import Generator
+
+        ids = tok("beta gamma delta mu nu epsilon",
+                  add_special_tokens=False)["input_ids"]
+        assert len(ids) == 6
+        tracker = Generator._StopTracker(tok, ["mu nu"], -1, 1)
+        # segments: [beta gamma] [delta mu] [nu epsilon]
+        assert tracker.update(np.asarray([ids[0:2]])) == [False]
+        assert tracker.update(np.asarray([ids[2:4]])) == [False]
+        assert tracker.update(np.asarray([ids[4:6]])) == [True]
+        # sticky: later updates never decode again nor un-set done
+        assert tracker.update(np.asarray([ids[0:2]])) == [True]
+
+    def test_stop_tracker_eos(self, tok):
+        from kirag_tpu.generation.interface import Generator
+
+        tracker = Generator._StopTracker(tok, ["zzz"], tok.eos_token_id, 2)
+        seg = np.asarray([[5, 6], [7, tok.eos_token_id]])
+        assert tracker.update(seg) == [False, True]
+
 
 class TestAnswerGenerator:
     def test_parse_answers(self):

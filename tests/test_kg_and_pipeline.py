@@ -188,5 +188,60 @@ class TestKiRAGPipeline:
         assert list(id2score.values())[0] == 0.9  # max-score merge
 
 
+class TestReinforcementVariants:
+    """The reference's alternate chain-reinforcement modes
+    (`models.py:1378-1462`), selectable via KiRAG(reinforcement=...)."""
+
+    def _stored(self):
+        t1 = {"title": "w1", "text": "<w1; is; w101>", "reference": ["doc1", 0]}
+        t2 = {"title": "w2", "text": "<w2; of; w102>", "reference": ["doc2", 0]}
+        id2triple = {"id1": t1, "id2": t2}
+        id2score = {"id1": 1.0, "id2": 0.9}
+        return id2score, id2triple
+
+    def test_string_variant_exact_component_match(self, tmp_path):
+        kirag, _, _ = _build_pipeline(tmp_path, [""])
+        id2score, id2triple = self._stored()
+        # case/whitespace-insensitive component equality
+        steps = ["< W1 ;  is ; w101 >", "<w9; x; y>", "not a triple"]
+        id2score, _ = kirag.update_reasoning_chains_triples_based_on_string(
+            id2score, id2triple, steps)
+        assert id2score["id1"] == 1.5
+        assert id2score["id2"] == 0.9
+
+    def test_similarity_variant_boosts_nearest(self, tmp_path):
+        kirag, _, _ = _build_pipeline(tmp_path, [""])
+        id2score, id2triple = self._stored()
+        # a step identical to a stored triple text is its own nearest neighbor
+        id2score, _ = kirag.update_reasoning_chains_triples_based_on_similarity(
+            id2score, id2triple, ["<w2; of; w102>"])
+        assert id2score["id2"] == pytest.approx(1.4)
+        assert id2score["id1"] == 1.0
+
+    def test_similarity_variant_skips_yes_no_and_empty(self, tmp_path):
+        kirag, _, _ = _build_pipeline(tmp_path, [""])
+        id2score, id2triple = self._stored()
+        before = dict(id2score)
+        id2score, _ = kirag.update_reasoning_chains_triples_based_on_similarity(
+            id2score, id2triple,
+            ["", "so the answer is: yes", "the answer is: no"])
+        assert id2score == before
+
+    def test_dispatch_and_validation(self, tmp_path):
+        kirag, _, _ = _build_pipeline(tmp_path, [""])
+        assert kirag.reinforcement == "f1"
+        with pytest.raises(ValueError):
+            KiRAG(retriever=kirag.retriever, kg_generator=kirag.kg_generator,
+                  constructor=kirag.constructor, aligner=kirag.aligner,
+                  adaptive_examplars=False, reinforcement="bogus")
+
+    def test_retrieve_with_string_reinforcement(self, tmp_path):
+        kirag, corpus, _ = _build_pipeline(tmp_path, ["< w5 ; is ; w105 >", ""])
+        kirag.reinforcement = "string"
+        chains, docids_to_scores = kirag.retrieve(
+            corpus[5]["passage"].replace("title :", ""))
+        assert len(docids_to_scores) > 0
+
+
 def state_calls(generator) -> int:
     return len(generator.backend.calls)

@@ -149,6 +149,69 @@ class TestExactTopkMips:
         np.testing.assert_array_equal(np.asarray(idx), oidx)
 
 
+class TestTwopassImpl:
+    """The round-2 two-pass kernel stays available as the low-HBM fallback
+    (impl="twopass") — same oracle contract as the single-read default."""
+
+    @pytest.mark.parametrize("n,k,chunk", [(4096, 25, 1024), (2500, 10, 512)])
+    def test_matches_oracle(self, rng, n, k, chunk):
+        q = rng.randn(7, 32).astype(np.float32)
+        c = rng.randn(n, 32).astype(np.float32)
+        vals, idx = exact_topk_mips(jnp.asarray(q), jnp.asarray(c), k,
+                                    chunk_size=chunk, interpret=True,
+                                    impl="twopass")
+        ovals, oidx = numpy_topk(q @ c.T, k)
+        np.testing.assert_allclose(np.asarray(vals), ovals, rtol=1e-4,
+                                   atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(idx), oidx)
+
+    def test_valid_rows_and_ties(self, rng):
+        q = rng.randn(3, 16).astype(np.float32)
+        c = rng.randn(2048, 16).astype(np.float32)
+        c[1900:] = 100.0
+        _, idx = exact_topk_mips(jnp.asarray(q), jnp.asarray(c), 7,
+                                 chunk_size=512, valid_rows=1900,
+                                 interpret=True, impl="twopass")
+        assert np.asarray(idx).max() < 1900
+        _, oidx = numpy_topk(q @ c[:1900].T, 7)
+        np.testing.assert_array_equal(np.asarray(idx), oidx)
+
+    def test_int8_scales(self, rng):
+        from kirag_tpu.ops.quantized import quantize_rows_int8
+
+        c = rng.randn(1024, 32).astype(np.float32)
+        c /= np.linalg.norm(c, axis=-1, keepdims=True)
+        q = c[:4]
+        ci8, scales = quantize_rows_int8(c)
+        _, idx = exact_topk_mips(
+            jnp.asarray(q, dtype=jnp.bfloat16), jnp.asarray(ci8), 5,
+            chunk_size=256, interpret=True, scales=jnp.asarray(scales),
+            impl="twopass")
+        np.testing.assert_array_equal(np.asarray(idx)[:, 0], np.arange(4))
+
+    def test_sharded_twopass(self, rng, mesh8):
+        n, d, k = 2048, 16, 7
+        q = rng.randn(3, d).astype(np.float32)
+        c = rng.randn(n, d).astype(np.float32)
+        vals, idx = sharded_exact_topk_mips(jnp.asarray(q), jnp.asarray(c), k,
+                                            mesh8, chunk_size=256,
+                                            interpret=True, impl="twopass")
+        ovals, oidx = numpy_topk(q @ c.T, k)
+        np.testing.assert_allclose(np.asarray(vals), ovals, rtol=1e-4,
+                                   atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(idx), oidx)
+
+    def test_chunk_size_not_lane_multiple_is_rounded(self, rng):
+        # regression: chunk_size=1000 used to survive the clamp and break the
+        # in-kernel [Q, G, LANES] reshape at trace time
+        q = rng.randn(2, 16).astype(np.float32)
+        c = rng.randn(2048, 16).astype(np.float32)
+        _, idx = exact_topk_mips(jnp.asarray(q), jnp.asarray(c), 5,
+                                 chunk_size=1000, interpret=True)
+        _, oidx = numpy_topk(q @ c.T, 5)
+        np.testing.assert_array_equal(np.asarray(idx), oidx)
+
+
 class TestShardedExact:
     def test_matches_oracle(self, rng, mesh8):
         n, d, k = 4096, 32, 13

@@ -117,3 +117,59 @@ class TestSelectorBeam:
         assert choices[0].startswith("0. no need")
         assert choices[1] == "1. <a;b;c>"
         assert choices[2] == "2. <d;e;f>"
+
+
+class TestRetrieverOnlyBeam:
+    """select_wo_selector: the reference `forward_wo_selector` beam
+    (`models.py:1102-1183`) — aligner scores expand chains, no LLM call."""
+
+    def test_expands_by_aligner_scores_without_llm(self, tmp_path):
+        selector, corpus, constructor = _build_selector(tmp_path, ["1"])
+        docs = selector.retriever.get_documents(
+            {corpus[i]["passage_id"]: 1.0 for i in range(4)})
+        docs = selector.kg_generator(docs)
+        n_llm_calls = len(constructor.backend.calls)
+        chains = selector.select_wo_selector(corpus[1]["passage"], docs,
+                                             num_beams=2)
+        # the constructor LLM must not have been touched
+        assert len(constructor.backend.calls) == n_llm_calls
+        assert 1 <= len(chains) <= 2
+        assert all(len(c["triples"]) == 1 and not c["finished"] for c in chains)
+        scores = [c["score"] for c in chains]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_second_step_accumulates_scores(self, tmp_path):
+        selector, corpus, _ = _build_selector(tmp_path, ["1"])
+        docs = selector.kg_generator(selector.retriever.get_documents(
+            {corpus[i]["passage_id"]: 1.0 for i in range(4)}))
+        step1 = selector.select_wo_selector(corpus[1]["passage"], docs,
+                                            num_beams=1,
+                                            return_triple_filter_scores=True)
+        step2 = selector.select_wo_selector(corpus[1]["passage"], docs,
+                                            existing_reasoning_chains=step1,
+                                            num_beams=1,
+                                            return_triple_filter_scores=True)
+        top = step2[0]
+        assert len(top["triples"]) == 2
+        # score is the SUM of the per-step aligner scores (additive beam)
+        np.testing.assert_allclose(top["score"],
+                                   sum(top["triple_filter_scores"]), rtol=1e-5)
+        # duplicate filtering: the second triple differs from the first
+        assert top["triples"][0]["text"] != top["triples"][1]["text"]
+
+    def test_finished_chains_pass_through(self, tmp_path):
+        selector, corpus, _ = _build_selector(tmp_path, ["1"])
+        done = [{"triples": [], "score": 0.3, "finished": True}]
+        out = selector.select_wo_selector(corpus[1]["passage"], [],
+                                          existing_reasoning_chains=done)
+        assert out == done
+
+    def test_retrieve_with_use_llm_selector_false(self, tmp_path):
+        selector, corpus, constructor = _build_selector(tmp_path, ["1"])
+        selector.num_turns = 2
+        chains, doc_scores = selector.retrieve(corpus[4]["passage"],
+                                               num_beams=1, max_num_chains=2,
+                                               use_llm_selector=False)
+        assert len(constructor.backend.calls) == 0  # LLM never invoked
+        assert chains and chains[0]["triples"]
+        assert len(doc_scores) > 0
