@@ -6,7 +6,16 @@ The headline metric is queries/sec for exact top-100 inner-product search over
 a 1M x 1024 corpus (the per-chip unit of the 21M-passage DPR workload; the
 corpus scales across chips by row-sharding). ``vs_baseline`` is the speedup
 over a CPU flat exact search (torch matmul + topk — the stand-in for the
-reference's faiss.IndexFlatIP, `retriever/index.py:36-53`).
+reference's faiss.IndexFlatIP, `retriever/index.py:36-53`), PINNED in
+benchmarks/cpu_baseline.json so the denominator is identical across rounds.
+
+Timing is CHAINED (docs/DESIGN.md §0): each iteration's input is perturbed by
+a zero delta derived from the previous output, so the device serializes all
+iterations and no relay layer can dedup them; the final output is fetched
+inside the window and EVERY timed output is validated after. The round-2
+methodology fetched every iteration inside the window, which billed ~100ms of
+relay link latency per iteration to the kernel (BENCH_r02 5.8k qps vs 9.6k
+chained for the identical program — VERDICT r2 weak #1).
 """
 
 from __future__ import annotations
@@ -22,16 +31,21 @@ N_CORPUS = int(os.environ.get("BENCH_CORPUS", 1_000_000))
 DIM = int(os.environ.get("BENCH_DIM", 1024))
 N_QUERIES = int(os.environ.get("BENCH_QUERIES", 256))
 TOPK = int(os.environ.get("BENCH_TOPK", 100))
-CPU_BASELINE_ROWS = int(os.environ.get("BENCH_CPU_ROWS", 250_000))
+ITERS = int(os.environ.get("BENCH_ITERS", 8))
+# kernel knobs (defaults = the on-chip A/B winner, benchmarks/probe_r3_results.jsonl)
+CHUNK = int(os.environ.get("BENCH_CHUNK", 8192))
+SELECT = os.environ.get("BENCH_SELECT", "hier")
+IMPL = os.environ.get("BENCH_IMPL", "single")
+
+BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "benchmarks", "cpu_baseline.json")
 
 
 def tpu_qps() -> float:
     import jax
-    import jax.numpy as jnp
+    import ml_dtypes
 
     from kirag_tpu.ops.pallas_exact import exact_topk_mips
-
-    import ml_dtypes
 
     rng = np.random.default_rng(0)
     # float32 generation directly (randn makes float64: 8GB + 20x slower)
@@ -46,57 +60,71 @@ def tpu_qps() -> float:
     corpus.block_until_ready()
     del corpus_host
 
-    # the product exact path (TPUIndexer exact_impl=auto on TPU): fused
-    # two-pass Pallas kernel — measured ~1.55x the round-1 scan path and
-    # ~equal to the one-pass XLA variant with a fraction of its HBM use
-    # (benchmarks/probe_r2b_results.jsonl, chained timing)
-    run = lambda q: exact_topk_mips(q, corpus, TOPK, chunk_size=16384,
-                                    interpret=False)
+    def run(q):
+        # the product exact path: single-read fused Pallas kernel (one corpus
+        # read; scores materialized, candidates gathered from them) +
+        # hierarchical two-level selection
+        return exact_topk_mips(q, corpus, TOPK, chunk_size=CHUNK,
+                               interpret=False, select=SELECT, impl=IMPL)
 
-    # warmup/compile
-    vals, idx = run(queries)
-    jax.block_until_ready((vals, idx))
-    # sanity: queries sampled from the corpus must retrieve themselves top-1
-    # (bf16 rounding can flip the odd near-tie, hence 0.99 not 1.0)
-    self_hit = float(np.mean(np.asarray(idx[:, 0]) == query_rows))
-    assert self_hit > 0.99, f"self-retrieval hit rate {self_hit}"
+    def validate(idx_host):
+        # queries sampled from the corpus must retrieve themselves top-1
+        # (bf16 rounding can flip the odd near-tie, hence 0.99 not 1.0)
+        hit = float(np.mean(idx_host[:, 0] == query_rows))
+        assert hit > 0.99, f"self-retrieval hit rate {hit}"
 
-    iters = 5
+    # warm the compile AND the chained step's eager delta ops (their first
+    # use costs a multi-second remote compile that must not land in iter 1)
+    out = run(queries)
+    jax.block_until_ready(out)
+    validate(np.asarray(out[1]))
+    delta = (0.0 * out[0][:, :1]).astype(queries.dtype)
+    out = run(queries + delta)
+    jax.block_until_ready(out)
+    np.asarray(out[1])
+
     t0 = time.perf_counter()
-    outs = [run(queries) for _ in range(iters)]
-    # fetch + validate every iteration: on this relay, timings without
-    # validated outputs can be silently wrong (see CLAUDE.md); the fetch
-    # stays inside the window for round-1 comparability
-    fetched = [np.asarray(i) for v, i in outs]
-    dt = (time.perf_counter() - t0) / iters
-    for f in fetched:
-        assert float(np.mean(f[:, 0] == query_rows)) > 0.99, "invalid timed output"
+    outs = []
+    prev = out
+    for _ in range(ITERS):
+        delta = (0.0 * prev[0][:, :1]).astype(queries.dtype)
+        o = run(queries + delta)
+        outs.append(o)
+        prev = o
+    final_idx = np.asarray(outs[-1][1])  # fetch INSIDE the window: the relay
+    dt = (time.perf_counter() - t0) / ITERS   # does not reliably block otherwise
+    validate(final_idx)
+    for v, i in outs[:-1]:
+        validate(np.asarray(i))  # every timed output must be real + correct
     return N_QUERIES / dt
 
 
-def cpu_qps() -> float:
-    """CPU flat exact search baseline on a row subsample, scaled to N_CORPUS
-    (flat search cost is linear in rows)."""
+def cpu_baseline_qps() -> float:
+    """The pinned CPU flat-search baseline (measured once, round 3). Falls
+    back to re-measuring only if the sidecar is missing."""
+    try:
+        with open(BASELINE_PATH) as f:
+            return float(json.load(f)["cpu_qps"])
+    except (OSError, KeyError, ValueError) as e:
+        print(f"pinned baseline unavailable ({e}); re-measuring", file=sys.stderr)
     import torch
 
-    rows = min(CPU_BASELINE_ROWS, N_CORPUS)
+    rows = min(250_000, N_CORPUS)
     rng = np.random.RandomState(1)
     corpus = torch.from_numpy(rng.randn(rows, DIM).astype(np.float32))
     queries = torch.from_numpy(rng.randn(N_QUERIES, DIM).astype(np.float32))
-    # warm
     torch.topk(queries[:8] @ corpus.T[:, :1024], k=min(TOPK, 1024), dim=1)
     t0 = time.perf_counter()
     scores = queries @ corpus.T
     torch.topk(scores, k=TOPK, dim=1)
-    dt = time.perf_counter() - t0
-    dt_scaled = dt * (N_CORPUS / rows)
-    return N_QUERIES / dt_scaled
+    dt = (time.perf_counter() - t0) * (N_CORPUS / rows)
+    return N_QUERIES / dt
 
 
 def main() -> None:
     qps = tpu_qps()
     try:
-        baseline = cpu_qps()
+        baseline = cpu_baseline_qps()
     except Exception as e:  # torch missing etc.
         print(f"cpu baseline failed: {e}", file=sys.stderr)
         baseline = None

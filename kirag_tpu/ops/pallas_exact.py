@@ -522,7 +522,7 @@ def exact_topk_mips(queries: jnp.ndarray, corpus: jnp.ndarray, k: int,
                     interpret: Optional[bool] = None,
                     scales: Optional[jnp.ndarray] = None,
                     select: str = "flat",
-                    impl: str = "single") -> Tuple[jnp.ndarray, jnp.ndarray]:
+                    impl: str = "auto") -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k inner-product search, fully fused on TPU.
 
     Same contract as :func:`kirag_tpu.ops.mips.topk_mips` (which is the test
@@ -542,8 +542,20 @@ def exact_topk_mips(queries: jnp.ndarray, corpus: jnp.ndarray, k: int,
     # in-kernel [Q, G, LANES] reshape with an opaque trace error), then clamp
     chunk_size = max(LANES, (chunk_size // LANES) * LANES)
     chunk_size = min(chunk_size, -(-corpus.shape[0] // LANES) * LANES)
+    impl = _resolve_impl(impl, queries.shape[0], corpus)
     return _exact_topk_jit(queries, corpus, k, chunk_size, valid_rows,
                            interpret, scales, select=select, impl=impl)
+
+
+def _resolve_impl(impl: str, n_queries: int, corpus) -> str:
+    """auto: single-read needs a [Q, N] f32 score buffer in HBM next to the
+    corpus — pick it when that fits a v5e (16 GB) with headroom, else fall
+    back to the corpus-read-twice kernel (e.g. 8M int8 rows at Q=256:
+    8.2 GB corpus + 8.6 GB scores would not fit)."""
+    if impl != "auto":
+        return impl
+    score_bytes = 4 * n_queries * corpus.shape[0]
+    return "single" if corpus.nbytes + score_bytes < 12 * 2**30 else "twopass"
 
 
 def sharded_exact_topk_mips(queries: jnp.ndarray, corpus_sharded: jnp.ndarray,
@@ -552,7 +564,7 @@ def sharded_exact_topk_mips(queries: jnp.ndarray, corpus_sharded: jnp.ndarray,
                             valid_rows: Optional[int] = None,
                             interpret: Optional[bool] = None,
                             scales: Optional[jnp.ndarray] = None,
-                            impl: str = "single"
+                            impl: str = "auto"
                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused exact top-k over a corpus row-sharded across ``mesh[axis]``:
     per-shard fused search with global row ids, candidates all-gathered over
@@ -566,6 +578,10 @@ def sharded_exact_topk_mips(queries: jnp.ndarray, corpus_sharded: jnp.ndarray,
     k_eff = min(k, shard_rows)
     local_chunk = max(LANES, (chunk_size // LANES) * LANES)
     local_chunk = min(local_chunk, -(-shard_rows // LANES) * LANES)
+    if impl == "auto":  # per-shard HBM budget: local corpus + local scores
+        local_bytes = corpus_sharded.nbytes // num_shards
+        impl = ("single" if local_bytes + 4 * queries.shape[0] * shard_rows
+                < 12 * 2**30 else "twopass")
 
     def local_search(q_local, corpus_local, *scale_args):
         shard_id = jax.lax.axis_index(axis)

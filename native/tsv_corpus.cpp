@@ -9,7 +9,14 @@
 //
 // Exact behavioral parity with the Python loader, pinned by tests:
 //   - skip the header row (the first parsed row)
-//   - line.strip() (ASCII whitespace both ends) before splitting on '\t'
+//   - line.strip() before splitting on '\t' — strips the SINGLE-BYTE Python
+//     str whitespace set (ASCII space/\t/\n/\r/\f/\v plus \x1c-\x1f). Known
+//     limitation vs Python: multi-byte UTF-8 whitespace (U+00A0, U+0085,
+//     U+2000...) at line edges is NOT stripped; DPR psgs_w100 contains none,
+//     and tests/test_native_tsv.py pins the byte-identical contract on the
+//     covered set.
+//   - universal newlines: lines end at '\n', "\r\n", or a lone '\r'
+//     (matching Python text-mode iteration)
 //   - rows with < 3 tab-separated fields are skipped
 //   - fields beyond the third are ignored (the third ends at the next tab)
 //   - clean(): drop ONE leading and ONE trailing ASCII-punctuation char,
@@ -31,8 +38,9 @@
 namespace {
 
 inline bool is_space(unsigned char c) {
+  // Python str.strip()'s single-byte whitespace: ASCII ws + FS/GS/RS/US
   return c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' ||
-         c == '\v';
+         c == '\v' || (c >= 0x1c && c <= 0x1f);
 }
 
 inline bool is_punct(unsigned char c) {
@@ -93,7 +101,13 @@ void parse_range(const char* begin, const char* end, Parsed* out) {
   out->title_off.push_back(0);
   const char* line = begin;
   while (line < end) {
-    const char* nl = (const char*)memchr(line, '\n', end - line);
+    // universal newlines: break at '\n' or lone '\r' (a following '\n' is
+    // consumed with it, so "\r\n" counts once) — Python text-mode parity
+    const char* nl_n = (const char*)memchr(line, '\n', end - line);
+    const char* scan_end = nl_n ? nl_n : end;
+    const char* nl_r =
+        (const char*)memchr(line, '\r', (size_t)(scan_end - line));
+    const char* nl = nl_r ? nl_r : nl_n;
     const char* line_end = nl ? nl : end;
     // strip ASCII whitespace both ends
     const char* a = line;
@@ -124,6 +138,7 @@ void parse_range(const char* begin, const char* end, Parsed* out) {
     }
     if (!nl) break;
     line = nl + 1;
+    if (*nl == '\r' && line < end && *line == '\n') ++line;  // "\r\n"
   }
 }
 

@@ -72,3 +72,22 @@ def test_larger_random_file(tmp_path):
     assert len(nat) == len(py)
     for i in range(len(py)):
         assert nat[i] == py[i], i
+
+
+def test_universal_newlines_and_control_ws(tmp_path):
+    """Lone '\r' and "\r\n" line breaks (Python text-mode universal newlines)
+    and the single-byte control whitespace \x1c-\x1f must parse identically
+    to the Python loader. (Multi-byte UTF-8 whitespace like U+00A0 at line
+    edges is a DOCUMENTED divergence — absent from DPR psgs_w100.)"""
+    raw = (b"id\ttext\ttitle\n"
+           b"1\talpha\tA\r"                # lone \r terminator
+           b"2\tbeta\tB\r\n"               # \r\n counts once
+           b"3\tgamma\x1c\tC\x1f\n"        # FS/US stripped by Python strip()
+           b"4\tdelta\tD")                 # no trailing newline
+    p = tmp_path / "nl.tsv"
+    p.write_bytes(raw)
+    py = load_psg_data(str(p), native=False)
+    nat = load_psg_data(str(p), native=True)
+    assert len(nat) == len(py) == 4
+    for i in range(len(py)):
+        assert nat[i] == py[i], (i, nat[i], py[i])
