@@ -9,13 +9,19 @@ over a CPU flat exact search (torch matmul + topk — the stand-in for the
 reference's faiss.IndexFlatIP, `retriever/index.py:36-53`), PINNED in
 benchmarks/cpu_baseline.json so the denominator is identical across rounds.
 
-Timing is CHAINED (docs/DESIGN.md §0): each iteration's input is perturbed by
-a zero delta derived from the previous output, so the device serializes all
-iterations and no relay layer can dedup them; the final output is fetched
-inside the window and EVERY timed output is validated after. The round-2
-methodology fetched every iteration inside the window, which billed ~100ms of
-relay link latency per iteration to the kernel (BENCH_r02 5.8k qps vs 9.6k
-chained for the identical program — VERDICT r2 weak #1).
+Timing is SCAN-CHAINED (docs/DESIGN.md §0, round-3 revision): one jit program
+runs N chained search iterations via `lax.scan` — each iteration's queries
+are perturbed by a zero delta from the previous iteration's values (true
+device-side data dependency: no relay layer can dedup or reorder), with a
+device-computed self-retrieval hit count per iteration. Two scan lengths are
+timed and DIFFERENCED, which cancels the constant dispatch+fetch cost of a
+window exactly. Rationale: the round-2 methodology fetched every iteration
+inside the window (billing ~100ms of link latency per iteration: BENCH_r02
+5.8k qps vs 9.6k chained for the identical program), and even one-dispatch-
+per-iteration chaining bills ~8ms of per-execute relay latency per iteration
+(probe_r3: micro top_k costs vs single-dispatch chained costs). Validation:
+per-iteration hit counts for every timed iteration + the final iteration's
+full values, all fetched inside the windows.
 """
 
 from __future__ import annotations
@@ -31,7 +37,8 @@ N_CORPUS = int(os.environ.get("BENCH_CORPUS", 1_000_000))
 DIM = int(os.environ.get("BENCH_DIM", 1024))
 N_QUERIES = int(os.environ.get("BENCH_QUERIES", 256))
 TOPK = int(os.environ.get("BENCH_TOPK", 100))
-ITERS = int(os.environ.get("BENCH_ITERS", 8))
+SCAN_LENS = (int(os.environ.get("BENCH_ITERS_LO", 8)),
+             int(os.environ.get("BENCH_ITERS_HI", 32)))
 # kernel knobs (defaults = the on-chip A/B winner, benchmarks/probe_r3_results.jsonl)
 CHUNK = int(os.environ.get("BENCH_CHUNK", 8192))
 SELECT = os.environ.get("BENCH_SELECT", "hier")
@@ -60,43 +67,47 @@ def tpu_qps() -> float:
     corpus.block_until_ready()
     del corpus_host
 
-    def run(q):
-        # the product exact path: single-read fused Pallas kernel (one corpus
-        # read; scores materialized, candidates gathered from them) +
-        # hierarchical two-level selection
-        return exact_topk_mips(q, corpus, TOPK, chunk_size=CHUNK,
-                               interpret=False, select=SELECT, impl=IMPL)
+    import functools
 
-    def validate(idx_host):
-        # queries sampled from the corpus must retrieve themselves top-1
-        # (bf16 rounding can flip the odd near-tie, hence 0.99 not 1.0)
-        hit = float(np.mean(idx_host[:, 0] == query_rows))
-        assert hit > 0.99, f"self-retrieval hit rate {hit}"
+    import jax.numpy as jnp
 
-    # warm the compile AND the chained step's eager delta ops (their first
-    # use costs a multi-second remote compile that must not land in iter 1)
-    out = run(queries)
-    jax.block_until_ready(out)
-    validate(np.asarray(out[1]))
-    delta = (0.0 * out[0][:, :1]).astype(queries.dtype)
-    out = run(queries + delta)
-    jax.block_until_ready(out)
-    np.asarray(out[1])
+    rows_d = jax.device_put(jnp.asarray(query_rows, dtype=jnp.int32))
 
-    t0 = time.perf_counter()
-    outs = []
-    prev = out
-    for _ in range(ITERS):
-        delta = (0.0 * prev[0][:, :1]).astype(queries.dtype)
-        o = run(queries + delta)
-        outs.append(o)
-        prev = o
-    final_idx = np.asarray(outs[-1][1])  # fetch INSIDE the window: the relay
-    dt = (time.perf_counter() - t0) / ITERS   # does not reliably block otherwise
-    validate(final_idx)
-    for v, i in outs[:-1]:
-        validate(np.asarray(i))  # every timed output must be real + correct
-    return N_QUERIES / dt
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def run(qs, c, rows, iters):
+        def body(prev_vals, _):
+            # chain: zero delta derived from the previous iteration's values
+            delta = (0.0 * prev_vals[:, :1]).astype(qs.dtype)
+            vals, idx = exact_topk_mips(qs + delta, c, TOPK, chunk_size=CHUNK,
+                                        interpret=False, select=SELECT,
+                                        impl=IMPL)
+            hits = jnp.sum((idx[:, 0] == rows).astype(jnp.int32))
+            return vals, hits
+
+        init = jnp.zeros((N_QUERIES, TOPK), dtype=jnp.float32)
+        last_vals, hits = jax.lax.scan(body, init, None, length=iters)
+        return last_vals, hits
+
+    windows = {}
+    for n in SCAN_LENS:
+        out = run(queries, corpus, rows_d, iters=n)  # warm/compile
+        jax.tree.map(np.asarray, out)
+        t0 = time.perf_counter()
+        vals, hits = run(queries, corpus, rows_d, iters=n)
+        hits_h = np.asarray(hits)                    # fetched inside window
+        vals_h = np.asarray(vals)
+        windows[n] = time.perf_counter() - t0
+        # every timed iteration: queries sampled from the corpus must
+        # retrieve themselves top-1 (bf16 rounding can flip the odd
+        # near-tie, hence 0.99 not 1.0)
+        assert (hits_h > 0.99 * N_QUERIES).all(), hits_h
+        assert np.isfinite(vals_h).all()
+    n0, n1 = SCAN_LENS
+    per_iter = (windows[n1] - windows[n0]) / (n1 - n0)
+    print(f"windows: {n0}-iter {windows[n0]*1e3:.1f}ms, "
+          f"{n1}-iter {windows[n1]*1e3:.1f}ms -> {per_iter*1e3:.2f}ms/iter",
+          file=sys.stderr)
+    return N_QUERIES / per_iter
 
 
 def cpu_baseline_qps() -> float:

@@ -736,6 +736,90 @@ def probe_ch_hier_7936(iters):
     return {"ms": dt * 1e3}
 
 
+# --------------------------------------------- round-3 scan-chained probes
+# One jit program runs ITERS chained kernel iterations via lax.scan (true
+# data dependency through the carry), returning the LAST full output plus
+# device-computed per-iteration self-hit counts. Timing two scan lengths and
+# differencing cancels the constant dispatch+fetch overhead exactly — the
+# per-execute relay latency (~8ms) that inflates every single-dispatch
+# chained number on this rig.
+
+
+def _probe_scan_pair(call, q_rows=Q, lens=(8, 32)):
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    qs, c, rows = _data(q_rows=q_rows)
+    rows_d = jax.device_put(jnp.asarray(rows, dtype=jnp.int32))
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def run(qs, c, rows_d, iters):
+        def body(prev_vals, _):
+            delta = (0.0 * prev_vals[:, :1]).astype(qs.dtype)
+            vals, idx = call(qs + delta, c)
+            hits = jnp.sum((idx[:, 0] == rows_d).astype(jnp.int32))
+            return vals, hits
+
+        init = jnp.zeros((q_rows, K), dtype=jnp.float32)
+        last_vals, hits = jax.lax.scan(body, init, None, length=iters)
+        return last_vals, hits
+
+    windows = {}
+    for n in lens:
+        out = run(qs, c, rows_d, iters=n)       # warm/compile
+        jax.tree.map(np.asarray, out)
+        t0 = time.perf_counter()
+        vals, hits = run(qs, c, rows_d, iters=n)
+        hits_h = np.asarray(hits)               # fetch inside window
+        vals_h = np.asarray(vals)
+        windows[n] = time.perf_counter() - t0
+        assert (hits_h > 0.99 * q_rows).all(), hits_h
+        assert np.isfinite(vals_h).all()
+    n0, n1 = lens
+    per_iter = (windows[n1] - windows[n0]) / (n1 - n0)
+    return {"ms": per_iter * 1e3, "qps": q_rows / per_iter,
+            "window_ms": {str(n): round(w * 1e3, 1)
+                          for n, w in windows.items()}}
+
+
+def _scan_exact(chunk, select, impl):
+    from kirag_tpu.ops.pallas_exact import exact_topk_mips
+
+    return lambda q, c: exact_topk_mips(q, c, K, chunk_size=chunk,
+                                        interpret=False, select=select,
+                                        impl=impl)
+
+
+def probe_sc_single_flat_c8192(iters):
+    return _probe_scan_pair(_scan_exact(8192, "flat", "single"))
+
+
+def probe_sc_single_hier_c8192(iters):
+    return _probe_scan_pair(_scan_exact(8192, "hier", "single"))
+
+
+def probe_sc_single_hier_c16384(iters):
+    return _probe_scan_pair(_scan_exact(16384, "hier", "single"))
+
+
+def probe_sc_twopass_hier_c16384(iters):
+    return _probe_scan_pair(_scan_exact(16384, "hier", "twopass"))
+
+
+def probe_sc_twopass_flat_c16384(iters):
+    return _probe_scan_pair(_scan_exact(16384, "flat", "twopass"))
+
+
+def probe_sc_approx_c8192(iters):
+    from kirag_tpu.ops.pallas_mips import approx_topk_mips
+
+    return _probe_scan_pair(
+        lambda q, c: approx_topk_mips(q, c, K, chunk_size=8192,
+                                      interpret=False))
+
+
 PROBES = {name[len("probe_"):]: fn for name, fn in list(globals().items())
           if name.startswith("probe_")}
 

@@ -179,16 +179,15 @@ def hier_topk(x: jnp.ndarray, k: int, block: int = 16
     top-k element lives in a ``block``-wide slice whose max is >= the kth
     value, and at most k slices can hold top-k elements, so the top-k slices
     by slice-max contain them all. Replaces one wide `lax.top_k` (O(W) sort
-    width) with two narrow ones (W/block and k*block) plus a one-hot MXU
-    gather. Ties: slice ids sort ascending before the gather, so the final
-    stable top_k keeps lower-index-wins.
+    width) with two narrow ones (W/block and k*block) plus a contiguous
+    `take_along_axis` slice gather (round 3: the earlier one-hot MXU gather
+    measured SLOWER end-to-end — its [k, W/block] x [W/block, block] matmuls
+    leave 7/8 of the 128-wide MXU idle at block=16; probe_r3 vs probe_r2b).
 
-    Inputs may contain -inf (mask values): x is clamped to FIN_MIN before
-    the gather matmul (MXU bf16 operand decomposition turns f32max/-inf
-    into NaN via 0*inf; see FIN_MIN). Domain restriction: legitimate scores
-    at or below FIN_MIN (-1e30) are indistinguishable from mask values and
-    are reported as -inf — unreachable for normalized-embedding inner
-    products (|score| <= 1), which is this op's domain.
+    Ties: blocks partition consecutive index ranges and block ids sort
+    ascending before the gather, so both stable top_ks compose to global
+    lower-index-wins. -inf mask values pass through untouched (no matmul in
+    the path anymore, so no FIN_MIN clamping and no domain restriction).
     """
     q, w = x.shape
     x = x.astype(jnp.float32)
@@ -198,23 +197,14 @@ def hier_topk(x: jnp.ndarray, k: int, block: int = 16
     w_pad = w1 * block
     if w_pad != w:
         x = jnp.pad(x, ((0, 0), (0, w_pad - w)), constant_values=-jnp.inf)
-    xc = jnp.maximum(x, FIN_MIN)
-    x3 = xc.reshape(q, w1, block)
+    x3 = x.reshape(q, w1, block)
     bmax = x3.max(-1)                                     # [Q, W/block]
     _, bsel = jax.lax.top_k(bmax, k)                      # stable ties
     bsel = jnp.sort(bsel, axis=-1)                        # ascending ids
-    onehot = (bsel[:, :, None] == jax.lax.broadcasted_iota(
-        jnp.int32, (q, k, w1), 2)).astype(jnp.float32)
-    cand = jax.lax.dot_general(
-        onehot, x3, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST).reshape(q, k * block)
+    cand = jnp.take_along_axis(x3, bsel[:, :, None], axis=1)  # [Q, k, block]
     lane = jax.lax.broadcasted_iota(jnp.int32, (q, k, block), 2)
     cand_idx = (bsel[:, :, None] * block + lane).reshape(q, k * block)
-    cand = jnp.where(cand_idx < w, cand, -jnp.inf)        # drop pad slots
-    vals, pos = jax.lax.top_k(cand, k)
-    # restore -inf for clamped mask values (callers test isfinite)
-    vals = jnp.where(vals <= FIN_MIN, -jnp.inf, vals)
+    vals, pos = jax.lax.top_k(cand.reshape(q, k * block), k)
     return vals, jnp.take_along_axis(cand_idx, pos, axis=-1)
 
 
@@ -554,6 +544,11 @@ def _resolve_impl(impl: str, n_queries: int, corpus) -> str:
     8.2 GB corpus + 8.6 GB scores would not fit)."""
     if impl != "auto":
         return impl
+    if n_queries > 512:
+        # the single kernel's per-chunk score output window is [Q, chunk] f32
+        # x2 buffering — at Q=1024/chunk=8192 that alone is 64 MB and the
+        # program exceeds the 128 MB VMEM (measured OOM, probe_r3)
+        return "twopass"
     score_bytes = 4 * n_queries * corpus.shape[0]
     return "single" if corpus.nbytes + score_bytes < 12 * 2**30 else "twopass"
 

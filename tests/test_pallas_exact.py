@@ -357,3 +357,24 @@ class TestExactSelectHier:
         assert np.asarray(idx).max() < 1900
         _, oidx = numpy_topk(q @ c[:1900].T, 7)
         np.testing.assert_array_equal(np.asarray(idx), oidx)
+
+
+class TestImplResolution:
+    def test_auto_prefers_single_when_scores_fit(self, rng):
+        from kirag_tpu.ops.pallas_exact import _resolve_impl
+
+        c = jnp.zeros((10_000, 64), dtype=jnp.bfloat16)
+        assert _resolve_impl("auto", 256, c) == "single"
+        assert _resolve_impl("twopass", 256, c) == "twopass"
+
+    def test_auto_falls_back_on_hbm_or_vmem_pressure(self):
+        from kirag_tpu.ops.pallas_exact import _resolve_impl
+
+        class FakeCorpus:  # 8M x 1024 int8 without allocating it
+            shape = (8_388_608, 1024)
+            nbytes = 8_388_608 * 1024
+
+        assert _resolve_impl("auto", 256, FakeCorpus()) == "twopass"
+        # large Q: the [Q, chunk] f32 score window alone busts VMEM
+        small = jnp.zeros((10_000, 64), dtype=jnp.bfloat16)
+        assert _resolve_impl("auto", 1024, small) == "twopass"
