@@ -820,6 +820,54 @@ def probe_sc_approx_c8192(iters):
                                       interpret=False))
 
 
+def probe_sc_passA_single_c8192(iters):
+    """The single-read fused pass ALONE (score write + gmax), scan-chained:
+    isolates the kernel cost from the selection stages."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from kirag_tpu.ops.pallas_exact import _exact_body
+
+    qs, c, rows = _data()
+    rows_d = jax.device_put(jnp.asarray(rows // LANES, dtype=jnp.int32))
+
+    n_pad = -(-N // 8192) * 8192
+    c_pad = jnp.pad(c, ((0, n_pad - N), (0, 0)))
+
+    def passA(q_in, corpus):
+        # k=1 keeps selection negligible; still runs the full fused pass
+        return _exact_body(q_in, corpus, 1, 8192, N, False, None,
+                           select="flat", impl="single")
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def run(qs, c, own_group, iters):
+        def body(prev_vals, _):
+            delta = (0.0 * prev_vals[:, :1]).astype(qs.dtype)
+            vals, idx = passA(qs + delta, c)
+            hits = jnp.sum((idx[:, 0] // LANES == own_group).astype(jnp.int32))
+            return vals, hits
+
+        init = jnp.zeros((Q, 1), dtype=jnp.float32)
+        return jax.lax.scan(body, init, None, length=iters)
+
+    windows = {}
+    for n in (8, 32):
+        out = run(qs, c_pad, rows_d, iters=n)
+        jax.tree.map(np.asarray, out)
+        t0 = time.perf_counter()
+        vals, hits = run(qs, c_pad, rows_d, iters=n)
+        hits_h = np.asarray(hits)
+        np.asarray(vals)
+        windows[n] = time.perf_counter() - t0
+        assert (hits_h > 0.98 * Q).all(), hits_h
+    per_iter = (windows[32] - windows[8]) / 24
+    return {"ms": per_iter * 1e3,
+            "window_ms": {str(n): round(w * 1e3, 1)
+                          for n, w in windows.items()}}
+
+
 PROBES = {name[len("probe_"):]: fn for name, fn in list(globals().items())
           if name.startswith("probe_")}
 
