@@ -796,6 +796,28 @@ def probe_sc_single_flat_c8192(iters):
     return _probe_scan_pair(_scan_exact(8192, "flat", "single"))
 
 
+def probe_sc_singlec_hier_c8192(iters):
+    """Chunk-contiguous score layout (now impl=\"single\"; the strided
+    variant lives on as impl=\"single_strided\")."""
+    return _probe_scan_pair(_scan_exact(8192, "hier", "single"))
+
+
+def probe_sc_singlec_hier_c16384(iters):
+    return _probe_scan_pair(_scan_exact(16384, "hier", "single"))
+
+
+def probe_sc_singlestrided_hier_c8192(iters):
+    return _probe_scan_pair(_scan_exact(8192, "hier", "single_strided"))
+
+
+def probe_sc_approx_c16384(iters):
+    from kirag_tpu.ops.pallas_mips import approx_topk_mips
+
+    return _probe_scan_pair(
+        lambda q, c: approx_topk_mips(q, c, K, chunk_size=16384,
+                                      interpret=False))
+
+
 def probe_sc_single_hier_c8192(iters):
     return _probe_scan_pair(_scan_exact(8192, "hier", "single"))
 

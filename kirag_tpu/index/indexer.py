@@ -49,7 +49,8 @@ class TPUIndexer:
                  device_dtype: jnp.dtype = jnp.float32, chunk_size: int = 262144,
                  compression: str = "none", n_subquantizers: int = 0, n_bits: int = 8,
                  max_device_rows: Optional[int] = None,
-                 exact_impl: str = "auto", pallas_chunk_size: int = 8192):
+                 exact_impl: str = "auto", pallas_chunk_size: int = 8192,
+                 pallas_select: str = "hier"):
         # drop-in compatibility with the reference ctor (`retriever/index.py:19`):
         # a PQ request maps to our int8 row compression (the TPU equal-memory play)
         if n_subquantizers > 0 and compression == "none":
@@ -81,6 +82,10 @@ class TPUIndexer:
             raise KeyError(f"exact_impl must be auto|pallas|xla, got {exact_impl}")
         self.exact_impl = exact_impl
         self.pallas_chunk_size = pallas_chunk_size
+        # selection stages inside the fused kernel: "hier" (two-level, the
+        # measured round-3 winner: 16.1 vs 17.7 ms/batch at 1M x 1024) or
+        # "flat" (plain lax.top_k)
+        self.pallas_select = pallas_select
 
         self._host_chunks: List[np.ndarray] = []
         self.index_id_to_db_id: np.ndarray = np.empty((0,), dtype=object)
@@ -247,7 +252,7 @@ class TPUIndexer:
                 vals, idx = exact_topk_mips(
                     queries, corpus, k_eff,
                     chunk_size=self.pallas_chunk_size,
-                    valid_rows=blk["valid"],
+                    valid_rows=blk["valid"], select=self.pallas_select,
                     scales=(jnp.asarray(blk["scales"])
                             if self.compression == "int8" else None))
             elif self.compression == "int8":
@@ -306,20 +311,23 @@ class TPUIndexer:
         sharded = self.mesh is not None and self._shard_count() > 1
         scales = self._device_scales if self.compression == "int8" else None
         if mode == "exact" and self._use_pallas_exact():
-            # fused two-pass Pallas kernel (VERDICT r1 item 1): scores never
-            # leave VMEM; composes with int8 (in-VMEM dequant) and sharding
+            # fused Pallas kernel (impl=auto: single corpus read with scores
+            # materialized when they fit HBM, corpus-read-twice otherwise);
+            # composes with int8 (in-VMEM dequant) and sharding
             if sharded:
                 from kirag_tpu.ops.pallas_exact import sharded_exact_topk_mips
 
                 return sharded_exact_topk_mips(
                     queries, corpus, k, self.mesh, axis=self.mesh_axis,
                     chunk_size=self.pallas_chunk_size,
-                    valid_rows=self._device_rows, scales=scales)
+                    valid_rows=self._device_rows, scales=scales,
+                    select=self.pallas_select)
             from kirag_tpu.ops.pallas_exact import exact_topk_mips
 
             return exact_topk_mips(queries, corpus, k,
                                    chunk_size=self.pallas_chunk_size,
-                                   valid_rows=self._device_rows, scales=scales)
+                                   valid_rows=self._device_rows, scales=scales,
+                                   select=self.pallas_select)
         if mode == "approx":
             # fused Pallas group-sampled kernel; composes with int8 (the
             # kernel dequantizes in VMEM) and with corpus sharding

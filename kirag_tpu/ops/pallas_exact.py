@@ -245,7 +245,7 @@ def _gmax_kernel(q_ref, c_ref, valid_ref, *rest, groups_per_chunk: int,
 
 
 def _score_gmax_kernel(q_ref, c_ref, valid_ref, *rest, groups_per_chunk: int,
-                       chunk_size: int):
+                       chunk_size: int, chunked: bool = False):
     """Single-read fused pass: scoring matmul + per-group max, WITH the f32
     score chunk written to HBM so candidate extraction is a cheap gather
     instead of a second full corpus re-score (round-3 redesign: the round-2
@@ -275,7 +275,10 @@ def _score_gmax_kernel(q_ref, c_ref, valid_ref, *rest, groups_per_chunk: int,
     row = pl.program_id(0) * chunk_size + jax.lax.broadcasted_iota(
         jnp.int32, scores.shape, 1)
     scores = jnp.where(row < valid_ref[0, 0], scores, FIN_MIN)
-    scores_ref[:] = scores
+    if chunked:
+        scores_ref[0] = scores
+    else:
+        scores_ref[:] = scores
     s3 = scores.reshape(n_q, groups_per_chunk, LANES)
     gmax_ref[0] = jnp.max(s3, axis=-1).T                 # [G, Q]
 
@@ -395,20 +398,33 @@ def _exact_body(queries, corpus, k_eff: int, chunk_size: int, n_valid,
         operands.append(
             scales.astype(jnp.float32).reshape(num_chunks, chunk_size))
 
-    if impl == "single":
-        # ---- one fused pass: matmul + masked group max, scores kept in HBM
+    if impl in ("single", "single_strided"):
+        # ---- one fused pass: matmul + masked group max, scores kept in HBM.
+        # Default layout is CHUNK-CONTIGUOUS ([C, Q, chunk]): each grid step
+        # writes one dense block. The "single_strided" variant writes into
+        # [Q, N] directly — 256 separate 32 KB row segments per step (row
+        # stride = 4 MB), kept for A/B.
+        chunked = impl == "single"
+        if chunked:
+            score_spec = pl.BlockSpec((1, n_q, chunk_size),
+                                      lambda i: (i, 0, 0))
+            score_shape = jax.ShapeDtypeStruct(
+                (num_chunks, n_q, chunk_size), jnp.float32)
+        else:
+            score_spec = pl.BlockSpec((n_q, chunk_size), lambda i: (0, i))
+            score_shape = jax.ShapeDtypeStruct((n_q, n_pad), jnp.float32)
         scores, gmax = pl.pallas_call(
             functools.partial(_score_gmax_kernel,
                               groups_per_chunk=groups_per_chunk,
-                              chunk_size=chunk_size),
+                              chunk_size=chunk_size, chunked=chunked),
             grid=(num_chunks,),
             in_specs=in_specs,
             out_specs=[
-                pl.BlockSpec((n_q, chunk_size), lambda i: (0, i)),
+                score_spec,
                 pl.BlockSpec((1, groups_per_chunk, n_q), lambda i: (i, 0, 0)),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((n_q, n_pad), jnp.float32),
+                score_shape,
                 jax.ShapeDtypeStruct((num_chunks, groups_per_chunk, n_q),
                                      jnp.float32),
             ],
@@ -426,8 +442,15 @@ def _exact_body(queries, corpus, k_eff: int, chunk_size: int, n_valid,
 
         # candidate extraction = contiguous 128-lane gather from the score
         # matrix (13 MB at Q=256/k=100) — no second corpus read
-        cand = jnp.take_along_axis(
-            scores.reshape(n_q, groups, LANES), gsel[:, :, None], axis=1)
+        if chunked:
+            s4 = scores.reshape(num_chunks, n_q, groups_per_chunk, LANES)
+            cid = gsel // groups_per_chunk                # [Q, k] chunk ids
+            wid = gsel % groups_per_chunk                 # [Q, k] group-in-chunk
+            qix = jax.lax.broadcasted_iota(jnp.int32, gsel.shape, 0)
+            cand = s4[cid, qix, wid]                      # [Q, k, LANES]
+        else:
+            cand = jnp.take_along_axis(
+                scores.reshape(n_q, groups, LANES), gsel[:, :, None], axis=1)
     else:
         # ---- pass A: fused matmul + masked group max (scores stay in VMEM)
         gmax = pl.pallas_call(
@@ -559,7 +582,8 @@ def sharded_exact_topk_mips(queries: jnp.ndarray, corpus_sharded: jnp.ndarray,
                             valid_rows: Optional[int] = None,
                             interpret: Optional[bool] = None,
                             scales: Optional[jnp.ndarray] = None,
-                            impl: str = "auto"
+                            impl: str = "auto",
+                            select: str = "flat"
                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused exact top-k over a corpus row-sharded across ``mesh[axis]``:
     per-shard fused search with global row ids, candidates all-gathered over
@@ -585,7 +609,7 @@ def sharded_exact_topk_mips(queries: jnp.ndarray, corpus_sharded: jnp.ndarray,
         local_scales = scale_args[0] if scale_args else None
         vals, idx = _exact_body(q_local, corpus_local, k_eff, local_chunk,
                                 local_valid, interpret, local_scales,
-                                impl=impl)
+                                select=select, impl=impl)
         idx = idx + offset
         all_vals = jax.lax.all_gather(vals, axis, axis=1, tiled=True)
         all_idx = jax.lax.all_gather(idx, axis, axis=1, tiled=True)
