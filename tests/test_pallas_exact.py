@@ -378,3 +378,19 @@ class TestImplResolution:
         # large Q: the [Q, chunk] f32 score window alone busts VMEM
         small = jnp.zeros((10_000, 64), dtype=jnp.bfloat16)
         assert _resolve_impl("auto", 1024, small) == "twopass"
+
+
+class TestSingleStridedLayout:
+    """The [Q, N]-layout score-write variant (impl="single_strided") kept
+    for on-chip A/B against the chunk-contiguous default."""
+
+    def test_matches_oracle_and_ties(self, rng):
+        q = rng.randn(5, 32).astype(np.float32)
+        c = rng.randn(4096, 32).astype(np.float32)
+        vals, idx = exact_topk_mips(jnp.asarray(q), jnp.asarray(c), 25,
+                                    chunk_size=1024, interpret=True,
+                                    impl="single_strided", select="hier")
+        ovals, oidx = numpy_topk(q @ c.T, 25)
+        np.testing.assert_allclose(np.asarray(vals), ovals, rtol=1e-4,
+                                   atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(idx), oidx)
