@@ -71,11 +71,16 @@ def _resolve_interpret(interpret: Optional[bool]) -> bool:
     return jax.default_backend() not in ("tpu",)
 
 
-def _compiler_params(interpret: bool):
+def _compiler_params(interpret: bool, parallel: bool = False):
+    """``parallel=True`` marks the (single) grid dim as dependency-free —
+    legal for the score/gmax kernels (every step writes disjoint output
+    blocks), NOT for the accumulating two-pass gather kernel."""
     if pltpu is None or interpret:
         return {}
-    return {"compiler_params": pltpu.CompilerParams(
-        vmem_limit_bytes=128 * 1024 * 1024)}
+    kw = {"vmem_limit_bytes": 128 * 1024 * 1024}
+    if parallel:
+        kw["dimension_semantics"] = ("parallel",)
+    return {"compiler_params": pltpu.CompilerParams(**kw)}
 
 
 # --------------------------------------------------------------- pallas top-k
@@ -429,7 +434,7 @@ def _exact_body(queries, corpus, k_eff: int, chunk_size: int, n_valid,
                                      jnp.float32),
             ],
             interpret=interpret,
-            **_compiler_params(interpret),
+            **_compiler_params(interpret, parallel=True),
         )(*operands)
         gmax = gmax.reshape(groups, n_q).T               # [Q, groups]
 
@@ -463,7 +468,7 @@ def _exact_body(queries, corpus, k_eff: int, chunk_size: int, n_valid,
             out_shape=jax.ShapeDtypeStruct((num_chunks, groups_per_chunk, n_q),
                                            jnp.float32),
             interpret=interpret,
-            **_compiler_params(interpret),
+            **_compiler_params(interpret, parallel=True),
         )(*operands)
         gmax = gmax.reshape(groups, n_q).T               # [Q, groups]
 

@@ -106,8 +106,10 @@ def grouped_max_scores(queries: jnp.ndarray, corpus: jnp.ndarray,
     kernel = functools.partial(_group_max_kernel, groups_per_chunk=groups_per_chunk)
     kwargs = {}
     if pltpu is not None and not interpret:
+        # grid steps write disjoint output blocks -> dependency-free grid dim
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=int(1024 * 1024 * 100))
+            vmem_limit_bytes=int(1024 * 1024 * 100),
+            dimension_semantics=("parallel",))
     in_specs = [
         pl.BlockSpec((n_q, d), lambda i: (0, 0)),
         pl.BlockSpec((chunk_size, d), lambda i: (i, 0)),
