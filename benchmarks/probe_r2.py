@@ -810,11 +810,22 @@ def probe_sc_singlestrided_hier_c8192(iters):
     return _probe_scan_pair(_scan_exact(8192, "hier", "single_strided"))
 
 
-def probe_sc_approx_c16384(iters):
+def probe_sc_par_hier_c8192(iters):
+    """Same program as sc_singlec_hier_c8192 built with parallel grid
+    semantics on the fused pass (A/B: does Mosaic overlap chunk DMA with
+    compute better when the grid dim is declared dependency-free?)."""
+    return _probe_scan_pair(_scan_exact(8192, "hier", "single"))
+
+
+def probe_sc_par_passA_c8192(iters):
+    return probe_sc_passA_single_c8192(iters)
+
+
+def probe_sc_par_approx_c8192(iters):
     from kirag_tpu.ops.pallas_mips import approx_topk_mips
 
     return _probe_scan_pair(
-        lambda q, c: approx_topk_mips(q, c, K, chunk_size=16384,
+        lambda q, c: approx_topk_mips(q, c, K, chunk_size=8192,
                                       interpret=False))
 
 
