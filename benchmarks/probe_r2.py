@@ -901,6 +901,99 @@ def probe_sc_passA_single_c8192(iters):
                           for n, w in windows.items()}}
 
 
+# ------------------------------------- round-3 selection-stage micro probes
+# Scan-chained micros at the EXACT shapes/layouts the single-read pipeline
+# produces, to attribute the ~8ms of post-kernel time (full 16.1ms minus
+# pass A 7.9ms).
+
+
+def _probe_sc_micro(make_op, in_shape, iters_lens=(8, 64), seed=9):
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    x = jax.device_put(rng.standard_normal(in_shape, dtype=np.float32))
+    x.block_until_ready()
+    op = make_op()
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def run(x, iters):
+        def body(carry, _):
+            y = op(x + carry)
+            s = jnp.sum(y).astype(jnp.float32)
+            return 0.0 * s, s
+
+        _, sums = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+        return sums
+
+    windows = {}
+    for n in iters_lens:
+        out = run(x, iters=n)
+        np.asarray(out)
+        t0 = time.perf_counter()
+        out = run(x, iters=n)
+        s = np.asarray(out)
+        windows[n] = time.perf_counter() - t0
+        assert np.isfinite(s).all()
+    n0, n1 = iters_lens
+    return {"ms": (windows[n1] - windows[n0]) / (n1 - n0) * 1e3,
+            "window_ms": {str(n): round(w * 1e3, 1)
+                          for n, w in windows.items()}}
+
+
+def probe_sc_m_transpose(iters):
+    """gmax layout fix-up: [C, gpc, Q] -> [Q, C*gpc] transpose (8 MB)."""
+    return _probe_sc_micro(
+        lambda: (lambda g: g.reshape(123 * 64, Q).T.sum(axis=1)),
+        (123, 64, Q))
+
+
+def probe_sc_m_hier7872(iters):
+    from kirag_tpu.ops.pallas_exact import hier_topk
+
+    return _probe_sc_micro(
+        lambda: (lambda x: hier_topk(x, K)[0]), (Q, 7872))
+
+
+def probe_sc_m_topk7872(iters):
+    import jax
+
+    return _probe_sc_micro(
+        lambda: (lambda x: jax.lax.top_k(x, K)[0]), (Q, 7872))
+
+
+def probe_sc_m_hier12800(iters):
+    from kirag_tpu.ops.pallas_exact import hier_topk
+
+    return _probe_sc_micro(
+        lambda: (lambda x: hier_topk(x, K)[0]), (Q, 12800))
+
+
+def probe_sc_m_scoregather(iters):
+    """Candidate gather from chunk-contiguous scores: [Q,k,128] out of
+    [123, Q, 64, 128] via advanced indexing (the single-impl layout)."""
+    import jax
+    import jax.numpy as jnp
+
+    def make():
+        rng = np.random.default_rng(3)
+        gsel = jnp.asarray(np.sort(rng.choice(123 * 64, size=(Q, K), replace=False),
+                                   axis=-1), dtype=jnp.int32)
+
+        def op(s):
+            s4 = s.reshape(123, Q, 64, LANES)
+            cid = gsel // 64
+            wid = gsel % 64
+            qix = jax.lax.broadcasted_iota(jnp.int32, gsel.shape, 0)
+            return s4[cid, qix, wid].sum(axis=-1)
+
+        return op
+
+    return _probe_sc_micro(make, (123, Q, 64 * LANES), iters_lens=(8, 32))
+
+
 PROBES = {name[len("probe_"):]: fn for name, fn in list(globals().items())
           if name.startswith("probe_")}
 
