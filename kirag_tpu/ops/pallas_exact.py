@@ -239,11 +239,24 @@ def _gmax_kernel(q_ref, c_ref, valid_ref, *rest, groups_per_chunk: int,
     if s_ref is not None:
         scores = scores * s_ref[0][None, :]
     n_q = scores.shape[0]
-    row = pl.program_id(0) * chunk_size + jax.lax.broadcasted_iota(
-        jnp.int32, scores.shape, 1)
-    scores = jnp.where(row < valid_ref[0, 0], scores, FIN_MIN)
-    s3 = scores.reshape(n_q, groups_per_chunk, LANES)
-    gmax_ref[0] = jnp.max(s3, axis=-1).T                 # [G, Q]
+    chunk_start = pl.program_id(0) * chunk_size
+
+    def write_gmax(s):
+        s3 = s.reshape(n_q, groups_per_chunk, LANES)
+        gmax_ref[0] = jnp.max(s3, axis=-1).T             # [G, Q]
+
+    # invalid-tail masking only where the tail actually lands (candidates
+    # are re-masked after the gather either way; the group maxima are what
+    # garbage rows must never displace)
+    @pl.when(chunk_start + chunk_size > valid_ref[0, 0])
+    def _():
+        row = chunk_start + jax.lax.broadcasted_iota(
+            jnp.int32, scores.shape, 1)
+        write_gmax(jnp.where(row < valid_ref[0, 0], scores, FIN_MIN))
+
+    @pl.when(chunk_start + chunk_size <= valid_ref[0, 0])
+    def _():
+        write_gmax(scores)
 
 
 # ------------------------------------------------- pass A (single-read v3)
@@ -277,15 +290,29 @@ def _score_gmax_kernel(q_ref, c_ref, valid_ref, *rest, groups_per_chunk: int,
     if s_ref is not None:
         scores = scores * s_ref[0][None, :]
     n_q = scores.shape[0]
-    row = pl.program_id(0) * chunk_size + jax.lax.broadcasted_iota(
-        jnp.int32, scores.shape, 1)
-    scores = jnp.where(row < valid_ref[0, 0], scores, FIN_MIN)
+    # scores are written RAW: invalid rows are re-masked after the candidate
+    # gather (rows < n_valid), so only the group maxima need in-kernel
+    # masking — and only in chunks that actually intersect the invalid tail
+    # (saves a [Q, CHUNK] iota+where on every interior chunk)
     if chunked:
         scores_ref[0] = scores
     else:
         scores_ref[:] = scores
-    s3 = scores.reshape(n_q, groups_per_chunk, LANES)
-    gmax_ref[0] = jnp.max(s3, axis=-1).T                 # [G, Q]
+    chunk_start = pl.program_id(0) * chunk_size
+
+    def write_gmax(s):
+        s3 = s.reshape(n_q, groups_per_chunk, LANES)
+        gmax_ref[0] = jnp.max(s3, axis=-1).T             # [G, Q]
+
+    @pl.when(chunk_start + chunk_size > valid_ref[0, 0])
+    def _():
+        row = chunk_start + jax.lax.broadcasted_iota(
+            jnp.int32, scores.shape, 1)
+        write_gmax(jnp.where(row < valid_ref[0, 0], scores, FIN_MIN))
+
+    @pl.when(chunk_start + chunk_size <= valid_ref[0, 0])
+    def _():
+        write_gmax(scores)
 
 
 # ------------------------------------------------------------------- pass B
