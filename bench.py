@@ -92,16 +92,22 @@ def tpu_qps() -> float:
     for n in SCAN_LENS:
         out = run(queries, corpus, rows_d, iters=n)  # warm/compile
         jax.tree.map(np.asarray, out)
-        t0 = time.perf_counter()
-        vals, hits = run(queries, corpus, rows_d, iters=n)
-        hits_h = np.asarray(hits)                    # fetched inside window
-        vals_h = np.asarray(vals)
-        windows[n] = time.perf_counter() - t0
-        # every timed iteration: queries sampled from the corpus must
-        # retrieve themselves top-1 (bf16 rounding can flip the odd
-        # near-tie, hence 0.99 not 1.0)
-        assert (hits_h > 0.99 * N_QUERIES).all(), hits_h
-        assert np.isfinite(vals_h).all()
+        reps = []
+        for _ in range(int(os.environ.get("BENCH_REPS", 3))):
+            t0 = time.perf_counter()
+            vals, hits = run(queries, corpus, rows_d, iters=n)
+            hits_h = np.asarray(hits)                # fetched inside window
+            vals_h = np.asarray(vals)
+            reps.append(time.perf_counter() - t0)
+            # every timed iteration: queries sampled from the corpus must
+            # retrieve themselves top-1 (bf16 rounding can flip the odd
+            # near-tie, hence 0.99 not 1.0)
+            assert (hits_h > 0.99 * N_QUERIES).all(), hits_h
+            assert np.isfinite(vals_h).all()
+        # min over repetitions: the differencing assumes the dispatch+fetch
+        # constant is CONSTANT — a relay hiccup inside one window otherwise
+        # gets billed to the kernel (observed: +150ms on a 32-iter window)
+        windows[n] = min(reps)
     n0, n1 = SCAN_LENS
     per_iter = (windows[n1] - windows[n0]) / (n1 - n0)
     print(f"windows: {n0}-iter {windows[n0]*1e3:.1f}ms, "

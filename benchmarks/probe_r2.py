@@ -770,13 +770,18 @@ def _probe_scan_pair(call, q_rows=Q, lens=(8, 32)):
     for n in lens:
         out = run(qs, c, rows_d, iters=n)       # warm/compile
         jax.tree.map(np.asarray, out)
-        t0 = time.perf_counter()
-        vals, hits = run(qs, c, rows_d, iters=n)
-        hits_h = np.asarray(hits)               # fetch inside window
-        vals_h = np.asarray(vals)
-        windows[n] = time.perf_counter() - t0
-        assert (hits_h > 0.99 * q_rows).all(), hits_h
-        assert np.isfinite(vals_h).all()
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            vals, hits = run(qs, c, rows_d, iters=n)
+            hits_h = np.asarray(hits)           # fetch inside window
+            vals_h = np.asarray(vals)
+            reps.append(time.perf_counter() - t0)
+            assert (hits_h > 0.99 * q_rows).all(), hits_h
+            assert np.isfinite(vals_h).all()
+        # min over reps: a relay hiccup inside one window otherwise gets
+        # billed to the kernel by the differencing
+        windows[n] = min(reps)
     n0, n1 = lens
     per_iter = (windows[n1] - windows[n0]) / (n1 - n0)
     return {"ms": per_iter * 1e3, "qps": q_rows / per_iter,
