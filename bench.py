@@ -127,9 +127,11 @@ def cpu_baseline_qps() -> float:
     import torch
 
     rows = min(250_000, N_CORPUS)
-    rng = np.random.RandomState(1)
-    corpus = torch.from_numpy(rng.randn(rows, DIM).astype(np.float32))
-    queries = torch.from_numpy(rng.randn(N_QUERIES, DIM).astype(np.float32))
+    rng = np.random.default_rng(1)
+    corpus = torch.from_numpy(rng.standard_normal((rows, DIM),
+                                                  dtype=np.float32))
+    queries = torch.from_numpy(rng.standard_normal((N_QUERIES, DIM),
+                                                   dtype=np.float32))
     torch.topk(queries[:8] @ corpus.T[:, :1024], k=min(TOPK, 1024), dim=1)
     t0 = time.perf_counter()
     scores = queries @ corpus.T

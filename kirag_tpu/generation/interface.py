@@ -202,15 +202,6 @@ class Generator:
         logits = np.concatenate([pad_token_logits(x, max_len) for x in logits_list], axis=0)
         return ids, logits
 
-    def _stop_status(self, gen_so_far: np.ndarray, stop_words: Sequence[str]) -> List[bool]:
-        done = []
-        for row in range(len(gen_so_far)):
-            text = self.tokenizer.decode(gen_so_far[row], skip_special_tokens=True)
-            has_stop = any(w in text for w in stop_words)
-            has_eos = bool(np.any(gen_so_far[row] == self.backend.eos_token_id))
-            done.append(has_stop or has_eos)
-        return done
-
     class _StopTracker:
         """Incremental stop-word/eos detection across decode segments.
 

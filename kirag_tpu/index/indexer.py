@@ -85,6 +85,8 @@ class TPUIndexer:
         # selection stages inside the fused kernel: "hier" (two-level, the
         # measured round-3 winner: 16.1 vs 17.7 ms/batch at 1M x 1024) or
         # "flat" (plain lax.top_k)
+        if pallas_select not in ("hier", "flat"):
+            raise KeyError(f"pallas_select must be hier|flat, got {pallas_select}")
         self.pallas_select = pallas_select
 
         self._host_chunks: List[np.ndarray] = []

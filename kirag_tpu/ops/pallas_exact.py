@@ -30,9 +30,9 @@ the cost of reading the corpus twice — the right trade only when the
 [Q, N] f32 score write does not fit in HBM next to the index.
 
 Selections (steps 2 and 4) default to `lax.top_k`; ``select="hier"`` uses
-:func:`hier_topk` (two narrow sorts + one-hot MXU gather) — on-chip probes
-showed the WIDE sort dominates end-to-end time (11.7 ms for lax.top_k over
-[256, 7936] vs ~5 ms of matmul+HBM; benchmarks/probe_r2b_results.jsonl).
+:func:`hier_topk` (two narrow sorts + a contiguous `take_along_axis` slice
+gather) — the measured round-3 winner (16.1 vs 17.7 ms/batch at 1M x 1024;
+benchmarks/probe_r3_results.jsonl).
 
 All kernels run in interpret mode on CPU (tests) and compiled on TPU.
 """
@@ -213,72 +213,26 @@ def hier_topk(x: jnp.ndarray, k: int, block: int = 16
     return vals, jnp.take_along_axis(cand_idx, pos, axis=-1)
 
 
-# ------------------------------------------------------------------- pass A
-
-
-def _gmax_kernel(q_ref, c_ref, valid_ref, *rest, groups_per_chunk: int,
-                 chunk_size: int):
-    """Fused scoring + per-group max with in-kernel valid-row masking.
-
-    Refs: q [Q, D] (constant), c [CHUNK, D] (per chunk), valid [1,1] SMEM,
-    optional s [1, CHUNK] f32 dequant scales, out gmax [1, G, Q] f32.
-    """
-    if len(rest) == 2:
-        s_ref, gmax_ref = rest
-    else:
-        s_ref = None
-        (gmax_ref,) = rest
-    q = q_ref[:]
-    c = c_ref[:]
-    if c.dtype == jnp.int8:
-        c = c.astype(jnp.bfloat16)
-        q = q.astype(jnp.bfloat16)
-    scores = jax.lax.dot_general(
-        q, c, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)              # [Q, CHUNK]
-    if s_ref is not None:
-        scores = scores * s_ref[0][None, :]
-    n_q = scores.shape[0]
-    chunk_start = pl.program_id(0) * chunk_size
-
-    def write_gmax(s):
-        s3 = s.reshape(n_q, groups_per_chunk, LANES)
-        gmax_ref[0] = jnp.max(s3, axis=-1).T             # [G, Q]
-
-    # invalid-tail masking only where the tail actually lands (candidates
-    # are re-masked after the gather either way; the group maxima are what
-    # garbage rows must never displace)
-    @pl.when(chunk_start + chunk_size > valid_ref[0, 0])
-    def _():
-        row = chunk_start + jax.lax.broadcasted_iota(
-            jnp.int32, scores.shape, 1)
-        write_gmax(jnp.where(row < valid_ref[0, 0], scores, FIN_MIN))
-
-    @pl.when(chunk_start + chunk_size <= valid_ref[0, 0])
-    def _():
-        write_gmax(scores)
-
-
-# ------------------------------------------------- pass A (single-read v3)
+# ------------------------------------------------------ fused scoring pass
 
 
 def _score_gmax_kernel(q_ref, c_ref, valid_ref, *rest, groups_per_chunk: int,
-                       chunk_size: int, chunked: bool = False):
-    """Single-read fused pass: scoring matmul + per-group max, WITH the f32
-    score chunk written to HBM so candidate extraction is a cheap gather
-    instead of a second full corpus re-score (round-3 redesign: the round-2
-    two-pass kernel read the corpus twice — 2x HBM bytes and 2x MXU FLOPs
-    by construction; VERDICT r2 item 1a).
+                       chunk_size: int, chunked: bool = False,
+                       with_scores: bool = True):
+    """Fused scoring pass: MXU matmul + per-group max, optionally writing
+    the f32 score chunk to HBM (the single-read path; ``with_scores=False``
+    is pass A of the corpus-read-twice fallback, scores stay in VMEM).
 
     Refs: q [Q, D] (constant), c [CHUNK, D] (per chunk), valid [1,1] SMEM,
-    optional s [1, CHUNK] f32 dequant scales; outs: scores [Q, CHUNK] f32
-    (per chunk), gmax [1, G, Q] f32.
+    optional s [1, CHUNK] f32 dequant scales; outs: [scores] + gmax
+    [1, G, Q] f32. Score layout: ``chunked`` = [1, Q, CHUNK] blocks of a
+    [C, Q, CHUNK] array (dense per-step writes), else [Q, CHUNK] windows of
+    [Q, N] (strided rows; kept for A/B).
     """
-    if len(rest) == 3:
-        s_ref, scores_ref, gmax_ref = rest
-    else:
-        s_ref = None
-        scores_ref, gmax_ref = rest
+    rest = list(rest)
+    gmax_ref = rest.pop()
+    scores_ref = rest.pop() if with_scores else None
+    s_ref = rest.pop() if rest else None
     q = q_ref[:]
     c = c_ref[:]
     if c.dtype == jnp.int8:
@@ -294,10 +248,11 @@ def _score_gmax_kernel(q_ref, c_ref, valid_ref, *rest, groups_per_chunk: int,
     # gather (rows < n_valid), so only the group maxima need in-kernel
     # masking — and only in chunks that actually intersect the invalid tail
     # (saves a [Q, CHUNK] iota+where on every interior chunk)
-    if chunked:
-        scores_ref[0] = scores
-    else:
-        scores_ref[:] = scores
+    if scores_ref is not None:
+        if chunked:
+            scores_ref[0] = scores
+        else:
+            scores_ref[:] = scores
     chunk_start = pl.program_id(0) * chunk_size
 
     def write_gmax(s):
@@ -430,50 +385,55 @@ def _exact_body(queries, corpus, k_eff: int, chunk_size: int, n_valid,
         operands.append(
             scales.astype(jnp.float32).reshape(num_chunks, chunk_size))
 
-    if impl in ("single", "single_strided"):
-        # ---- one fused pass: matmul + masked group max, scores kept in HBM.
-        # Default layout is CHUNK-CONTIGUOUS ([C, Q, chunk]): each grid step
-        # writes one dense block. The "single_strided" variant writes into
-        # [Q, N] directly — 256 separate 32 KB row segments per step (row
-        # stride = 4 MB), kept for A/B.
-        chunked = impl == "single"
+    # ---- fused scoring pass: matmul + masked group max, plus the f32
+    # scores in HBM for the single-read impls. Default score layout is
+    # CHUNK-CONTIGUOUS ([C, Q, chunk]: dense per-step writes); the
+    # "single_strided" variant writes [Q, N] directly (256 separate 32 KB
+    # row segments per step), kept for A/B.
+    with_scores = impl in ("single", "single_strided")
+    chunked = impl == "single"
+    out_specs = []
+    out_shape = []
+    if with_scores:
         if chunked:
-            score_spec = pl.BlockSpec((1, n_q, chunk_size),
-                                      lambda i: (i, 0, 0))
-            score_shape = jax.ShapeDtypeStruct(
-                (num_chunks, n_q, chunk_size), jnp.float32)
+            out_specs.append(pl.BlockSpec((1, n_q, chunk_size),
+                                          lambda i: (i, 0, 0)))
+            out_shape.append(jax.ShapeDtypeStruct(
+                (num_chunks, n_q, chunk_size), jnp.float32))
         else:
-            score_spec = pl.BlockSpec((n_q, chunk_size), lambda i: (0, i))
-            score_shape = jax.ShapeDtypeStruct((n_q, n_pad), jnp.float32)
-        scores, gmax = pl.pallas_call(
-            functools.partial(_score_gmax_kernel,
-                              groups_per_chunk=groups_per_chunk,
-                              chunk_size=chunk_size, chunked=chunked),
-            grid=(num_chunks,),
-            in_specs=in_specs,
-            out_specs=[
-                score_spec,
-                pl.BlockSpec((1, groups_per_chunk, n_q), lambda i: (i, 0, 0)),
-            ],
-            out_shape=[
-                score_shape,
-                jax.ShapeDtypeStruct((num_chunks, groups_per_chunk, n_q),
-                                     jnp.float32),
-            ],
-            interpret=interpret,
-            **_compiler_params(interpret, parallel=True),
-        )(*operands)
-        gmax = gmax.reshape(groups, n_q).T               # [Q, groups]
+            out_specs.append(pl.BlockSpec((n_q, chunk_size), lambda i: (0, i)))
+            out_shape.append(jax.ShapeDtypeStruct((n_q, n_pad), jnp.float32))
+    out_specs.append(pl.BlockSpec((1, groups_per_chunk, n_q),
+                                  lambda i: (i, 0, 0)))
+    out_shape.append(jax.ShapeDtypeStruct(
+        (num_chunks, groups_per_chunk, n_q), jnp.float32))
+    outs = pl.pallas_call(
+        functools.partial(_score_gmax_kernel,
+                          groups_per_chunk=groups_per_chunk,
+                          chunk_size=chunk_size, chunked=chunked,
+                          with_scores=with_scores),
+        grid=(num_chunks,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        **_compiler_params(interpret, parallel=True),
+    )(*operands)
+    scores = outs[0] if with_scores else None
+    gmax = outs[-1].reshape(groups, n_q).T               # [Q, groups]
 
-        # group selection; ascending sort => candidates in global row order
-        if select == "hier":
-            _, gsel = hier_topk(gmax, k_eff)
-        else:
-            _, gsel = topk_lastdim(gmax, k_eff, interpret=interpret)
-        gsel = jnp.sort(gsel, axis=-1)
+    # ---- group selection; ascending sort => candidates in global row
+    # order, so the final stable top-k breaks ties toward the lower row id
+    if select == "hier":
+        _, gsel = hier_topk(gmax, k_eff)
+    else:
+        _, gsel = topk_lastdim(gmax, k_eff, interpret=interpret)
+    gsel = jnp.sort(gsel, axis=-1)
 
-        # candidate extraction = contiguous 128-lane gather from the score
-        # matrix (13 MB at Q=256/k=100) — no second corpus read
+    # ---- candidate extraction
+    if with_scores:
+        # contiguous 128-lane gather from the score matrix (13 MB at
+        # Q=256/k=100) — no second corpus read
         if chunked:
             s4 = scores.reshape(num_chunks, n_q, groups_per_chunk, LANES)
             cid = gsel // groups_per_chunk                # [Q, k] chunk ids
@@ -484,29 +444,6 @@ def _exact_body(queries, corpus, k_eff: int, chunk_size: int, n_valid,
             cand = jnp.take_along_axis(
                 scores.reshape(n_q, groups, LANES), gsel[:, :, None], axis=1)
     else:
-        # ---- pass A: fused matmul + masked group max (scores stay in VMEM)
-        gmax = pl.pallas_call(
-            functools.partial(_gmax_kernel, groups_per_chunk=groups_per_chunk,
-                              chunk_size=chunk_size),
-            grid=(num_chunks,),
-            in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, groups_per_chunk, n_q),
-                                   lambda i: (i, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((num_chunks, groups_per_chunk, n_q),
-                                           jnp.float32),
-            interpret=interpret,
-            **_compiler_params(interpret, parallel=True),
-        )(*operands)
-        gmax = gmax.reshape(groups, n_q).T               # [Q, groups]
-
-        # group selection; ascending sort => candidates in global row order,
-        # so the final stable top-k breaks score ties toward the lower row id
-        if select == "hier":
-            _, gsel = hier_topk(gmax, k_eff)
-        else:
-            _, gsel = topk_lastdim(gmax, k_eff, interpret=interpret)
-        gsel = jnp.sort(gsel, axis=-1)
-
         # ---- pass B: fused re-score + one-hot candidate gather
         gather_specs = [
             pl.BlockSpec((n_q, d), lambda i: (0, 0)),
@@ -583,20 +520,26 @@ def exact_topk_mips(queries: jnp.ndarray, corpus: jnp.ndarray, k: int,
     the [Q, N] f32 write does not fit alongside the index.
     """
     interpret = _resolve_interpret(interpret)
+    _check_select(select)
     # round DOWN to a LANES multiple (a stray chunk like 1000 would break the
     # in-kernel [Q, G, LANES] reshape with an opaque trace error), then clamp
     chunk_size = max(LANES, (chunk_size // LANES) * LANES)
     chunk_size = min(chunk_size, -(-corpus.shape[0] // LANES) * LANES)
-    impl = _resolve_impl(impl, queries.shape[0], corpus)
+    impl = _resolve_impl(impl, queries.shape[0], corpus.shape[0],
+                         corpus.nbytes)
     return _exact_topk_jit(queries, corpus, k, chunk_size, valid_rows,
                            interpret, scales, select=select, impl=impl)
 
 
-def _resolve_impl(impl: str, n_queries: int, corpus) -> str:
+def _resolve_impl(impl: str, n_queries: int, rows: int, nbytes: int) -> str:
     """auto: single-read needs a [Q, N] f32 score buffer in HBM next to the
     corpus — pick it when that fits a v5e (16 GB) with headroom, else fall
     back to the corpus-read-twice kernel (e.g. 8M int8 rows at Q=256:
-    8.2 GB corpus + 8.6 GB scores would not fit)."""
+    8.2 GB corpus + 8.6 GB scores would not fit). ``rows``/``nbytes`` are
+    PER-DEVICE (the local shard for the sharded path)."""
+    if impl not in ("auto", "single", "single_strided", "twopass"):
+        raise ValueError(f"impl must be auto|single|single_strided|twopass, "
+                         f"got {impl!r}")
     if impl != "auto":
         return impl
     if n_queries > 512:
@@ -604,8 +547,13 @@ def _resolve_impl(impl: str, n_queries: int, corpus) -> str:
         # x2 buffering — at Q=1024/chunk=8192 that alone is 64 MB and the
         # program exceeds the 128 MB VMEM (measured OOM, probe_r3)
         return "twopass"
-    score_bytes = 4 * n_queries * corpus.shape[0]
-    return "single" if corpus.nbytes + score_bytes < 12 * 2**30 else "twopass"
+    score_bytes = 4 * n_queries * rows
+    return "single" if nbytes + score_bytes < 12 * 2**30 else "twopass"
+
+
+def _check_select(select: str) -> None:
+    if select not in ("flat", "hier"):
+        raise ValueError(f"select must be 'flat' or 'hier', got {select!r}")
 
 
 def sharded_exact_topk_mips(queries: jnp.ndarray, corpus_sharded: jnp.ndarray,
@@ -629,10 +577,10 @@ def sharded_exact_topk_mips(queries: jnp.ndarray, corpus_sharded: jnp.ndarray,
     k_eff = min(k, shard_rows)
     local_chunk = max(LANES, (chunk_size // LANES) * LANES)
     local_chunk = min(local_chunk, -(-shard_rows // LANES) * LANES)
-    if impl == "auto":  # per-shard HBM budget: local corpus + local scores
-        local_bytes = corpus_sharded.nbytes // num_shards
-        impl = ("single" if local_bytes + 4 * queries.shape[0] * shard_rows
-                < 12 * 2**30 else "twopass")
+    _check_select(select)
+    # per-shard budget: local corpus rows/bytes (same guards as unsharded)
+    impl = _resolve_impl(impl, queries.shape[0], shard_rows,
+                         corpus_sharded.nbytes // num_shards)
 
     def local_search(q_local, corpus_local, *scale_args):
         shard_id = jax.lax.axis_index(axis)

@@ -234,12 +234,16 @@ class TripleSelector(KiRAG):
             chains_finished, chains_tfs = [False], [[]]
 
         all_triples = self.get_candidate_triples_from_documents(documents)
-        if all_triples:
+        if self.aligner is not None and all_triples:
             cand_indices, cand_scores = self.filter_candidate_triples(
                 question, chains, all_triples, self.num_candidate_triples)
         else:
-            cand_indices = [[] for _ in chains]
-            cand_scores = [[] for _ in chains]
+            # no aligner: unranked candidates with neutral scores (mirrors
+            # select()'s fallback; the beam then degenerates to list order)
+            cand_indices = [list(range(min(len(all_triples),
+                                           self.maximum_possible_choices)))
+                            for _ in chains]
+            cand_scores = [[1.0] * len(ix) for ix in cand_indices]
         cand_indices, cand_scores = self.filter_duplicate_triples(
             chains, all_triples, cand_indices, cand_scores)
 

@@ -360,24 +360,50 @@ class TestExactSelectHier:
 
 
 class TestImplResolution:
-    def test_auto_prefers_single_when_scores_fit(self, rng):
+    def test_auto_prefers_single_when_scores_fit(self):
         from kirag_tpu.ops.pallas_exact import _resolve_impl
 
-        c = jnp.zeros((10_000, 64), dtype=jnp.bfloat16)
-        assert _resolve_impl("auto", 256, c) == "single"
-        assert _resolve_impl("twopass", 256, c) == "twopass"
+        assert _resolve_impl("auto", 256, 10_000, 10_000 * 128) == "single"
+        assert _resolve_impl("twopass", 256, 10_000, 10_000 * 128) == "twopass"
 
     def test_auto_falls_back_on_hbm_or_vmem_pressure(self):
         from kirag_tpu.ops.pallas_exact import _resolve_impl
 
-        class FakeCorpus:  # 8M x 1024 int8 without allocating it
-            shape = (8_388_608, 1024)
-            nbytes = 8_388_608 * 1024
-
-        assert _resolve_impl("auto", 256, FakeCorpus()) == "twopass"
+        # 8M x 1024 int8: corpus + [256, 8M] f32 scores exceed the budget
+        assert _resolve_impl("auto", 256, 8_388_608,
+                             8_388_608 * 1024) == "twopass"
         # large Q: the [Q, chunk] f32 score window alone busts VMEM
-        small = jnp.zeros((10_000, 64), dtype=jnp.bfloat16)
-        assert _resolve_impl("auto", 1024, small) == "twopass"
+        assert _resolve_impl("auto", 1024, 10_000, 10_000 * 128) == "twopass"
+
+    def test_invalid_values_raise(self):
+        from kirag_tpu.ops.pallas_exact import _check_select, _resolve_impl
+
+        with pytest.raises(ValueError):
+            _resolve_impl("bogus", 256, 1000, 1000)
+        with pytest.raises(ValueError):
+            _check_select("heir")
+        with pytest.raises(ValueError):
+            exact_topk_mips(jnp.zeros((2, 8)), jnp.zeros((64, 8)), 3,
+                            select="Hier", interpret=True)
+
+    def test_indexer_validates_select(self):
+        from kirag_tpu.index import TPUIndexer
+
+        with pytest.raises(KeyError):
+            TPUIndexer(16, pallas_select="heir")
+
+    def test_sharded_large_q_uses_twopass_guard(self, rng, mesh8):
+        # Q > 512 through the SHARDED path must not pick the single kernel
+        # (VMEM guard lives in the shared _resolve_impl)
+        from kirag_tpu.ops.pallas_exact import sharded_exact_topk_mips
+
+        q = rng.randn(520, 16).astype(np.float32)
+        c = rng.randn(1024, 16).astype(np.float32)
+        vals, idx = sharded_exact_topk_mips(jnp.asarray(q), jnp.asarray(c), 3,
+                                            mesh8, chunk_size=128,
+                                            interpret=True, impl="auto")
+        ovals, oidx = numpy_topk(q @ c.T, 3)
+        np.testing.assert_array_equal(np.asarray(idx), oidx)
 
 
 class TestSingleStridedLayout:
