@@ -242,7 +242,7 @@ def _score_gmax_kernel(q_ref, c_ref, valid_ref, *rest, groups_per_chunk: int,
         q, c, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)              # [Q, CHUNK]
     if s_ref is not None:
-        scores = scores * s_ref[0][None, :]
+        scores = scores * s_ref[0].reshape(1, -1)
     n_q = scores.shape[0]
     # scores are written RAW: invalid rows are re-masked after the candidate
     # gather (rows < n_valid), so only the group maxima need in-kernel
@@ -297,7 +297,7 @@ def _gather_kernel(q_ref, c_ref, gsel_ref, *rest, groups_per_chunk: int,
         q, c, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)              # [Q, CHUNK]
     if s_ref is not None:
-        scores = scores * s_ref[0][None, :]
+        scores = scores * s_ref[0].reshape(1, -1)
     n_q = scores.shape[0]
     s3 = scores.reshape(n_q, groups_per_chunk, LANES)
     rel = gsel_ref[:] - i * groups_per_chunk             # [Q, k]
@@ -381,9 +381,11 @@ def _exact_body(queries, corpus, k_eff: int, chunk_size: int, n_valid,
     ]
     operands = [queries, corpus, valid_arr]
     if scales is not None:
-        in_specs.append(pl.BlockSpec((1, chunk_size), lambda i: (i, 0)))
+        in_specs.append(pl.BlockSpec((1, groups_per_chunk, LANES),
+                             lambda i: (i, 0, 0)))
         operands.append(
-            scales.astype(jnp.float32).reshape(num_chunks, chunk_size))
+            scales.astype(jnp.float32).reshape(num_chunks,
+                                   groups_per_chunk, LANES))
 
     # ---- fused scoring pass: matmul + masked group max, plus the f32
     # scores in HBM for the single-read impls. Default score layout is
@@ -452,9 +454,11 @@ def _exact_body(queries, corpus, k_eff: int, chunk_size: int, n_valid,
         ]
         gather_ops = [queries, corpus, gsel]
         if scales is not None:
-            gather_specs.append(pl.BlockSpec((1, chunk_size), lambda i: (i, 0)))
+            gather_specs.append(pl.BlockSpec((1, groups_per_chunk, LANES),
+                                 lambda i: (i, 0, 0)))
             gather_ops.append(
-                scales.astype(jnp.float32).reshape(num_chunks, chunk_size))
+                scales.astype(jnp.float32).reshape(num_chunks,
+                                   groups_per_chunk, LANES))
         cand = pl.pallas_call(
             functools.partial(_gather_kernel,
                               groups_per_chunk=groups_per_chunk, k=k_eff),

@@ -66,7 +66,7 @@ def _group_max_kernel(q_ref, c_ref, *rest, groups_per_chunk: int):
         preferred_element_type=jnp.float32,
     )  # [Q, CHUNK] in VMEM
     if s_ref is not None:
-        scores = scores * s_ref[0][None, :]
+        scores = scores * s_ref[0].reshape(1, -1)
     n_q = scores.shape[0]
     s3 = scores.reshape(n_q, groups_per_chunk, LANES)
     m = jnp.max(s3, axis=-1)  # [Q, G]
@@ -116,8 +116,10 @@ def grouped_max_scores(queries: jnp.ndarray, corpus: jnp.ndarray,
     ]
     operands = [queries, corpus]
     if scales is not None:
-        in_specs.append(pl.BlockSpec((1, chunk_size), lambda i: (i, 0)))
-        operands.append(scales.astype(jnp.float32).reshape(num_chunks, chunk_size))
+        in_specs.append(pl.BlockSpec((1, groups_per_chunk, LANES),
+                             lambda i: (i, 0, 0)))
+        operands.append(scales.astype(jnp.float32).reshape(num_chunks,
+                                   groups_per_chunk, LANES))
     gmax, gidx = pl.pallas_call(
         kernel,
         grid=(num_chunks,),
