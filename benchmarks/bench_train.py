@@ -84,8 +84,11 @@ def main() -> None:
             p, s = carry
 
             def loss_fn(p):
+                # remat: e5-large fwd activations for b32xq256 + b128xd64
+                # OOM 16GB HBM without it (measured 17.8G)
                 return in_batch_contrastive_loss(
-                    p, batch, config, "e5", 0.01, compute_dtype=jnp.bfloat16)
+                    p, batch, config, "e5", 0.01, compute_dtype=jnp.bfloat16,
+                    remat=not SMOKE)
 
             (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
             updates, s = opt.update(grads, s, p)

@@ -39,14 +39,24 @@ def _embed(params, args: Dict[str, jnp.ndarray], config: BertConfig, encoder_typ
 
 
 def in_batch_contrastive_loss(params, batch, config: BertConfig, encoder_type: str = "e5",
-                              temperature: float = 0.01, compute_dtype=jnp.float32):
+                              temperature: float = 0.01, compute_dtype=jnp.float32,
+                              remat: bool = False):
     """CE over the global [num_queries, num_docs] score matrix.
 
     ``batch`` = {"query_args", "doc_args", "positive_doc_indices"} as produced
     by the training collator (`kirag_tpu.data.collators`).
+
+    ``remat=True`` rematerializes the encoder forwards during the backward
+    pass (jax.checkpoint): required at e5-large geometry on one v5e —
+    storing all 24 layers' activations for b32 x q256 + b128 x d64 OOMs HBM
+    (measured 17.8G vs 15.75G); with remat the step fits comfortably.
     """
-    q_emb = _embed(params, batch["query_args"], config, encoder_type, compute_dtype)
-    d_emb = _embed(params, batch["doc_args"], config, encoder_type, compute_dtype)
+    embed = _embed
+    if remat:
+        embed = jax.checkpoint(
+            _embed, static_argnums=(2, 3, 4))  # config/encoder_type/dtype
+    q_emb = embed(params, batch["query_args"], config, encoder_type, compute_dtype)
+    d_emb = embed(params, batch["doc_args"], config, encoder_type, compute_dtype)
     scores = (q_emb @ d_emb.T) / temperature
     labels = batch["positive_doc_indices"]
     log_probs = jax.nn.log_softmax(scores, axis=-1)
@@ -63,11 +73,12 @@ class AlignerTrainer(BaseTrainer):
                  train_loader, eval_loader=None, encoder_type: str = "e5",
                  temperature: float = 0.01, compute_dtype=jnp.float32,
                  num_candidates_per_query: Optional[int] = None, mesh=None,
-                 batch_sharding=None):
+                 batch_sharding=None, remat: bool = False):
         self.bert_config = bert_config
         self.encoder_type = encoder_type
         self.temperature = temperature
         self.compute_dtype = compute_dtype
+        self.remat = remat
         self.num_candidates_per_query = num_candidates_per_query
         if mesh is not None and mesh.shape.get("model", 1) > 1:
             # tensor-parallel training: shard encoder weights over the model
@@ -102,7 +113,7 @@ class AlignerTrainer(BaseTrainer):
     def loss_fn(self, params, batch):
         return in_batch_contrastive_loss(
             params, batch, self.bert_config, self.encoder_type,
-            self.temperature, self.compute_dtype)
+            self.temperature, self.compute_dtype, remat=self.remat)
 
     def _score_batch(self, params, batch):
         q_emb = _embed(params, batch["query_args"], self.bert_config, self.encoder_type,
