@@ -77,7 +77,10 @@ def main() -> None:
 
     import functools
 
-    @functools.partial(jax.jit, static_argnames=("k",))
+    # donate params+opt_state: without it two full copies (~11 GB at
+    # e5-large f32 + AdamW) coexist and the step OOMs at runtime
+    @functools.partial(jax.jit, static_argnames=("k",),
+                       donate_argnums=(0, 1))
     def k_steps(params, opt_state, batch, k):
         """K chained update steps on device (lax.scan; params thread through)."""
         def one(carry, _):
