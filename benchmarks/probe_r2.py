@@ -984,8 +984,9 @@ def probe_sc_m_scoregather(iters):
 
     def make():
         rng = np.random.default_rng(3)
-        gsel = jnp.asarray(np.sort(rng.choice(123 * 64, size=(Q, K), replace=False),
-                                   axis=-1), dtype=jnp.int32)
+        gsel = jnp.asarray(
+            np.sort(np.stack([rng.choice(123 * 64, size=K, replace=False)
+                              for _ in range(Q)]), axis=-1), dtype=jnp.int32)
 
         def op(s):
             s4 = s.reshape(123, Q, 64, LANES)

@@ -273,6 +273,40 @@ def _score_gmax_kernel(q_ref, c_ref, valid_ref, *rest, groups_per_chunk: int,
 # ------------------------------------------------------------------- pass B
 
 
+def _score_gather_kernel(s_ref, gsel_ref, cand_ref, *, groups_per_chunk: int,
+                         k: int):
+    """Candidate extraction from the MATERIALIZED score matrix: stream the
+    [C, Q, chunk] scores once and pull each query's selected groups with a
+    one-hot MXU matmul, accumulating [Q, k, LANES] in VMEM.
+
+    Replaces the XLA advanced-indexing gather, which moves 512-byte slices
+    at ~1.9 GB/s effective (~7 ms of the 16.4 ms pipeline — probe_r3
+    sc_m_* micros put every other non-kernel stage under 1 ms). Each group
+    lives in exactly one chunk, so each (query, slot) accumulates exactly
+    one exact contribution (cf. :func:`_gather_kernel`); unlike that
+    kernel there is NO corpus re-read and NO re-score matmul.
+    """
+    i = pl.program_id(0)
+    scores = s_ref[0]                                    # [Q, CHUNK]
+    n_q = scores.shape[0]
+    s3 = scores.reshape(n_q, groups_per_chunk, LANES)
+    rel = gsel_ref[:] - i * groups_per_chunk             # [Q, k]
+    gc = jax.lax.broadcasted_iota(jnp.int32, (n_q, k, groups_per_chunk), 2)
+    onehot = (rel[:, :, None] == gc).astype(jnp.float32)
+    contrib = jax.lax.dot_general(
+        onehot, s3, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)             # [Q, k, LANES]
+
+    @pl.when(i == 0)
+    def _():
+        cand_ref[:] = contrib
+
+    @pl.when(i > 0)
+    def _():
+        cand_ref[:] = cand_ref[:] + contrib
+
+
 def _gather_kernel(q_ref, c_ref, gsel_ref, *rest, groups_per_chunk: int,
                    k: int):
     """Second fused pass: re-score the chunk and extract the selected groups
@@ -434,14 +468,25 @@ def _exact_body(queries, corpus, k_eff: int, chunk_size: int, n_valid,
 
     # ---- candidate extraction
     if with_scores:
-        # contiguous 128-lane gather from the score matrix (13 MB at
-        # Q=256/k=100) — no second corpus read
         if chunked:
-            s4 = scores.reshape(num_chunks, n_q, groups_per_chunk, LANES)
-            cid = gsel // groups_per_chunk                # [Q, k] chunk ids
-            wid = gsel % groups_per_chunk                 # [Q, k] group-in-chunk
-            qix = jax.lax.broadcasted_iota(jnp.int32, gsel.shape, 0)
-            cand = s4[cid, qix, wid]                      # [Q, k, LANES]
+            # stream the score matrix once through a one-hot accumulate
+            # kernel: the XLA slice gather measured ~1.9 GB/s effective
+            # (~7 ms at Q=256/k=100 — probe_r3 micros)
+            cand = pl.pallas_call(
+                functools.partial(_score_gather_kernel,
+                                  groups_per_chunk=groups_per_chunk, k=k_eff),
+                grid=(num_chunks,),
+                in_specs=[
+                    pl.BlockSpec((1, n_q, chunk_size), lambda i: (i, 0, 0)),
+                    pl.BlockSpec((n_q, k_eff), lambda i: (0, 0)),
+                ],
+                out_specs=pl.BlockSpec((n_q, k_eff, LANES),
+                                       lambda i: (0, 0, 0)),
+                out_shape=jax.ShapeDtypeStruct((n_q, k_eff, LANES),
+                                               jnp.float32),
+                interpret=interpret,
+                **_compiler_params(interpret),
+            )(scores, gsel)
         else:
             cand = jnp.take_along_axis(
                 scores.reshape(n_q, groups, LANES), gsel[:, :, None], axis=1)
