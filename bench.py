@@ -61,11 +61,19 @@ def tpu_qps() -> float:
     query_rows = rng.integers(0, N_CORPUS, size=N_QUERIES)
     queries_host = corpus_host[query_rows].copy()
 
+    # pre-pad to the kernel's chunk grid ONCE on host (what TPUIndexer does
+    # at to_device): otherwise the jit body pads the corpus itself — a 2 GB
+    # read+write of the whole matrix inside every timed call
+    n_pad = -(-N_CORPUS // CHUNK) * CHUNK
+    corpus_host_p = np.zeros((n_pad, DIM), dtype=np.float32)
+    corpus_host_p[:N_CORPUS] = corpus_host
+    del corpus_host
+
     # cast to bf16 on host (half the bytes over the transfer link)
-    corpus = jax.device_put(corpus_host.astype(ml_dtypes.bfloat16))
+    corpus = jax.device_put(corpus_host_p.astype(ml_dtypes.bfloat16))
     queries = jax.device_put(queries_host.astype(ml_dtypes.bfloat16))
     corpus.block_until_ready()
-    del corpus_host
+    del corpus_host_p
 
     import functools
 
@@ -79,6 +87,7 @@ def tpu_qps() -> float:
             # chain: zero delta derived from the previous iteration's values
             delta = (0.0 * prev_vals[:, :1]).astype(qs.dtype)
             vals, idx = exact_topk_mips(qs + delta, c, TOPK, chunk_size=CHUNK,
+                                        valid_rows=N_CORPUS,
                                         interpret=False, select=SELECT,
                                         impl=IMPL)
             hits = jnp.sum((idx[:, 0] == rows).astype(jnp.int32))
