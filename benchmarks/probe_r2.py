@@ -877,6 +877,53 @@ def probe_sc_prepad_hier_c8192(iters):
                           for n, w in windows.items()}}
 
 
+def probe_sc_prepad_approx_c8192(iters):
+    """Approx mode with the pre-padded corpus (same advantage the indexer
+    now gives every mode): the in-jit pad cost ~5.8 ms/call at 1M x 1024."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from kirag_tpu.ops.pallas_mips import approx_topk_mips
+
+    qs, c, rows = _data()
+    n_pad = -(-N // 8192) * 8192
+    c_pad = jnp.pad(c, ((0, n_pad - N), (0, 0)))
+    c_pad.block_until_ready()
+    rows_d = jax.device_put(jnp.asarray(rows, dtype=jnp.int32))
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def run(qs, c, rows_arr, iters):
+        def body(prev_vals, _):
+            delta = (0.0 * prev_vals[:, :1]).astype(qs.dtype)
+            vals, idx = approx_topk_mips(qs + delta, c, K, chunk_size=8192,
+                                         valid_rows=N, interpret=False)
+            hits = jnp.sum((idx[:, 0] == rows_arr).astype(jnp.int32))
+            return vals, hits
+
+        init = jnp.zeros((Q, K), dtype=jnp.float32)
+        return jax.lax.scan(body, init, None, length=iters)
+
+    windows = {}
+    for n in (8, 32):
+        out = run(qs, c_pad, rows_d, iters=n)
+        jax.tree.map(np.asarray, out)
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            vals, hits = run(qs, c_pad, rows_d, iters=n)
+            hits_h = np.asarray(hits)
+            np.asarray(vals)
+            reps.append(time.perf_counter() - t0)
+            assert (hits_h > 0.99 * Q).all(), hits_h
+        windows[n] = min(reps)
+    per_iter = (windows[32] - windows[8]) / 24
+    return {"ms": per_iter * 1e3, "qps": Q / per_iter,
+            "window_ms": {str(n): round(w * 1e3, 1)
+                          for n, w in windows.items()}}
+
+
 def probe_sc_par_approx_c8192(iters):
     from kirag_tpu.ops.pallas_mips import approx_topk_mips
 
