@@ -63,17 +63,18 @@ def tpu_qps() -> float:
 
     # pre-pad to the kernel's chunk grid ONCE on host (what TPUIndexer does
     # at to_device): otherwise the jit body pads the corpus itself — a 2 GB
-    # read+write of the whole matrix inside every timed call
+    # read+write of the whole matrix inside every timed call. Build the
+    # padded buffer directly in bf16 (half the transfer bytes, and no second
+    # full f32 copy: at 8M rows that transient would be another 32 GB RSS)
     n_pad = -(-N_CORPUS // CHUNK) * CHUNK
-    corpus_host_p = np.zeros((n_pad, DIM), dtype=np.float32)
-    corpus_host_p[:N_CORPUS] = corpus_host
+    corpus_bf16 = np.zeros((n_pad, DIM), dtype=ml_dtypes.bfloat16)
+    corpus_bf16[:N_CORPUS] = corpus_host.astype(ml_dtypes.bfloat16)
     del corpus_host
 
-    # cast to bf16 on host (half the bytes over the transfer link)
-    corpus = jax.device_put(corpus_host_p.astype(ml_dtypes.bfloat16))
+    corpus = jax.device_put(corpus_bf16)
     queries = jax.device_put(queries_host.astype(ml_dtypes.bfloat16))
     corpus.block_until_ready()
-    del corpus_host_p
+    del corpus_bf16
 
     import functools
 

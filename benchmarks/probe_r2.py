@@ -838,10 +838,6 @@ def probe_sc_prepad_hier_c8192(iters):
     n_pad = -(-N // 8192) * 8192
     c_pad = jnp.pad(c, ((0, n_pad - N), (0, 0)))
     c_pad.block_until_ready()
-
-    def val(o):
-        assert float(np.mean(o[1][:, 0] == rows)) > 0.99
-
     rows_d = jax.device_put(jnp.asarray(rows, dtype=jnp.int32))
     import functools
 

@@ -81,6 +81,12 @@ class TPUIndexer:
         if exact_impl not in ("auto", "pallas", "xla"):
             raise KeyError(f"exact_impl must be auto|pallas|xla, got {exact_impl}")
         self.exact_impl = exact_impl
+        if pallas_chunk_size < 128 or pallas_chunk_size % 128 != 0:
+            # the kernel would silently round it down, de-aligning the
+            # chunk-grid pre-pad in to_device (which would then re-pad the
+            # whole corpus inside jit on every search)
+            raise ValueError("pallas_chunk_size must be a positive multiple "
+                             f"of 128, got {pallas_chunk_size}")
         self.pallas_chunk_size = pallas_chunk_size
         # selection stages inside the fused kernel: "hier" (two-level, the
         # measured round-3 winner: 16.1 vs 17.7 ms/batch at 1M x 1024) or

@@ -46,7 +46,7 @@ def _group_max_kernel(q_ref, c_ref, *rest, groups_per_chunk: int):
     Refs:
       q_ref:    [Q, D]               (VMEM, same block every step)
       c_ref:    [CHUNK, D]           (VMEM, pipelined per chunk; bf16 or int8)
-      s_ref:    [1, CHUNK] f32       (optional per-row dequant scales)
+      s_ref:    [1, G, LANES] f32    (optional per-row dequant scales, 3-D)
       gmax_ref: [1, groups, Q] f32   (output block for this chunk)
       gidx_ref: [1, groups, Q] int32 (lane index of the max, ties -> lowest)
     """
