@@ -39,8 +39,9 @@ N_QUERIES = int(os.environ.get("BENCH_QUERIES", 256))
 TOPK = int(os.environ.get("BENCH_TOPK", 100))
 SCAN_LENS = (int(os.environ.get("BENCH_ITERS_LO", 8)),
              int(os.environ.get("BENCH_ITERS_HI", 32)))
-# kernel knobs (defaults = the on-chip A/B winner, benchmarks/probe_r3_results.jsonl)
-CHUNK = int(os.environ.get("BENCH_CHUNK", 8192))
+# kernel knobs (defaults = the on-chip A/B winner: chunk 16384 measured
+# 8.77 ms vs 10.1-10.4 at 8192 once the index is pre-padded — trial7)
+CHUNK = int(os.environ.get("BENCH_CHUNK", 16384))
 SELECT = os.environ.get("BENCH_SELECT", "hier")
 IMPL = os.environ.get("BENCH_IMPL", "single")
 

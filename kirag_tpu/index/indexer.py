@@ -49,7 +49,7 @@ class TPUIndexer:
                  device_dtype: jnp.dtype = jnp.float32, chunk_size: int = 262144,
                  compression: str = "none", n_subquantizers: int = 0, n_bits: int = 8,
                  max_device_rows: Optional[int] = None,
-                 exact_impl: str = "auto", pallas_chunk_size: int = 8192,
+                 exact_impl: str = "auto", pallas_chunk_size: int = 16384,
                  pallas_select: str = "hier"):
         # drop-in compatibility with the reference ctor (`retriever/index.py:19`):
         # a PQ request maps to our int8 row compression (the TPU equal-memory play)

@@ -581,12 +581,13 @@ def exact_topk_mips(queries: jnp.ndarray, corpus: jnp.ndarray, k: int,
     chunk_size = max(LANES, (chunk_size // LANES) * LANES)
     chunk_size = min(chunk_size, -(-corpus.shape[0] // LANES) * LANES)
     impl = _resolve_impl(impl, queries.shape[0], corpus.shape[0],
-                         corpus.nbytes)
+                         corpus.nbytes, chunk_size)
     return _exact_topk_jit(queries, corpus, k, chunk_size, valid_rows,
                            interpret, scales, select=select, impl=impl)
 
 
-def _resolve_impl(impl: str, n_queries: int, rows: int, nbytes: int) -> str:
+def _resolve_impl(impl: str, n_queries: int, rows: int, nbytes: int,
+                  chunk_size: int = 8192) -> str:
     """auto: single-read needs a [Q, N] f32 score buffer in HBM next to the
     corpus — pick it when that fits a v5e (16 GB) with headroom, else fall
     back to the corpus-read-twice kernel (e.g. 8M int8 rows at Q=256:
@@ -597,10 +598,11 @@ def _resolve_impl(impl: str, n_queries: int, rows: int, nbytes: int) -> str:
                          f"got {impl!r}")
     if impl != "auto":
         return impl
-    if n_queries > 512:
-        # the single kernel's per-chunk score output window is [Q, chunk] f32
-        # x2 buffering — at Q=1024/chunk=8192 that alone is 64 MB and the
-        # program exceeds the 128 MB VMEM (measured OOM, probe_r3)
+    if n_queries > 512 or n_queries * chunk_size > 256 * 16384:
+        # VMEM envelope: the single kernel's per-chunk [Q, chunk] f32 score
+        # window (x2 buffering) plus the corpus window must fit 128 MB.
+        # Measured: Q=256/chunk=16384 compiles and runs; Q=1024/chunk=8192
+        # OOMs (probe_r3) — Q*chunk <= 256*16384 is the validated envelope
         return "twopass"
     score_bytes = 4 * n_queries * rows
     return "single" if nbytes + score_bytes < 12 * 2**30 else "twopass"
@@ -635,7 +637,7 @@ def sharded_exact_topk_mips(queries: jnp.ndarray, corpus_sharded: jnp.ndarray,
     _check_select(select)
     # per-shard budget: local corpus rows/bytes (same guards as unsharded)
     impl = _resolve_impl(impl, queries.shape[0], shard_rows,
-                         corpus_sharded.nbytes // num_shards)
+                         corpus_sharded.nbytes // num_shards, local_chunk)
 
     def local_search(q_local, corpus_local, *scale_args):
         shard_id = jax.lax.axis_index(axis)
