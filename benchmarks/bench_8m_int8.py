@@ -108,14 +108,17 @@ def main() -> None:
     # 8.2 GB int8 corpus + [256, 8M] f32 scores (8.6 GB) exceed HBM, so the
     # product auto path picks the corpus-read-twice kernel here; hier
     # selection replaces the wide sorts (65k groups at 8M rows)
+    timed("exact_twopass_hier_c16k_int8_8m",
+          lambda qq: exact_topk_mips(qq, c, K, chunk_size=16384, scales=s,
+                                     interpret=False, select="hier",
+                                     impl="auto"))
     timed("exact_twopass_hier_int8_8m",
           lambda qq: exact_topk_mips(qq, c, K, chunk_size=8192, scales=s,
                                      interpret=False, select="hier",
                                      impl="auto"))
-    timed("exact_twopass_flat_int8_8m",
-          lambda qq: exact_topk_mips(qq, c, K, chunk_size=8192, scales=s,
-                                     interpret=False, select="flat",
-                                     impl="twopass"))
+    timed("approx_pallas_c16k_int8_8m",
+          lambda qq: approx_topk_mips(qq, c, K, chunk_size=16384, scales=s,
+                                      interpret=False))
     timed("approx_pallas_int8_8m",
           lambda qq: approx_topk_mips(qq, c, K, chunk_size=8192, scales=s,
                                       interpret=False))
