@@ -367,3 +367,36 @@ class TestPallasExactImpl:
     def test_invalid_impl_raises(self):
         with pytest.raises(KeyError):
             TPUIndexer(8, exact_impl="nope")
+
+
+class TestChunkGridPrepad:
+    def test_large_corpus_rows_align_to_chunk_grid(self, rng):
+        """to_device pre-pads big corpora to pallas_chunk_size multiples so
+        the fused kernel never pads (a full corpus copy) inside jit."""
+        from kirag_tpu.index import TPUIndexer
+
+        idx = TPUIndexer(16, pallas_chunk_size=128)
+        n = 300  # >= chunk (128): triggers the chunk-grid pre-pad
+        emb = rng.randn(n, 16).astype(np.float32)
+        idx.index_data([f"d{i}" for i in range(n)], emb)
+        idx.to_device()
+        assert idx._device_corpus.shape[0] % 128 == 0
+        assert idx._device_rows == n  # valid_rows still the true count
+        # search is oracle-exact across the padded boundary
+        q = emb[:3]
+        results = idx.search_knn(q, 5)  # per-query ([db_id...], scores)
+        scores = q @ emb.T
+        order = np.lexsort((np.arange(n)[None].repeat(3, 0), -scores),
+                           axis=-1)[:, :5]
+        for r, row in zip(results, order):
+            assert r[0] == [f"d{j}" for j in row]
+
+    def test_small_corpus_keeps_minimal_pad(self, rng):
+        from kirag_tpu.index import TPUIndexer
+
+        idx = TPUIndexer(16, pallas_chunk_size=8192)
+        emb = rng.randn(20, 16).astype(np.float32)
+        idx.index_data([f"d{i}" for i in range(20)], emb)
+        idx.to_device()
+        # below the chunk threshold: only the 8-row sublane pad applies
+        assert idx._device_corpus.shape[0] == 24
