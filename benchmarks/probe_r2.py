@@ -1,4 +1,11 @@
-"""Round-2 probe: where do the ~28ms of non-matmul time in exact MIPS go?
+"""Rounds 2-3 probe harness: where does exact-MIPS device time go?
+
+(Named for the round that created it; round 3 added the scan-chained
+`sc_*` probes — N chained iterations inside one jit, two scan lengths
+min-of-3 differenced — which superseded the single-dispatch `ch_*` timers
+once the ~8 ms/execute relay latency was identified. Results accumulate in
+probe_r3_results.jsonl; the decisive findings are summarized in
+docs/DESIGN.md §0c.)
 
 Runs ALL probes in ONE process (the host->device corpus transfer costs ~20min
 through the tunnel, so it must be paid once), each under a SIGALRM guard
