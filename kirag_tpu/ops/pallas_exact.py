@@ -580,10 +580,22 @@ def exact_topk_mips(queries: jnp.ndarray, corpus: jnp.ndarray, k: int,
     # in-kernel [Q, G, LANES] reshape with an opaque trace error), then clamp
     chunk_size = max(LANES, (chunk_size // LANES) * LANES)
     chunk_size = min(chunk_size, -(-corpus.shape[0] // LANES) * LANES)
+    chunk_size = _clamp_chunk_for_queries(chunk_size, queries.shape[0])
     impl = _resolve_impl(impl, queries.shape[0], corpus.shape[0],
                          corpus.nbytes, chunk_size)
     return _exact_topk_jit(queries, corpus, k, chunk_size, valid_rows,
                            interpret, scales, select=select, impl=impl)
+
+
+def _clamp_chunk_for_queries(chunk_size: int, n_queries: int) -> int:
+    """Every kernel variant holds a [Q, chunk] f32 score block in VMEM;
+    large query batches must trade chunk size for it (Q=1024 at chunk 16384
+    measured a 138 MB VMEM requirement vs the 128 MB capacity). Keep
+    Q * chunk within the validated Q=256 x 16384 envelope."""
+    budget = 256 * 16384
+    if n_queries * chunk_size <= budget:
+        return chunk_size
+    return max(LANES, (budget // max(n_queries, 1)) // LANES * LANES)
 
 
 def _resolve_impl(impl: str, n_queries: int, rows: int, nbytes: int,
@@ -634,6 +646,7 @@ def sharded_exact_topk_mips(queries: jnp.ndarray, corpus_sharded: jnp.ndarray,
     k_eff = min(k, shard_rows)
     local_chunk = max(LANES, (chunk_size // LANES) * LANES)
     local_chunk = min(local_chunk, -(-shard_rows // LANES) * LANES)
+    local_chunk = _clamp_chunk_for_queries(local_chunk, queries.shape[0])
     _check_select(select)
     # per-shard budget: local corpus rows/bytes (same guards as unsharded)
     impl = _resolve_impl(impl, queries.shape[0], shard_rows,
