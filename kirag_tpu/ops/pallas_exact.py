@@ -536,6 +536,9 @@ def _exact_body(queries, corpus, k_eff: int, chunk_size: int, n_valid,
     return vals, idx
 
 
+QUERY_BLOCK = 256  # the validated VMEM envelope's query-batch unit
+
+
 @functools.partial(jax.jit,
                    static_argnames=("k", "chunk_size", "valid_rows",
                                     "interpret", "select", "impl"))
@@ -544,8 +547,22 @@ def _exact_topk_jit(queries, corpus, k, chunk_size, valid_rows, interpret,
     n = corpus.shape[0]
     n_valid = n if valid_rows is None else valid_rows
     k_eff = min(k, n)
-    vals, idx = _exact_body(queries, corpus, k_eff, chunk_size, n_valid,
-                            interpret, scales, select=select, impl=impl)
+    n_q = queries.shape[0]
+    if n_q > QUERY_BLOCK and n_q % QUERY_BLOCK == 0:
+        # large query batches: queries are independent — run the fast
+        # QUERY_BLOCK-sized program per block under lax.map (one compile,
+        # one dispatch, per-block VMEM footprint) instead of degrading the
+        # whole batch to a smaller chunk / the twopass fallback
+        blocks = queries.reshape(n_q // QUERY_BLOCK, QUERY_BLOCK, -1)
+        vals, idx = jax.lax.map(
+            lambda q: _exact_body(q, corpus, k_eff, chunk_size, n_valid,
+                                  interpret, scales, select=select,
+                                  impl=impl), blocks)
+        vals = vals.reshape(n_q, k_eff)
+        idx = idx.reshape(n_q, k_eff)
+    else:
+        vals, idx = _exact_body(queries, corpus, k_eff, chunk_size, n_valid,
+                                interpret, scales, select=select, impl=impl)
     if k_eff < k:
         vals = jnp.pad(vals, ((0, 0), (0, k - k_eff)),
                        constant_values=-jnp.inf)
@@ -580,8 +597,13 @@ def exact_topk_mips(queries: jnp.ndarray, corpus: jnp.ndarray, k: int,
     # in-kernel [Q, G, LANES] reshape with an opaque trace error), then clamp
     chunk_size = max(LANES, (chunk_size // LANES) * LANES)
     chunk_size = min(chunk_size, -(-corpus.shape[0] // LANES) * LANES)
-    chunk_size = _clamp_chunk_for_queries(chunk_size, queries.shape[0])
-    impl = _resolve_impl(impl, queries.shape[0], corpus.shape[0],
+    n_q = queries.shape[0]
+    # QUERY_BLOCK-multiple batches run blockwise under lax.map (see
+    # _exact_topk_jit), so VMEM sizing follows the block, not the batch
+    eff_q = (QUERY_BLOCK if n_q > QUERY_BLOCK and n_q % QUERY_BLOCK == 0
+             else n_q)
+    chunk_size = _clamp_chunk_for_queries(chunk_size, eff_q)
+    impl = _resolve_impl(impl, eff_q, corpus.shape[0],
                          corpus.nbytes, chunk_size)
     return _exact_topk_jit(queries, corpus, k, chunk_size, valid_rows,
                            interpret, scales, select=select, impl=impl)

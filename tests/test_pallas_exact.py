@@ -420,3 +420,40 @@ class TestSingleStridedLayout:
         np.testing.assert_allclose(np.asarray(vals), ovals, rtol=1e-4,
                                    atol=1e-4)
         np.testing.assert_array_equal(np.asarray(idx), oidx)
+
+
+class TestQueryBlocking:
+    def test_large_batch_matches_oracle(self, rng):
+        """Q > QUERY_BLOCK (and a multiple): blockwise lax.map path must be
+        oracle-identical to the flat path incl. tie-breaking."""
+        from kirag_tpu.ops import pallas_exact as pe
+
+        old = pe.QUERY_BLOCK
+        pe.QUERY_BLOCK = 4  # force blocking at test scale
+        try:
+            q = rng.randn(12, 16).astype(np.float32)
+            c = rng.randn(2048, 16).astype(np.float32)
+            c[100] = c[900] = q[5] * 3  # cross-block tie for one query
+            vals, idx = exact_topk_mips(jnp.asarray(q), jnp.asarray(c), 7,
+                                        chunk_size=512, interpret=True)
+            ovals, oidx = numpy_topk(q @ c.T, 7)
+            np.testing.assert_allclose(np.asarray(vals), ovals, rtol=1e-4,
+                                       atol=1e-4)
+            np.testing.assert_array_equal(np.asarray(idx), oidx)
+        finally:
+            pe.QUERY_BLOCK = old
+
+    def test_non_multiple_batch_still_exact(self, rng):
+        from kirag_tpu.ops import pallas_exact as pe
+
+        old = pe.QUERY_BLOCK
+        pe.QUERY_BLOCK = 4
+        try:
+            q = rng.randn(10, 16).astype(np.float32)  # not a multiple of 4
+            c = rng.randn(1024, 16).astype(np.float32)
+            _, idx = exact_topk_mips(jnp.asarray(q), jnp.asarray(c), 5,
+                                     chunk_size=256, interpret=True)
+            _, oidx = numpy_topk(q @ c.T, 5)
+            np.testing.assert_array_equal(np.asarray(idx), oidx)
+        finally:
+            pe.QUERY_BLOCK = old
