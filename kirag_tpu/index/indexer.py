@@ -52,17 +52,24 @@ class TPUIndexer:
                  exact_impl: str = "auto", pallas_chunk_size: int = 16384,
                  pallas_select: str = "hier"):
         # drop-in compatibility with the reference ctor (`retriever/index.py:19`):
-        # a PQ request maps to our int8 row compression (the TPU equal-memory play)
+        # a PQ request maps to our int8/int4 row compression (the TPU
+        # equal-memory play); <=4-bit PQ codes pick the 8x-compressed int4
         if n_subquantizers > 0 and compression == "none":
-            logger.info(f"PQ({n_subquantizers}x{n_bits}b) requested -> using int8 "
-                        "row compression (TPU-native equal-memory equivalent)")
-            compression = "int8"
+            compression = "int4" if n_bits <= 4 else "int8"
+            logger.info(f"PQ({n_subquantizers}x{n_bits}b) requested -> using "
+                        f"{compression} row compression (TPU-native "
+                        "equal-memory equivalent)")
         if metric not in SUPPORTED_METRICS:
             raise KeyError(f"metric must be one of {SUPPORTED_METRICS}, got {metric}")
-        if compression not in ("none", "int8"):
-            raise KeyError(f"compression must be 'none' or 'int8', got {compression}")
-        if compression == "int8" and metric != "inner_product":
-            raise ValueError("int8 compression currently supports inner_product only")
+        if compression not in ("none", "int8", "int4"):
+            raise KeyError(f"compression must be 'none', 'int8' or 'int4', "
+                           f"got {compression}")
+        if compression in ("int8", "int4") and metric != "inner_product":
+            raise ValueError(f"{compression} compression currently supports "
+                             "inner_product only")
+        if compression == "int4" and vector_sz % 256 != 0:
+            raise ValueError("int4 compression needs vector_sz % 256 == 0 "
+                             f"(plane packing), got {vector_sz}")
         self.vector_sz = vector_sz
         self.metric = metric
         self.mesh = mesh
@@ -187,6 +194,20 @@ class TPUIndexer:
             self._device_rows = n
             return
 
+        if self.compression == "int4":
+            from kirag_tpu.ops.quantized import INT4_BLOCK, quantize_rows_int4
+
+            q = np.zeros((n_pad, d // 2), dtype=np.uint8)
+            scales = np.zeros((n_pad, d // INT4_BLOCK), dtype=np.float32)
+            for start in range(0, n, block):
+                rows = self._host_rows(start, min(start + block, n))
+                q[start:start + len(rows)], scales[start:start + len(rows)] = (
+                    quantize_rows_int4(rows))
+            self._device_corpus = shard_put(q)
+            self._device_scales = shard_put(scales)
+            self._device_rows = n
+            return
+
         import ml_dtypes
 
         np_dtype = np.dtype(jnp.dtype(self.device_dtype).name) \
@@ -236,6 +257,12 @@ class TPUIndexer:
                 q, scales = quantize_rows_int8(rows)
                 blocks.append({"corpus": q, "scales": scales,
                                "start": start, "valid": valid})
+            elif self.compression == "int4":
+                from kirag_tpu.ops.quantized import quantize_rows_int4
+
+                q, scales = quantize_rows_int4(rows)
+                blocks.append({"corpus": q, "scales": scales,
+                               "start": start, "valid": valid})
             else:
                 np_dtype = (np.dtype(ml_dtypes.bfloat16)
                             if self.device_dtype == jnp.bfloat16
@@ -255,6 +282,9 @@ class TPUIndexer:
         for blk in self._stream_blocks:
             corpus = jnp.asarray(blk["corpus"])
             if mode == "approx":
+                if self.compression == "int4":
+                    raise NotImplementedError(
+                        "approx mode does not support int4 corpora yet")
                 from kirag_tpu.ops.pallas_mips import approx_topk_mips
 
                 vals, idx = approx_topk_mips(
@@ -269,7 +299,15 @@ class TPUIndexer:
                     chunk_size=self.pallas_chunk_size,
                     valid_rows=blk["valid"], select=self.pallas_select,
                     scales=(jnp.asarray(blk["scales"])
-                            if self.compression == "int8" else None))
+                            if self.compression in ("int8", "int4")
+                            else None))
+            elif self.compression == "int4":
+                from kirag_tpu.ops.quantized import topk_mips_int4
+
+                vals, idx = topk_mips_int4(
+                    queries, corpus, jnp.asarray(blk["scales"]), k_eff,
+                    chunk_size=min(self.chunk_size, corpus.shape[0]),
+                    valid_rows=blk["valid"])
             elif self.compression == "int8":
                 from kirag_tpu.ops.quantized import topk_mips_int8
 
@@ -324,7 +362,8 @@ class TPUIndexer:
 
     def _run_mips(self, queries, corpus, k, mode: str = "exact"):
         sharded = self.mesh is not None and self._shard_count() > 1
-        scales = self._device_scales if self.compression == "int8" else None
+        scales = (self._device_scales
+                  if self.compression in ("int8", "int4") else None)
         if mode == "exact" and self._use_pallas_exact():
             # fused Pallas kernel (impl=auto: single corpus read with scores
             # materialized when they fit HBM, corpus-read-twice otherwise);
@@ -346,6 +385,10 @@ class TPUIndexer:
         if mode == "approx":
             # fused Pallas group-sampled kernel; composes with int8 (the
             # kernel dequantizes in VMEM) and with corpus sharding
+            if self.compression == "int4":
+                raise NotImplementedError(
+                    "approx mode does not support int4 corpora yet; use "
+                    "mode='exact' (impl='stream' reads the corpus once)")
             if sharded:
                 from kirag_tpu.ops.pallas_mips import sharded_approx_topk_mips
 
@@ -367,6 +410,19 @@ class TPUIndexer:
             from kirag_tpu.ops.quantized import topk_mips_int8
 
             return topk_mips_int8(queries, corpus, self._device_scales, k,
+                                  chunk_size=min(self.chunk_size, corpus.shape[0]),
+                                  valid_rows=self._device_rows)
+        if self.compression == "int4":
+            if sharded:
+                from kirag_tpu.ops.quantized import sharded_topk_mips_int4
+
+                return sharded_topk_mips_int4(
+                    queries, corpus, self._device_scales, k, self.mesh,
+                    axis=self.mesh_axis, chunk_size=self.chunk_size,
+                    valid_rows=self._device_rows)
+            from kirag_tpu.ops.quantized import topk_mips_int4
+
+            return topk_mips_int4(queries, corpus, self._device_scales, k,
                                   chunk_size=min(self.chunk_size, corpus.shape[0]),
                                   valid_rows=self._device_rows)
         if sharded:

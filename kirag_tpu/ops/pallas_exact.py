@@ -1,12 +1,31 @@
 """Pallas TPU kernels: fused EXACT top-k MIPS (matmul + in-VMEM selection).
 
-This is the round-2 centerpiece (SURVEY §7.4, VERDICT item 1): the device-side
+This is the round-2/3/4 centerpiece (SURVEY §7.4): the device-side
 replacement for FAISS ``IndexFlatIP.search`` (`retriever/index.py:36-53`) at
 speed-of-light. The XLA exact paths in :mod:`kirag_tpu.ops.mips` either
 materialize the full [Q, N] f32 score matrix to HBM (one-pass) or pay a
 sort-dominated per-chunk selection (scan); both leave most of the chip idle.
 
-Structure of the round-3 default, ``impl="single"`` (exactness argument in
+Round-4 default, ``impl="stream"`` (one corpus read, NO score-matrix
+traffic): the scoring kernel keeps each chunk's scores entirely in VMEM and
+emits only (a) the per-128-lane-group maxima and (b) the scores of the
+chunk's top-``B`` groups ("captured" candidates, selected in-VMEM by B
+masked-max extractions + a one-hot MXU gather). Afterwards the global top-k
+groups are selected from the gmax table exactly as before; if every selected
+group was captured by its chunk (checked on device), the candidate rows are
+assembled from the small capture buffer — otherwise a `lax.cond` falls back
+to the corpus-read-twice gather, so results are EXACT for every input. The
+capture budget ``B = ~2k/num_chunks`` makes the happy path overwhelmingly
+likely for real embedding corpora (top-k rows spread across chunks) while
+HBM traffic drops from corpus + 2x4QN bytes to corpus + ~2% overhead
+(measured numbers in benchmarks/probe_r4_results.jsonl / BENCH_r04).
+
+Corpora may be bf16/f32, int8 (per-row scales, dequant fused into the
+matmul) or PACKED INT4 (two nibbles per byte, per-row-per-128-dim-block
+scales — :func:`kirag_tpu.ops.quantized.quantize_rows_int4`): int4 puts the
+full 21M-row DPR corpus (21.5 GB at int8) in one chip's HBM at ~10.8 GB.
+
+Structure of the round-3 ``impl="single"`` (exactness argument in
 :func:`exact_topk_mips`; the corpus is read from HBM exactly ONCE):
 
 1. **Fused pass** (:func:`_score_gmax_kernel`): chunked MXU matmul fused
@@ -218,12 +237,114 @@ def hier_topk(x: jnp.ndarray, k: int, block: int = 16
     return vals, jnp.take_along_axis(cand_idx, pos, axis=-1)
 
 
+# ------------------------------------------------------ shared chunk scoring
+
+
+def _quant_kind(corpus, scales) -> str:
+    """Infer the corpus quantization from the operand shapes: int8 rows carry
+    1-D per-row scales; packed int4 carries 2-D [N, D/128] block scales."""
+    if scales is None:
+        return "none"
+    if scales.ndim == 2:
+        if corpus.dtype != jnp.uint8:
+            raise ValueError("2-D (int4 block) scales require a packed uint8 "
+                             f"corpus, got {corpus.dtype}")
+        return "int4"
+    return "int8"
+
+
+def _chunk_scores(q, c, s, quant: str):
+    """Exact f32 scores [Q, CHUNK] of a (possibly quantized) corpus chunk.
+
+    ``quant``: "none" (bf16/f32 chunk), "int8" (int8 chunk, ``s`` = row
+    scales laid out [G, LANES], applied after the matmul), or "int4"
+    (packed-nibble uint8 chunk [CHUNK, D/2], ``s`` = [NB, CHUNK] per-block
+    scales). int4 runs one 128-wide matmul per block: the nibble values
+    (n - 7.5, exactly representable in bf16) hit the MXU unscaled and each
+    partial product is scaled by its block's row scales in f32 — so the
+    block scale never rounds through bf16.
+    """
+    if quant == "int4":
+        nb = s.shape[0]
+        half = nb // 2
+        ci = c.astype(jnp.int32)
+        out = None
+        for b_i in range(nb):
+            plane = ci if b_i < half else (ci >> 4)
+            col0 = (b_i % half) * LANES
+            nib = (plane[:, col0:col0 + LANES] & 15).astype(jnp.float32)
+            v = (nib - 7.5).astype(jnp.bfloat16)            # [CHUNK, LANES]
+            qb = q[:, b_i * LANES:(b_i + 1) * LANES].astype(jnp.bfloat16)
+            p = jax.lax.dot_general(
+                qb, v, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)         # [Q, CHUNK]
+            p = p * s[b_i][None, :]
+            out = p if out is None else out + p
+        return out
+    if c.dtype == jnp.int8:
+        c = c.astype(jnp.bfloat16)
+        q = q.astype(jnp.bfloat16)
+    scores = jax.lax.dot_general(
+        q, c, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # [Q, CHUNK]
+    if s is not None:
+        scores = scores * s.reshape(1, -1)
+    return scores
+
+
+def _scale_operand(scales, quant: str, num_chunks: int, groups_per_chunk: int,
+                   chunk_size: int):
+    """Reshape flat scales into the kernel's per-chunk block layout + spec.
+    Both layouts keep the last two block dims (8,128)-divisible (the Mosaic
+    window rule that interpret mode does not check)."""
+    if quant == "int8":
+        spec = pl.BlockSpec((1, groups_per_chunk, LANES), lambda i: (i, 0, 0))
+        op = scales.astype(jnp.float32).reshape(
+            num_chunks, groups_per_chunk, LANES)
+    else:  # int4: [N, NB] -> [chunks, NB, CHUNK]
+        nb = scales.shape[1]
+        spec = pl.BlockSpec((1, nb, chunk_size), lambda i: (i, 0, 0))
+        op = scales.astype(jnp.float32).reshape(
+            num_chunks, chunk_size, nb).transpose(0, 2, 1)
+    return op, spec
+
+
+def _dense_scores(q, c, scales, quant: str, n_valid):
+    """Tiny-corpus path: one dense XLA matmul mirroring the kernel's exact
+    dequant arithmetic (per-block bf16 partial dots, f32 block scaling)."""
+    if quant == "int4":
+        nb = scales.shape[1]
+        ci = c.astype(jnp.int32)
+        nib = jnp.concatenate([ci & 15, (ci >> 4) & 15], axis=1)
+        v = (nib.astype(jnp.float32) - 7.5).astype(jnp.bfloat16)
+        n = c.shape[0]
+        v3 = v.reshape(n, nb, LANES)
+        q3 = q.astype(jnp.bfloat16).reshape(q.shape[0], nb, LANES)
+        # [NB, Q, N] partial dots, scaled per block then summed — identical
+        # rounding to the kernel path
+        p = jax.lax.dot_general(
+            q3, v3, dimension_numbers=(((2,), (2,)), ((1,), (1,))),
+            preferred_element_type=jnp.float32)
+        scores = jnp.sum(p * scales.astype(jnp.float32).T[:, None, :], axis=0)
+    else:
+        if c.dtype == jnp.int8:
+            c = c.astype(jnp.bfloat16)
+            q = q.astype(jnp.bfloat16)
+        scores = jax.lax.dot_general(
+            q, c, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if scales is not None:
+            scores = scores * scales.astype(jnp.float32)[None, :]
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    return jnp.where(col < n_valid, scores, -jnp.inf)
+
+
 # ------------------------------------------------------ fused scoring pass
 
 
 def _score_gmax_kernel(q_ref, c_ref, valid_ref, *rest, groups_per_chunk: int,
                        chunk_size: int, chunked: bool = False,
-                       with_scores: bool = True):
+                       with_scores: bool = True, quant: str = "none"):
     """Fused scoring pass: MXU matmul + per-group max, optionally writing
     the f32 score chunk to HBM (the single-read path; ``with_scores=False``
     is pass A of the corpus-read-twice fallback, scores stay in VMEM).
@@ -239,16 +360,8 @@ def _score_gmax_kernel(q_ref, c_ref, valid_ref, *rest, groups_per_chunk: int,
     gmax_ref = rest.pop()
     scores_ref = rest.pop() if with_scores else None
     s_ref = rest.pop() if rest else None
-    q = q_ref[:]
-    c = c_ref[:]
-    if c.dtype == jnp.int8:
-        c = c.astype(jnp.bfloat16)
-        q = q.astype(jnp.bfloat16)
-    scores = jax.lax.dot_general(
-        q, c, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)              # [Q, CHUNK]
-    if s_ref is not None:
-        scores = scores * s_ref[0].reshape(1, -1)
+    scores = _chunk_scores(q_ref[:], c_ref[:],
+                           s_ref[0] if s_ref is not None else None, quant)
     n_q = scores.shape[0]
     # scores are written RAW: invalid rows are re-masked after the candidate
     # gather (rows < n_valid), so only the group maxima need in-kernel
@@ -274,6 +387,83 @@ def _score_gmax_kernel(q_ref, c_ref, valid_ref, *rest, groups_per_chunk: int,
     @pl.when(chunk_start + chunk_size <= valid_ref[0, 0])
     def _():
         write_gmax(scores)
+
+
+# ------------------------------------------------------------ stream kernel
+
+
+def _topb_ids(x, b: int):
+    """In-kernel top-``b`` group ids of ``x`` [Q, G] by b masked-max
+    extractions (ties to the lowest id — FAISS order). Callers clamp ``x``
+    to finite values and keep b <= G, so the b extracted ids are distinct
+    (the -inf removal marker can never tie a remaining entry)."""
+    qn, g = x.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (qn, g), 1)
+    bcol = jax.lax.broadcasted_iota(jnp.int32, (qn, b), 1)
+
+    def body(j, carry):
+        x, sel = carry
+        m = jnp.max(x, axis=-1, keepdims=True)
+        s = jnp.min(jnp.where(x == m, col, g), axis=-1, keepdims=True)
+        sel = jnp.where(bcol == j, s, sel)
+        x = jnp.where(col == s, -jnp.inf, x)
+        return x, sel
+
+    _, sel = jax.lax.fori_loop(
+        0, b, body, (x, jnp.zeros((qn, b), dtype=jnp.int32)))
+    return sel
+
+
+def _stream_kernel(q_ref, c_ref, valid_ref, *rest, groups_per_chunk: int,
+                   chunk_size: int, b: int, quant: str):
+    """Single-read scoring pass with in-VMEM candidate capture: scores never
+    leave VMEM. Per chunk, emits (a) the per-group maxima (as the other
+    impls) and (b) the full 128-lane scores of the chunk's top-``b`` groups
+    plus their global group ids — the capture from which `_exact_body`
+    assembles the final candidates when the membership check passes.
+    All writes are chunk-disjoint (grid is parallel)."""
+    rest = list(rest)
+    gid_ref = rest.pop()
+    cand_ref = rest.pop()
+    gmax_ref = rest.pop()
+    s_ref = rest.pop() if rest else None
+    scores = _chunk_scores(q_ref[:], c_ref[:],
+                           s_ref[0] if s_ref is not None else None, quant)
+    n_q = scores.shape[0]
+    s3 = scores.reshape(n_q, groups_per_chunk, LANES)
+    i = pl.program_id(0)
+    chunk_start = i * chunk_size
+
+    def finish(gmax):
+        # clamp: keeps _topb_ids' -inf removal marker unambiguous even if an
+        # adversarial input produced -inf scores
+        gmax = jnp.maximum(gmax, FIN_MIN)
+        gmax_ref[0] = gmax.T                             # [G, Q]
+        bsel = _topb_ids(gmax, b)                        # [Q, B]
+        gid_ref[0] = bsel.T + i * groups_per_chunk       # [B, Q] global ids
+        gc = jax.lax.broadcasted_iota(
+            jnp.int32, (n_q, b, groups_per_chunk), 2)
+        onehot = (bsel[:, :, None] == gc).astype(jnp.float32)
+        # HIGHEST: the 0/1 x score products must not round through bf16
+        cand = jax.lax.dot_general(
+            onehot, s3, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)         # [Q, B, LANES]
+        cand_ref[0] = cand.reshape(n_q, b * LANES)
+
+    # captured VALUES stay raw (invalid rows re-masked by row id after the
+    # candidate assembly, as in every other impl); only the selection maxima
+    # need masking, and only in chunks intersecting the invalid tail
+    @pl.when(chunk_start + chunk_size > valid_ref[0, 0])
+    def _():
+        row = chunk_start + jax.lax.broadcasted_iota(
+            jnp.int32, scores.shape, 1)
+        masked = jnp.where(row < valid_ref[0, 0], scores, FIN_MIN)
+        finish(jnp.max(masked.reshape(n_q, groups_per_chunk, LANES), axis=-1))
+
+    @pl.when(chunk_start + chunk_size <= valid_ref[0, 0])
+    def _():
+        finish(jnp.max(s3, axis=-1))
 
 
 # ------------------------------------------------------------------- pass B
@@ -314,7 +504,7 @@ def _score_gather_kernel(s_ref, gsel_ref, cand_ref, *, groups_per_chunk: int,
 
 
 def _gather_kernel(q_ref, c_ref, gsel_ref, *rest, groups_per_chunk: int,
-                   k: int):
+                   k: int, quant: str = "none"):
     """Second fused pass: re-score the chunk and extract the selected groups
     with a one-hot MXU matmul, accumulating [Q, k, LANES] candidates in VMEM.
 
@@ -328,16 +518,8 @@ def _gather_kernel(q_ref, c_ref, gsel_ref, *rest, groups_per_chunk: int,
         s_ref = None
         (cand_ref,) = rest
     i = pl.program_id(0)
-    q = q_ref[:]
-    c = c_ref[:]
-    if c.dtype == jnp.int8:
-        c = c.astype(jnp.bfloat16)
-        q = q.astype(jnp.bfloat16)
-    scores = jax.lax.dot_general(
-        q, c, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)              # [Q, CHUNK]
-    if s_ref is not None:
-        scores = scores * s_ref[0].reshape(1, -1)
+    scores = _chunk_scores(q_ref[:], c_ref[:],
+                           s_ref[0] if s_ref is not None else None, quant)
     n_q = scores.shape[0]
     s3 = scores.reshape(n_q, groups_per_chunk, LANES)
     rel = gsel_ref[:] - i * groups_per_chunk             # [Q, k]
@@ -369,8 +551,20 @@ def _pad_to_chunks(corpus, scales, chunk_size):
     if n_pad != n:
         corpus = jnp.pad(corpus, ((0, n_pad - n), (0, 0)))
         if scales is not None:
-            scales = jnp.pad(scales, (0, n_pad - n))
+            pad = ((0, n_pad - n),) + ((0, 0),) * (scales.ndim - 1)
+            scales = jnp.pad(scales, pad)
     return corpus, scales
+
+
+def _capture_budget(k_eff: int, num_chunks: int, groups_per_chunk: int) -> int:
+    """Per-chunk capture width for impl="stream": ~2x the expected count of
+    globally-selected groups per chunk (so the membership check passes for
+    any corpus whose top-k rows are not pathologically chunk-clustered),
+    floored at 8 sublanes and capped at the chunk's group count (at which
+    point capture is total and the check can never fail)."""
+    b = -(-2 * k_eff // num_chunks)
+    b = max(8, -(-b // 8) * 8)
+    return min(b, groups_per_chunk)
 
 
 def _exact_body(queries, corpus, k_eff: int, chunk_size: int, n_valid,
@@ -379,12 +573,16 @@ def _exact_body(queries, corpus, k_eff: int, chunk_size: int, n_valid,
     """Shared by the jitted single-chip entry and the shard_map local body
     (``n_valid`` may be a traced scalar). ``select`` picks the selection
     stages: "flat" = lax.top_k, "hier" = two-level :func:`hier_topk`.
-    ``impl``: "single" = one corpus read, scores materialized to HBM,
-    candidates gathered from the score matrix; "twopass" = the round-2
-    kernel pair that re-scores the corpus to gather candidates (kept for
-    A/B and as a low-HBM fallback: it never materializes [Q, N] scores)."""
-    n, d = corpus.shape
+    ``impl``: "stream" = one corpus read, scores never leave VMEM (per-chunk
+    top-B capture + membership-checked assembly, lax.cond fallback to the
+    twopass gather keeps it exact on adversarial inputs); "single" = one
+    corpus read, scores materialized to HBM, candidates gathered from the
+    score matrix; "twopass" = the round-2 kernel pair that re-scores the
+    corpus to gather candidates (never materializes [Q, N] scores)."""
+    quant = _quant_kind(corpus, scales)
+    n, d_c = corpus.shape
     n_q = queries.shape[0]
+    d_q = queries.shape[1]
     corpus, scales = _pad_to_chunks(corpus, scales, chunk_size)
     n_pad = corpus.shape[0]
     num_chunks = n_pad // chunk_size
@@ -394,18 +592,7 @@ def _exact_body(queries, corpus, k_eff: int, chunk_size: int, n_valid,
     if groups < 2 or k_eff >= groups:
         # tiny corpus: one matmul + direct sort is optimal and the grouped
         # exactness argument needs k < groups
-        q = queries
-        c = corpus
-        if c.dtype == jnp.int8:
-            c = c.astype(jnp.bfloat16)
-            q = q.astype(jnp.bfloat16)
-        scores = jax.lax.dot_general(
-            q, c, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        if scales is not None:
-            scores = scores * scales.astype(jnp.float32)[None, :]
-        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        scores = jnp.where(col < n_valid, scores, -jnp.inf)
+        scores = _dense_scores(queries, corpus, scales, quant, n_valid)
         return jax.lax.top_k(scores, k_eff)
 
     valid_arr = jnp.asarray(n_valid, dtype=jnp.int32).reshape(1, 1)
@@ -415,17 +602,21 @@ def _exact_body(queries, corpus, k_eff: int, chunk_size: int, n_valid,
     else:  # pragma: no cover - no TPU pallas backend
         valid_spec = pl.BlockSpec((1, 1), lambda i: (0, 0))
     in_specs = [
-        pl.BlockSpec((n_q, d), lambda i: (0, 0)),
-        pl.BlockSpec((chunk_size, d), lambda i: (i, 0)),
+        pl.BlockSpec((n_q, d_q), lambda i: (0, 0)),
+        pl.BlockSpec((chunk_size, d_c), lambda i: (i, 0)),
         valid_spec,
     ]
     operands = [queries, corpus, valid_arr]
     if scales is not None:
-        in_specs.append(pl.BlockSpec((1, groups_per_chunk, LANES),
-                             lambda i: (i, 0, 0)))
-        operands.append(
-            scales.astype(jnp.float32).reshape(num_chunks,
-                                   groups_per_chunk, LANES))
+        s_op, s_spec = _scale_operand(scales, quant, num_chunks,
+                                      groups_per_chunk, chunk_size)
+        in_specs.append(s_spec)
+        operands.append(s_op)
+
+    if impl == "stream":
+        return _stream_body(queries, corpus, scales, quant, k_eff, chunk_size,
+                            n_valid, interpret, select, n_q, num_chunks,
+                            groups, groups_per_chunk, in_specs, operands)
 
     # ---- fused scoring pass: matmul + masked group max, plus the f32
     # scores in HBM for the single-read impls. Default score layout is
@@ -453,7 +644,7 @@ def _exact_body(queries, corpus, k_eff: int, chunk_size: int, n_valid,
         functools.partial(_score_gmax_kernel,
                           groups_per_chunk=groups_per_chunk,
                           chunk_size=chunk_size, chunked=chunked,
-                          with_scores=with_scores),
+                          with_scores=with_scores, quant=quant),
         grid=(num_chunks,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -498,35 +689,51 @@ def _exact_body(queries, corpus, k_eff: int, chunk_size: int, n_valid,
                 scores.reshape(n_q, groups, LANES), gsel[:, :, None], axis=1)
     else:
         # ---- pass B: fused re-score + one-hot candidate gather
-        gather_specs = [
-            pl.BlockSpec((n_q, d), lambda i: (0, 0)),
-            pl.BlockSpec((chunk_size, d), lambda i: (i, 0)),
-            pl.BlockSpec((n_q, k_eff), lambda i: (0, 0)),
-        ]
-        gather_ops = [queries, corpus, gsel]
-        if scales is not None:
-            gather_specs.append(pl.BlockSpec((1, groups_per_chunk, LANES),
-                                 lambda i: (i, 0, 0)))
-            gather_ops.append(
-                scales.astype(jnp.float32).reshape(num_chunks,
-                                   groups_per_chunk, LANES))
-        cand = pl.pallas_call(
-            functools.partial(_gather_kernel,
-                              groups_per_chunk=groups_per_chunk, k=k_eff),
-            grid=(num_chunks,),
-            in_specs=gather_specs,
-            out_specs=pl.BlockSpec((n_q, k_eff, LANES), lambda i: (0, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((n_q, k_eff, LANES), jnp.float32),
-            interpret=interpret,
-            **_compiler_params(interpret),
-        )(*gather_ops)
+        cand = _twopass_gather(queries, corpus, gsel, scales, quant,
+                               chunk_size, num_chunks, groups_per_chunk,
+                               k_eff, interpret)
 
+    return _final_select(cand, gsel, k_eff, n_valid, n_q, select, interpret)
+
+
+def _twopass_gather(queries, corpus, gsel, scales, quant, chunk_size,
+                    num_chunks, groups_per_chunk, k_eff, interpret):
+    """Candidate extraction by re-reading + re-scoring the corpus
+    (:func:`_gather_kernel`). Used by impl="twopass" and as the lax.cond
+    fallback branch of impl="stream"."""
+    n_q = queries.shape[0]
+    gather_specs = [
+        pl.BlockSpec((n_q, queries.shape[1]), lambda i: (0, 0)),
+        pl.BlockSpec((chunk_size, corpus.shape[1]), lambda i: (i, 0)),
+        pl.BlockSpec((n_q, k_eff), lambda i: (0, 0)),
+    ]
+    gather_ops = [queries, corpus, gsel]
+    if scales is not None:
+        s_op, s_spec = _scale_operand(scales, quant, num_chunks,
+                                      groups_per_chunk, chunk_size)
+        gather_specs.append(s_spec)
+        gather_ops.append(s_op)
+    return pl.pallas_call(
+        functools.partial(_gather_kernel,
+                          groups_per_chunk=groups_per_chunk, k=k_eff,
+                          quant=quant),
+        grid=(num_chunks,),
+        in_specs=gather_specs,
+        out_specs=pl.BlockSpec((n_q, k_eff, LANES), lambda i: (0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_q, k_eff, LANES), jnp.float32),
+        interpret=interpret,
+        **_compiler_params(interpret),
+    )(*gather_ops)
+
+
+def _final_select(cand, gsel, k_eff, n_valid, n_q, select, interpret):
+    """Shared tail: mask padded/invalid rows, exact top-k over the k*128
+    candidates, map candidate positions back to global row ids."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (n_q, k_eff, LANES), 2)
     rows = (gsel[:, :, None] * LANES + lane).reshape(n_q, k_eff * LANES)
     cand = cand.reshape(n_q, k_eff * LANES)
     cand = jnp.where(rows < n_valid, cand, -jnp.inf)
 
-    # ---- final selection over k*128 candidates
     if select == "hier":
         vals, pos = hier_topk(cand, k_eff)
     else:
@@ -534,6 +741,96 @@ def _exact_body(queries, corpus, k_eff: int, chunk_size: int, n_valid,
     idx = jnp.take_along_axis(rows, pos, axis=-1)
     idx = jnp.where(jnp.isfinite(vals), idx, 0)
     return vals, idx
+
+
+def _stream_body(queries, corpus, scales, quant, k_eff, chunk_size, n_valid,
+                 interpret, select, n_q, num_chunks, groups,
+                 groups_per_chunk, in_specs, operands):
+    """impl="stream": one pallas pass emits gmax + per-chunk top-B capture;
+    candidates are assembled from the capture when the on-device membership
+    check passes, else a lax.cond re-scores the corpus (exact either way).
+
+    Exactness: the global top-k groups by gmax contain all true top-k rows
+    (the impl="single" superset argument). The capture holds the FULL
+    128-lane scores of each chunk's top-B groups, so if every globally
+    selected group was captured by its chunk, the assembled candidate set —
+    and therefore the final selection, tie-breaking included — is identical
+    to impl="single"'s. The check is structural (group-id membership), so
+    ties and duplicate rows never produce a silently-wrong result; they at
+    most force the fallback branch.
+    """
+    b = _capture_budget(k_eff, num_chunks, groups_per_chunk)
+    out_specs = [
+        pl.BlockSpec((1, groups_per_chunk, n_q), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, n_q, b * LANES), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, b, n_q), lambda i: (i, 0, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((num_chunks, groups_per_chunk, n_q),
+                             jnp.float32),
+        jax.ShapeDtypeStruct((num_chunks, n_q, b * LANES), jnp.float32),
+        jax.ShapeDtypeStruct((num_chunks, b, n_q), jnp.int32),
+    ]
+    gmax_out, cand_out, gid_out = pl.pallas_call(
+        functools.partial(_stream_kernel, groups_per_chunk=groups_per_chunk,
+                          chunk_size=chunk_size, b=b, quant=quant),
+        grid=(num_chunks,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        **_compiler_params(interpret, parallel=True),
+    )(*operands)
+
+    gmax = gmax_out.reshape(groups, n_q).T               # [Q, groups]
+    if select == "hier":
+        gvals, gsel = hier_topk(gmax, k_eff)
+    else:
+        gvals, gsel = topk_lastdim(gmax, k_eff, interpret=interpret)
+    # ascending group order (candidates in global row order => stable final
+    # top-k breaks ties toward the lower row id); keep gvals aligned
+    order = jnp.argsort(gsel, axis=-1)
+    gsel = jnp.take_along_axis(gsel, order, axis=-1)
+    gvals = jnp.take_along_axis(gvals, order, axis=-1)
+
+    gids = gid_out.transpose(2, 0, 1).reshape(n_q, num_chunks * b)
+    cand_all = cand_out.reshape(num_chunks, n_q, b, LANES).transpose(
+        1, 0, 2, 3).reshape(n_q, num_chunks * b, LANES)
+
+    # membership: every selected group must appear in its chunk's capture.
+    # Group ids are globally unique and captured at most once, so `eq` has
+    # at most one hit per (query, slot) and the one-hot assembly is exact.
+    # Selected groups whose max is the FIN_MIN mask value carry no valid
+    # rows (they only appear when fewer than k real groups exist locally,
+    # e.g. a fully-invalid shard) — their rows are -inf-masked downstream,
+    # so missing capture for them must not force the fallback.
+    eq = gsel[:, :, None] == gids[:, None, :]            # [Q, k, C*B]
+    found = jnp.any(eq, axis=-1)
+    ok = jnp.all(found | (gvals <= FIN_MIN))
+
+    def from_capture(_):
+        return jax.lax.dot_general(
+            eq.astype(jnp.float32), cand_all,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)         # [Q, k, LANES]
+
+    def from_corpus(_):
+        return _twopass_gather(queries, corpus, gsel, scales, quant,
+                               chunk_size, num_chunks, groups_per_chunk,
+                               k_eff, interpret)
+
+    if _STREAM_ASSERT_CAPTURE:
+        # test hook: bypass the fallback so oracle-parity failures expose a
+        # capture budget that would silently (and correctly, but slowly)
+        # fall back on data it should handle
+        cand = from_capture(None)
+    else:
+        cand = jax.lax.cond(ok, from_capture, from_corpus, None)
+    return _final_select(cand, gsel, k_eff, n_valid, n_q, select, interpret)
+
+
+_STREAM_ASSERT_CAPTURE = False  # see _stream_body; tests only
 
 
 QUERY_BLOCK = 256  # the validated VMEM envelope's query-batch unit
@@ -581,18 +878,29 @@ def exact_topk_mips(queries: jnp.ndarray, corpus: jnp.ndarray, k: int,
 
     Same contract as :func:`kirag_tpu.ops.mips.topk_mips` (which is the test
     oracle): (values [Q, k] f32, indices [Q, k] int32), descending, ties to
-    the lower row id. ``scales`` ([N] f32 per-row dequant factors) enables
-    int8-compressed corpora, matching the dequantized oracle.
+    the lower row id. ``scales`` enables quantized corpora, matching the
+    dequantized oracle: [N] f32 per-row factors for an int8 corpus, or
+    [N, D/128] f32 per-block factors for a packed-int4 uint8 corpus
+    (:func:`kirag_tpu.ops.quantized.quantize_rows_int4`).
 
-    ``impl="single"`` (default): the round-3 single-read kernel — one fused
-    scoring pass materializes f32 scores + group maxima; candidates come
-    from a contiguous gather of the score matrix. HBM cost: corpus bytes +
-    4*Q*N score write. ``impl="twopass"``: the round-2 kernel pair (corpus
-    read twice, scores never leave VMEM) for HBM-constrained corpora where
-    the [Q, N] f32 write does not fit alongside the index.
+    ``impl="stream"`` (the round-4 default for ``auto``): one corpus read,
+    scores never leave VMEM — per-chunk top-B capture with an on-device
+    membership check and a lax.cond twopass fallback (see
+    :func:`_stream_body` for the exactness argument). ``impl="single"``:
+    the round-3 kernel — the fused scoring pass materializes f32 scores +
+    group maxima; candidates come from a one-hot-kernel gather of the score
+    matrix (HBM cost: corpus bytes + 2x 4*Q*N score traffic).
+    ``impl="twopass"``: the round-2 kernel pair (corpus read twice) for
+    query batches whose [Q, chunk] score window busts the VMEM envelope.
     """
     interpret = _resolve_interpret(interpret)
     _check_select(select)
+    if scales is not None and scales.ndim == 2:
+        d_packed = corpus.shape[1]
+        if 2 * d_packed % 256 != 0 or scales.shape[1] != 2 * d_packed // 128:
+            raise ValueError(
+                "int4 corpora need dim % 256 == 0 and [N, dim/128] scales; "
+                f"got packed {corpus.shape} with scales {scales.shape}")
     # round DOWN to a LANES multiple (a stray chunk like 1000 would break the
     # in-kernel [Q, G, LANES] reshape with an opaque trace error), then clamp
     chunk_size = max(LANES, (chunk_size // LANES) * LANES)
@@ -613,33 +921,47 @@ def _clamp_chunk_for_queries(chunk_size: int, n_queries: int) -> int:
     """Every kernel variant holds a [Q, chunk] f32 score block in VMEM;
     large query batches must trade chunk size for it (Q=1024 at chunk 16384
     measured a 138 MB VMEM requirement vs the 128 MB capacity). Keep
-    Q * chunk within the validated Q=256 x 16384 envelope."""
+    Q * chunk within the validated Q=256 x 16384 envelope.
+
+    The clamped chunk is chosen among DIVISORS of the requested chunk, so a
+    corpus pre-padded to the requested chunk grid (TPUIndexer.to_device)
+    still divides evenly and never re-pads inside jit — a full read+write
+    copy of the corpus per call (~5.8 ms at 1M x 1024, the round-3 lesson).
+    A 128-multiple divisor always exists because chunk_size is pre-rounded
+    to a 128 multiple."""
     budget = 256 * 16384
     if n_queries * chunk_size <= budget:
         return chunk_size
-    return max(LANES, (budget // max(n_queries, 1)) // LANES * LANES)
+    target = max(LANES, budget // max(n_queries, 1))
+    best = LANES
+    d = LANES
+    while d <= target:
+        if chunk_size % d == 0:
+            best = d
+        d += LANES
+    return best
 
 
 def _resolve_impl(impl: str, n_queries: int, rows: int, nbytes: int,
                   chunk_size: int = 8192) -> str:
-    """auto: single-read needs a [Q, N] f32 score buffer in HBM next to the
-    corpus — pick it when that fits a v5e (16 GB) with headroom, else fall
-    back to the corpus-read-twice kernel (e.g. 8M int8 rows at Q=256:
-    8.2 GB corpus + 8.6 GB scores would not fit). ``rows``/``nbytes`` are
-    PER-DEVICE (the local shard for the sharded path)."""
-    if impl not in ("auto", "single", "single_strided", "twopass"):
-        raise ValueError(f"impl must be auto|single|single_strided|twopass, "
-                         f"got {impl!r}")
+    """auto = "stream" (one corpus read, no score-matrix HBM traffic, exact
+    via membership check + in-jit fallback) whenever the [Q, chunk] score
+    window fits the validated VMEM envelope, else the corpus-read-twice
+    kernel. "single"/"single_strided" (score matrix in HBM) remain for A/B;
+    note single additionally needs 4*Q*N score bytes free in HBM.
+    ``rows``/``nbytes`` are PER-DEVICE (the local shard when sharded)."""
+    if impl not in ("auto", "stream", "single", "single_strided", "twopass"):
+        raise ValueError(f"impl must be auto|stream|single|single_strided|"
+                         f"twopass, got {impl!r}")
     if impl != "auto":
         return impl
     if n_queries > 512 or n_queries * chunk_size > 256 * 16384:
-        # VMEM envelope: the single kernel's per-chunk [Q, chunk] f32 score
-        # window (x2 buffering) plus the corpus window must fit 128 MB.
+        # VMEM envelope: every single-read kernel holds a [Q, chunk] f32
+        # score block in VMEM next to the (x2-buffered) corpus window.
         # Measured: Q=256/chunk=16384 compiles and runs; Q=1024/chunk=8192
         # OOMs (probe_r3) — Q*chunk <= 256*16384 is the validated envelope
         return "twopass"
-    score_bytes = 4 * n_queries * rows
-    return "single" if nbytes + score_bytes < 12 * 2**30 else "twopass"
+    return "stream"
 
 
 def _check_select(select: str) -> None:

@@ -154,6 +154,96 @@ class TestInt8Compression:
             np.testing.assert_allclose(vs, v1, rtol=1e-4, atol=1e-4)
 
 
+class TestInt4Compression:
+    """compression="int4": packed nibbles + block-128 scales — 8x smaller
+    than f32, the config that makes 21M x 1024 DPR rows single-chip
+    resident (VERDICT r3 item 2 / reference IndexPQ's low-bit role)."""
+
+    def _corpus(self, rng, n=512, d=256):
+        c = rng.randn(n, d).astype(np.float32)
+        c /= np.linalg.norm(c, axis=-1, keepdims=True)
+        return c
+
+    def test_int4_index_recall(self, rng):
+        c = self._corpus(rng)
+        q = c[:8] + 0.01 * rng.randn(8, 256).astype(np.float32)
+        exact = TPUIndexer(256, chunk_size=128)
+        exact.index_data(range(512), c)
+        quant = TPUIndexer(256, chunk_size=128, compression="int4")
+        quant.index_data(range(512), c)
+        r_exact = exact.search_knn(q, top_docs=10)
+        r_quant = quant.search_knn(q, top_docs=10)
+        recalls = [len(set(ids_e) & set(ids_q)) / 10
+                   for (ids_e, _), (ids_q, _) in zip(r_exact, r_quant)]
+        assert np.mean(recalls) >= 0.9, recalls
+        for row, (ids_q, _) in enumerate(r_quant):
+            assert ids_q[0] == str(row)
+
+    def test_pq_low_bit_request_maps_to_int4(self):
+        ix = TPUIndexer(256, n_subquantizers=64, n_bits=4)
+        assert ix.compression == "int4"
+        ix8 = TPUIndexer(256, n_subquantizers=64, n_bits=8)
+        assert ix8.compression == "int8"
+
+    def test_int4_guards(self):
+        with pytest.raises(ValueError):
+            TPUIndexer(8, metric="l2", compression="int4")
+        with pytest.raises(ValueError):
+            TPUIndexer(100, compression="int4")  # dim % 256 != 0
+
+    def test_sharded_int4_matches_single(self, rng, mesh8):
+        c = self._corpus(rng)
+        q = c[:4] + 0.01 * rng.randn(4, 256).astype(np.float32)
+        sharded = TPUIndexer(256, mesh=mesh8, chunk_size=64,
+                             compression="int4")
+        sharded.index_data(range(512), c)
+        single = TPUIndexer(256, chunk_size=64, compression="int4")
+        single.index_data(range(512), c)
+        r_s = sharded.search_knn(q, top_docs=8)
+        r_1 = single.search_knn(q, top_docs=8)
+        for (ids_s, vs), (ids_1, v1) in zip(r_s, r_1):
+            assert ids_s == ids_1
+            np.testing.assert_allclose(vs, v1, rtol=1e-4, atol=1e-4)
+
+    def test_int4_pallas_path(self, rng):
+        c = self._corpus(rng)
+        ix = TPUIndexer(256, compression="int4", exact_impl="pallas",
+                        pallas_chunk_size=128)
+        ix.index_data(range(512), c)
+        res = ix.search_knn(c[:4], top_docs=5)
+        for row, (ids, vals) in enumerate(res):
+            assert ids[0] == str(row)
+            assert np.isfinite(vals).all()
+
+    def test_int4_streaming_blocks(self, rng):
+        c = self._corpus(rng, n=600)
+        ix = TPUIndexer(256, compression="int4", max_device_rows=256,
+                        chunk_size=128)
+        ix.index_data(range(600), c)
+        res = ix.search_knn(c[:4], top_docs=5)
+        for row, (ids, _) in enumerate(res):
+            assert ids[0] == str(row)
+
+    def test_int4_approx_mode_raises(self, rng):
+        c = self._corpus(rng)
+        ix = TPUIndexer(256, compression="int4")
+        ix.index_data(range(512), c)
+        with pytest.raises(NotImplementedError):
+            ix.search_knn(c[:2], top_docs=5, mode="approx")
+
+    def test_int4_serialize_roundtrip(self, rng, tmp_path):
+        c = self._corpus(rng)
+        ix = TPUIndexer(256, compression="int4")
+        ix.index_data(range(512), c)
+        ix.serialize(str(tmp_path))
+        loaded = TPUIndexer(256)
+        loaded.deserialize_from(str(tmp_path))
+        assert loaded.compression == "int4"
+        res = loaded.search_knn(c[:4], top_docs=5)
+        for row, (ids, _) in enumerate(res):
+            assert ids[0] == str(row)
+
+
 class TestApproxMode:
     def test_approx_search_mode(self, rng):
         c = rng.randn(1024, 16).astype(np.float32)

@@ -360,20 +360,20 @@ class TestExactSelectHier:
 
 
 class TestImplResolution:
-    def test_auto_prefers_single_when_scores_fit(self):
+    def test_explicit_impls_are_honored(self):
         from kirag_tpu.ops.pallas_exact import _resolve_impl
 
-        assert _resolve_impl("auto", 256, 10_000, 10_000 * 128) == "single"
+        assert _resolve_impl("auto", 256, 10_000, 10_000 * 128) == "stream"
+        assert _resolve_impl("single", 256, 10_000, 10_000 * 128) == "single"
         assert _resolve_impl("twopass", 256, 10_000, 10_000 * 128) == "twopass"
 
-    def test_auto_falls_back_on_hbm_or_vmem_pressure(self):
+    def test_auto_falls_back_on_vmem_pressure(self):
         from kirag_tpu.ops.pallas_exact import _resolve_impl
 
-        # 8M x 1024 int8: corpus + [256, 8M] f32 scores exceed the budget
-        assert _resolve_impl("auto", 256, 8_388_608,
-                             8_388_608 * 1024) == "twopass"
         # large Q: the [Q, chunk] f32 score window alone busts VMEM
         assert _resolve_impl("auto", 1024, 10_000, 10_000 * 128) == "twopass"
+        assert _resolve_impl("auto", 256, 10_000, 10_000 * 128,
+                             chunk_size=32768) == "twopass"
 
     def test_invalid_values_raise(self):
         from kirag_tpu.ops.pallas_exact import _check_select, _resolve_impl
@@ -457,3 +457,238 @@ class TestQueryBlocking:
             np.testing.assert_array_equal(np.asarray(idx), oidx)
         finally:
             pe.QUERY_BLOCK = old
+
+
+class TestStreamImpl:
+    """impl="stream" (round 4): one corpus read, in-VMEM capture, membership
+    check, lax.cond exact fallback — same oracle contract as single/twopass."""
+
+    @pytest.mark.parametrize("n,k,chunk", [(1024, 5, 256), (4096, 25, 1024),
+                                           (2500, 10, 512)])
+    def test_matches_oracle(self, rng, n, k, chunk):
+        q = rng.randn(7, 32).astype(np.float32)
+        c = rng.randn(n, 32).astype(np.float32)
+        vals, idx = exact_topk_mips(jnp.asarray(q), jnp.asarray(c), k,
+                                    chunk_size=chunk, interpret=True,
+                                    impl="stream")
+        ovals, oidx = numpy_topk(q @ c.T, k)
+        np.testing.assert_allclose(np.asarray(vals), ovals, rtol=1e-4,
+                                   atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(idx), oidx)
+
+    def test_hier_select_and_valid_rows(self, rng):
+        q = rng.randn(3, 16).astype(np.float32)
+        c = rng.randn(2048, 16).astype(np.float32)
+        c[1900:] = 100.0  # poison tail: must be masked inside the kernel
+        vals, idx = exact_topk_mips(jnp.asarray(q), jnp.asarray(c), 7,
+                                    chunk_size=512, valid_rows=1900,
+                                    interpret=True, impl="stream",
+                                    select="hier")
+        assert np.asarray(idx).max() < 1900
+        _, oidx = numpy_topk(q @ c[:1900].T, 7)
+        np.testing.assert_array_equal(np.asarray(idx), oidx)
+
+    def test_cross_group_tie_prefers_lower_row(self):
+        d = 8
+        v = np.zeros(d, dtype=np.float32)
+        v[0] = 1.0
+        c = np.zeros((2048, d), dtype=np.float32)
+        c[3] = v
+        c[200] = v
+        c[130] = 2 * v
+        vals, idx = exact_topk_mips(jnp.asarray(v[None]), jnp.asarray(c), 3,
+                                    chunk_size=512, interpret=True,
+                                    impl="stream")
+        np.testing.assert_array_equal(np.asarray(idx)[0], [130, 3, 200])
+        np.testing.assert_allclose(np.asarray(vals)[0], [2.0, 1.0, 1.0])
+
+    def test_adversarial_cluster_falls_back_exactly(self, rng):
+        # every top-k row in ONE chunk: the capture budget (B ~ 2k/chunks)
+        # cannot hold them, the membership check must fail, and the lax.cond
+        # fallback must still return oracle-exact results
+        c = (rng.randn(4096, 16) * 0.01).astype(np.float32)
+        c[100:200] = (rng.randn(100, 16) + 5.0).astype(np.float32)
+        q = np.ones((3, 16), dtype=np.float32)
+        vals, idx = exact_topk_mips(jnp.asarray(q), jnp.asarray(c), 30,
+                                    chunk_size=512, interpret=True,
+                                    impl="stream")
+        ovals, oidx = numpy_topk(q @ c.T, 30)
+        np.testing.assert_array_equal(np.asarray(idx), oidx)
+        np.testing.assert_allclose(np.asarray(vals), ovals, rtol=1e-4,
+                                   atol=1e-4)
+
+    def test_random_data_serves_from_capture(self, rng):
+        # the fast path must actually be taken on typical data: bypass the
+        # fallback branch entirely and demand oracle parity from the capture
+        from kirag_tpu.ops import pallas_exact as pe
+
+        jax.clear_caches()  # the hook is not part of the jit key
+        pe._STREAM_ASSERT_CAPTURE = True
+        try:
+            q = rng.randn(6, 24).astype(np.float32)
+            c = rng.randn(4224, 24).astype(np.float32)
+            vals, idx = exact_topk_mips(jnp.asarray(q), jnp.asarray(c), 11,
+                                        chunk_size=384, interpret=True,
+                                        impl="stream")
+            _, oidx = numpy_topk(q @ c.T, 11)
+            np.testing.assert_array_equal(np.asarray(idx), oidx)
+        finally:
+            pe._STREAM_ASSERT_CAPTURE = False
+            jax.clear_caches()
+
+    def test_int8_scales(self, rng):
+        from kirag_tpu.ops.quantized import quantize_rows_int8
+
+        c = rng.randn(1024, 32).astype(np.float32)
+        c /= np.linalg.norm(c, axis=-1, keepdims=True)
+        q = c[:4]
+        ci8, scales = quantize_rows_int8(c)
+        _, idx = exact_topk_mips(
+            jnp.asarray(q, dtype=jnp.bfloat16), jnp.asarray(ci8), 5,
+            chunk_size=256, interpret=True, scales=jnp.asarray(scales),
+            impl="stream")
+        np.testing.assert_array_equal(np.asarray(idx)[:, 0], np.arange(4))
+
+    def test_sharded_stream(self, rng, mesh8):
+        n, d, k = 4096, 32, 13
+        q = rng.randn(5, d).astype(np.float32)
+        c = rng.randn(n, d).astype(np.float32)
+        vals, idx = sharded_exact_topk_mips(jnp.asarray(q), jnp.asarray(c), k,
+                                            mesh8, chunk_size=256,
+                                            interpret=True, impl="stream")
+        ovals, oidx = numpy_topk(q @ c.T, k)
+        np.testing.assert_allclose(np.asarray(vals), ovals, rtol=1e-4,
+                                   atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(idx), oidx)
+
+    def test_blockwise_large_batch(self, rng):
+        from kirag_tpu.ops import pallas_exact as pe
+
+        old = pe.QUERY_BLOCK
+        pe.QUERY_BLOCK = 4
+        try:
+            q = rng.randn(12, 16).astype(np.float32)
+            c = rng.randn(2048, 16).astype(np.float32)
+            _, idx = exact_topk_mips(jnp.asarray(q), jnp.asarray(c), 7,
+                                     chunk_size=512, interpret=True,
+                                     impl="stream")
+            _, oidx = numpy_topk(q @ c.T, 7)
+            np.testing.assert_array_equal(np.asarray(idx), oidx)
+        finally:
+            pe.QUERY_BLOCK = old
+
+    def test_auto_resolves_to_stream(self):
+        from kirag_tpu.ops.pallas_exact import _resolve_impl
+
+        assert _resolve_impl("auto", 256, 10_000, 10_000 * 128) == "stream"
+        # 8M int8 rows: stream has no HBM score buffer, stays stream
+        assert _resolve_impl("auto", 256, 8_388_608,
+                             8_388_608 * 1024) == "stream"
+        # VMEM envelope still forces twopass for huge query batches
+        assert _resolve_impl("auto", 1024, 10_000, 10_000 * 128) == "twopass"
+
+    def test_capture_budget_bounds(self):
+        from kirag_tpu.ops.pallas_exact import _capture_budget
+
+        assert _capture_budget(100, 61, 128) == 8      # 1M/16384 regime
+        assert _capture_budget(100, 7, 128) == 32      # few chunks -> wider
+        assert _capture_budget(100, 1, 128) == 128     # capped at G = total
+        assert _capture_budget(5, 16, 128) == 8        # floor
+
+
+class TestInt4Corpus:
+    """Packed-int4 corpora (block-128 scales) across all exact impls."""
+
+    def _quantized(self, rng, n=1024, d=256):
+        from kirag_tpu.ops.quantized import quantize_rows_int4
+
+        c = rng.randn(n, d).astype(np.float32)
+        c /= np.linalg.norm(c, axis=-1, keepdims=True)
+        packed, scales = quantize_rows_int4(c)
+        return c, packed, scales
+
+    def test_roundtrip_error_bound(self, rng):
+        from kirag_tpu.ops.quantized import (dequantize_rows_int4,
+                                             quantize_rows_int4)
+
+        c = rng.randn(128, 512).astype(np.float32)
+        packed, scales = quantize_rows_int4(c)
+        deq = dequantize_rows_int4(packed, scales)
+        # worst-case error of the 16-level grid: half a step = absmax / 15
+        bound = np.abs(c.reshape(128, 4, 128)).max(-1) / 15.0 + 1e-6
+        err = np.abs(deq - c).reshape(128, 4, 128).max(-1)
+        assert (err <= bound).all()
+
+    def test_zero_rows_roundtrip_to_zero(self):
+        from kirag_tpu.ops.quantized import (dequantize_rows_int4,
+                                             quantize_rows_int4)
+
+        packed, scales = quantize_rows_int4(np.zeros((8, 256), np.float32))
+        np.testing.assert_array_equal(
+            dequantize_rows_int4(packed, scales), 0.0)
+
+    @pytest.mark.parametrize("impl", ["stream", "single", "twopass"])
+    def test_kernel_matches_dequantized_oracle(self, rng, impl):
+        from kirag_tpu.ops.quantized import dequantize_rows_int4
+
+        c, packed, scales = self._quantized(rng)
+        q = c[:4]
+        vals, idx = exact_topk_mips(
+            jnp.asarray(q, dtype=jnp.bfloat16), jnp.asarray(packed), 5,
+            chunk_size=256, interpret=True, scales=jnp.asarray(scales),
+            impl=impl)
+        np.testing.assert_array_equal(np.asarray(idx)[:, 0], np.arange(4))
+        assert np.isfinite(np.asarray(vals)).all()
+        # high recall vs the exact top-k of the dequantized corpus
+        deq = dequantize_rows_int4(packed, scales)
+        _, oidx = numpy_topk(q @ deq.T, 5)
+        overlap = np.mean([len(set(a.tolist()) & set(b.tolist())) / 5.0
+                           for a, b in zip(np.asarray(idx), oidx)])
+        assert overlap >= 0.8, overlap
+
+    def test_tiny_corpus_dense_path(self, rng):
+        c, packed, scales = self._quantized(rng, n=100)
+        q = c[:3]
+        vals, idx = exact_topk_mips(
+            jnp.asarray(q, dtype=jnp.bfloat16), jnp.asarray(packed), 5,
+            interpret=True, scales=jnp.asarray(scales))
+        np.testing.assert_array_equal(np.asarray(idx)[:, 0], np.arange(3))
+
+    def test_sharded_int4(self, rng, mesh8):
+        c, packed, scales = self._quantized(rng, n=2048)
+        q = c[:4]
+        _, idx = sharded_exact_topk_mips(
+            jnp.asarray(q, dtype=jnp.bfloat16), jnp.asarray(packed), 5,
+            mesh8, chunk_size=256, interpret=True,
+            scales=jnp.asarray(scales), impl="stream")
+        np.testing.assert_array_equal(np.asarray(idx)[:, 0], np.arange(4))
+
+    def test_bad_shapes_raise(self, rng):
+        c, packed, scales = self._quantized(rng)
+        with pytest.raises(ValueError):
+            exact_topk_mips(jnp.zeros((2, 256)), jnp.asarray(packed), 3,
+                            interpret=True,
+                            scales=jnp.asarray(scales[:, :1]))
+        with pytest.raises(ValueError):
+            # 2-D scales demand a packed uint8 corpus
+            exact_topk_mips(jnp.zeros((2, 256)),
+                            jnp.zeros((1024, 256), jnp.bfloat16), 3,
+                            interpret=True, scales=jnp.asarray(scales))
+
+
+class TestClampChunkDivisor:
+    def test_clamped_chunk_divides_requested_chunk(self):
+        """Regression (ADVICE r3): the VMEM clamp must return a divisor of
+        the requested chunk so chunk-grid pre-padded corpora never re-pad
+        inside jit."""
+        from kirag_tpu.ops.pallas_exact import _clamp_chunk_for_queries
+
+        for q in (320, 333, 512, 1000, 1024):
+            got = _clamp_chunk_for_queries(16384, q)
+            assert 16384 % got == 0 and got % 128 == 0
+            assert q * got <= 256 * 16384
+        # no clamping needed: returned untouched
+        assert _clamp_chunk_for_queries(16384, 256) == 16384
+        # non-power-of-two chunk still gets a 128-multiple divisor
+        got = _clamp_chunk_for_queries(3 * 4096, 512)
+        assert (3 * 4096) % got == 0 and got % 128 == 0
