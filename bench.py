@@ -87,7 +87,11 @@ def tpu_qps() -> float:
     def run(qs, c, rows, iters):
         def body(prev_vals, _):
             # chain: zero delta derived from the previous iteration's values
-            delta = (0.0 * prev_vals[:, :1]).astype(qs.dtype)
+            # behind an optimization barrier — robust by construction against
+            # any future x*0 folding (a simplifier change could otherwise
+            # decouple iterations silently; ADVICE r3)
+            prev = jax.lax.optimization_barrier(prev_vals)
+            delta = (0.0 * prev[:, :1]).astype(qs.dtype)
             vals, idx = exact_topk_mips(qs + delta, c, TOPK, chunk_size=CHUNK,
                                         valid_rows=N_CORPUS,
                                         interpret=False, select=SELECT,
@@ -128,11 +132,20 @@ def tpu_qps() -> float:
 
 
 def cpu_baseline_qps() -> float:
-    """The pinned CPU flat-search baseline (measured once, round 3). Falls
-    back to re-measuring only if the sidecar is missing."""
+    """The pinned CPU flat-search baseline (measured once, round 3). Used
+    only when its recorded config matches the current one (BENCH_* overrides
+    would otherwise silently divide by the wrong denominator — ADVICE r3);
+    re-measures on mismatch or a missing sidecar."""
     try:
         with open(BASELINE_PATH) as f:
-            return float(json.load(f)["cpu_qps"])
+            side = json.load(f)
+        recorded = (side.get("scaled_to_rows"), side.get("dim", DIM),
+                    side.get("n_queries"), side.get("topk"))
+        if recorded == (N_CORPUS, DIM, N_QUERIES, TOPK):
+            return float(side["cpu_qps"])
+        print(f"pinned baseline is for config {recorded}, current is "
+              f"{(N_CORPUS, DIM, N_QUERIES, TOPK)}; re-measuring",
+              file=sys.stderr)
     except (OSError, KeyError, ValueError) as e:
         print(f"pinned baseline unavailable ({e}); re-measuring", file=sys.stderr)
     import torch

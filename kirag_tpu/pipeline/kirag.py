@@ -120,11 +120,19 @@ class KiRAG:
     # -- examplars ---------------------------------------------------------------
 
     def rank_examplars(self, question: str) -> List[int]:
+        return self.rank_examplars_batch([question])[0]
+
+    def rank_examplars_batch(self, questions: List[str]) -> List[List[int]]:
+        """One embed call ranks examplars for every question (the batched
+        loop coalesces this; per-question it degenerates to the reference's
+        `models.py:1309-1317`)."""
         if not self.adaptive_examplars:
-            return list(range(len(self.reasoning_chain_examplars)))
-        q_emb = np.asarray(self.embedder.calculate_query_embeddings([question], max_length=128))
-        sims = (q_emb @ self.examplars_embeddings.T)[0]
-        return np.argsort(-sims, kind="stable").tolist()
+            return [list(range(len(self.reasoning_chain_examplars)))
+                    for _ in questions]
+        q_emb = np.asarray(self.embedder.calculate_query_embeddings(
+            questions, max_length=128))
+        sims = q_emb @ self.examplars_embeddings.T
+        return [np.argsort(-row, kind="stable").tolist() for row in sims]
 
     # -- bookkeeping ---------------------------------------------------------------
 
@@ -285,6 +293,27 @@ class KiRAG:
                 self._triple_emb_cache[text] = e
         return np.stack([self._triple_emb_cache[t] for t in triples_texts])
 
+    def _aligner_queries(self, question: str,
+                         reasoning_chains: List[List[dict]]) -> List[str]:
+        """The aligner's query template per chain (`models.py:1514-1542`)."""
+        chains_texts = ([[self.get_triple_text(t) for t in chain] for chain in reasoning_chains]
+                        if reasoning_chains else [[]])
+        return ["{}\nknowledge triples: {}.".format(question, ". ".join(texts))
+                for texts in chains_texts]
+
+    def _rank_candidates(self, q_emb: np.ndarray, triples: List[dict],
+                         num_candidate_triples: int
+                         ) -> Tuple[List[List[int]], List[List[float]]]:
+        """Host-side ranking of the small candidate set against pre-computed
+        query embeddings (cached triple embeddings supply the doc side)."""
+        triples_texts = [self.get_triple_text(t) for t in triples]
+        d_emb = self._triple_embeddings(triples_texts)
+        scores = q_emb @ d_emb.T  # [num_chains, num_triples] — host, tiny
+        k = min(num_candidate_triples, len(triples))
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+        top_scores = np.take_along_axis(scores, order, axis=1)
+        return order.tolist(), top_scores.tolist()
+
     def filter_candidate_triples(self, question: str,
                                  reasoning_chains: List[List[dict]],
                                  triples: List[dict], num_candidate_triples: int
@@ -292,18 +321,9 @@ class KiRAG:
         """Aligner rescoring (`models.py:1514-1542`): embed on device (shape-
         bucketed), rank the small candidate set on host (no per-count
         recompiles)."""
-        chains_texts = ([[self.get_triple_text(t) for t in chain] for chain in reasoning_chains]
-                        if reasoning_chains else [[]])
-        queries = ["{}\nknowledge triples: {}.".format(question, ". ".join(texts))
-                   for texts in chains_texts]
-        triples_texts = [self.get_triple_text(t) for t in triples]
+        queries = self._aligner_queries(question, reasoning_chains)
         q_emb = np.asarray(self.aligner.calculate_query_embeddings(queries, max_length=256))
-        d_emb = self._triple_embeddings(triples_texts)
-        scores = q_emb @ d_emb.T  # [num_chains, num_triples] — host, tiny
-        k = min(num_candidate_triples, len(triples))
-        order = np.argsort(-scores, axis=1, kind="stable")[:, :k]
-        top_scores = np.take_along_axis(scores, order, axis=1)
-        return order.tolist(), top_scores.tolist()
+        return self._rank_candidates(q_emb, triples, num_candidate_triples)
 
     # -- constructor --------------------------------------------------------------------
 
@@ -341,14 +361,13 @@ class KiRAG:
         user_input += "\n\nQuestion: {}".format(question)
         return [instruction], [user_input.strip()]
 
-    def one_retrieval(self, question: str, triples: List[dict],
-                      reasoning_chains: List[List[str]],
-                      documents: Optional[List[dict]] = None,
-                      ranked_examplars_indices: Optional[List[int]] = None
-                      ) -> List[List[str]]:
-        """One constructor step per chain under the forced "Thought: <chain>"
-        prefix; appends the parsed next triple (or first sentence) to each
-        chain (`models.py:1595-1629`)."""
+    def _constructor_prompts(self, question: str, triples: List[dict],
+                             reasoning_chains: List[List[str]],
+                             documents: Optional[List[dict]],
+                             ranked_examplars_indices: Optional[List[int]]
+                             ) -> Tuple[List[str], List[str], List[str]]:
+        """(instructions, inputs, forced "Thought:" prefixes) for one
+        question's chains — one prompt per chain, so batches concatenate."""
         instructions, inputs = self.get_constructor_inputs(
             question, triples, ranked_examplars_indices)
         if documents is not None:
@@ -356,15 +375,14 @@ class KiRAG:
                 question, documents, ranked_examplars_indices)
             instructions.extend(doc_inst)
             inputs.extend(doc_input)
-
         forced = ["Thought: " + ". ".join(chain) for chain in reasoning_chains]
-        ids, _ = self.constructor.generator_generate(
-            instructions, inputs, current_generated_texts=forced,
-            max_new_tokens=self.constructor.max_new_tokens,
-            return_logits=False)  # the constructor loop only parses text
-        texts = self.constructor.tokenizer.batch_decode(ids, skip_special_tokens=True)
-        texts = [t.strip().lstrip(".,;").strip() for t in texts]
+        return instructions, inputs, forced
 
+    @staticmethod
+    def _apply_constructor_outputs(reasoning_chains: List[List[str]],
+                                   texts: List[str]) -> List[List[str]]:
+        """Append each decoded step (parsed triple, else first sentence) to
+        its chain (`models.py:1620-1628`)."""
         for chain, text in zip(reasoning_chains, texts):
             generated = parse_triples_text(text)
             if generated:
@@ -374,6 +392,29 @@ class KiRAG:
             else:
                 chain.append(text)
         return reasoning_chains
+
+    def _decode_constructor(self, instructions: List[str], inputs: List[str],
+                            forced: List[str]) -> List[str]:
+        ids, _ = self.constructor.generator_generate(
+            instructions, inputs, current_generated_texts=forced,
+            max_new_tokens=self.constructor.max_new_tokens,
+            return_logits=False)  # the constructor loop only parses text
+        texts = self.constructor.tokenizer.batch_decode(ids, skip_special_tokens=True)
+        return [t.strip().lstrip(".,;").strip() for t in texts]
+
+    def one_retrieval(self, question: str, triples: List[dict],
+                      reasoning_chains: List[List[str]],
+                      documents: Optional[List[dict]] = None,
+                      ranked_examplars_indices: Optional[List[int]] = None
+                      ) -> List[List[str]]:
+        """One constructor step per chain under the forced "Thought: <chain>"
+        prefix; appends the parsed next triple (or first sentence) to each
+        chain (`models.py:1595-1629`)."""
+        instructions, inputs, forced = self._constructor_prompts(
+            question, triples, reasoning_chains, documents,
+            ranked_examplars_indices)
+        texts = self._decode_constructor(instructions, inputs, forced)
+        return self._apply_constructor_outputs(reasoning_chains, texts)
 
     # -- the loop ---------------------------------------------------------------------------
 
@@ -435,3 +476,147 @@ class KiRAG:
             docids_to_scores = dict(
                 sorted(docids_to_scores.items(), key=lambda x: x[1], reverse=True))
         return reasoning_chains, docids_to_scores
+
+    # -- the batched loop ---------------------------------------------------------------
+
+    def retrieve_batch(self, questions: List[str], num_beams: int = 1, **kwargs
+                       ) -> List[Tuple[List[List[str]], Dict[str, float]]]:
+        """Run :meth:`retrieve` for N questions in LOCKSTEP turns, coalescing
+        every device stage across the in-flight questions (round-4 redesign
+        of the reference's sequential per-question loop, `retrieve.py:72-84`):
+
+        - one retriever batch per turn (N*num_beams queries),
+        - one KG-generation sweep per turn over the UNION of accumulated
+          documents (deduped by doc id; decode batches fill
+          ``kg_generator.batch_size`` instead of one question's trickle),
+        - one aligner query-embedding batch + one triple-embedding batch,
+        - one constructor decode batch (N*num_beams forced-prefix chains).
+
+        Decode is weight-bandwidth-bound at small batch, so widening the
+        decode batch by N raises questions/hour/chip nearly linearly
+        (measured in benchmarks/bench_kirag_batched.py). Per-question
+        results are the same as the sequential loop: every stage is either
+        per-question host math or a batched device call over independent
+        rows. Returns one (reasoning_chains, docid->score) pair per
+        question, in input order.
+        """
+        assert num_beams in (1, 2), "num_beams must be 1 or 2"
+        ranked = self.rank_examplars_batch(questions)
+        states = [{
+            "question": q,
+            "ranked": r,
+            "chains": [[] for _ in range(num_beams)],
+            "docids_to_scores": {},
+            "id2score": {},
+            "id2triple": {},
+            "active": True,
+        } for q, r in zip(questions, ranked)]
+
+        for turn in range(self.num_turns):
+            for s in states:
+                if s["active"] and turn > 0 and all(
+                        len(chain[-1]) == 0 for chain in s["chains"]):
+                    s["active"] = False
+            live = [s for s in states if s["active"]]
+            if not live:
+                break
+
+            # ---- retrieval: one device batch across questions
+            per_q = []
+            for s in live:
+                if turn == 0:
+                    per_q.append([s["question"]] * num_beams)
+                else:
+                    per_q.append([s["question"] + " " + chain[-1] if chain
+                                  else s["question"] for chain in s["chains"]])
+            flat = [q for qs in per_q for q in qs]
+            retrieved = self.retriever(flat, topk=self.topk)
+            ofs = 0
+            for s, qs in zip(live, per_q):
+                s["docids_to_scores"] = self.update_retrieved_documents(
+                    s["docids_to_scores"], retrieved[ofs: ofs + len(qs)])
+                s["documents"] = self.retriever.get_documents(s["docids_to_scores"])
+                ofs += len(qs)
+
+            # ---- KG generation: one sweep over the union of documents
+            union: Dict[str, dict] = {}
+            for s in live:
+                for doc in s["documents"]:
+                    union.setdefault(doc["id"], doc)
+            docs_with_kgs = self.kg_generator(list(union.values()))
+            kg_by_id = {doc["id"]: doc for doc in docs_with_kgs}
+            for s in live:
+                s["documents_with_kgs"] = [kg_by_id[d["id"]] for d in s["documents"]]
+                s["all_triples"] = self.get_candidate_triples_from_documents(
+                    s["documents_with_kgs"])
+                if not s["all_triples"]:
+                    s["active"] = False  # == the sequential loop's break
+            live = [s for s in states if s["active"] and "all_triples" in s
+                    and s["all_triples"]]
+            if not live:
+                break
+
+            # ---- aligner rescoring: one query-embed batch + one triple-
+            # embed batch (the cross-question cache fill), host ranking each
+            q_batch, q_counts = [], []
+            triple_texts: Dict[str, None] = {}
+            for s in live:
+                chains_as_triples = [[{"title": "", "text": t} for t in chain]
+                                     for chain in s["chains"]]
+                qs = self._aligner_queries(s["question"], chains_as_triples)
+                q_batch.extend(qs)
+                q_counts.append(len(qs))
+                for t in s["all_triples"]:
+                    triple_texts.setdefault(self.get_triple_text(t))
+            q_emb = np.asarray(self.aligner.calculate_query_embeddings(
+                q_batch, max_length=256))
+            if triple_texts:
+                self._triple_embeddings(list(triple_texts))  # fill cache once
+            ofs = 0
+            for s, cnt in zip(live, q_counts):
+                cand_indices, cand_scores = self._rank_candidates(
+                    q_emb[ofs: ofs + cnt], s["all_triples"],
+                    self.num_candidate_triples)
+                ofs += cnt
+                s["id2score"], s["id2triple"] = self.update_retrieved_triples(
+                    s["id2score"], s["id2triple"], s["all_triples"],
+                    cand_indices, cand_scores)
+
+            # ---- constructor: one forced-prefix decode batch
+            instructions, inputs, forced, groups = [], [], [], []
+            for s in live:
+                candidate_triples = self.get_triples(s["id2score"], s["id2triple"])
+                candidate_triples = candidate_triples[: self.maximum_possible_choices]
+                inst, inp, f = self._constructor_prompts(
+                    s["question"], candidate_triples, s["chains"],
+                    s["documents"] if num_beams == 2 else None, s["ranked"])
+                instructions.extend(inst)
+                inputs.extend(inp)
+                forced.extend(f)
+                groups.append(len(f))
+            texts = self._decode_constructor(instructions, inputs, forced)
+            ofs = 0
+            reinforce = {
+                "f1": self.update_reasoning_chains_triples_based_on_f1_score,
+                "string": self.update_reasoning_chains_triples_based_on_string,
+                "similarity": self.update_reasoning_chains_triples_based_on_similarity,
+            }[self.reinforcement]
+            for s, cnt in zip(live, groups):
+                s["chains"] = self._apply_constructor_outputs(
+                    s["chains"], texts[ofs: ofs + cnt])
+                ofs += cnt
+                new_steps = [chain[turn] for chain in s["chains"]
+                             if len(chain) > turn]
+                s["id2score"], s["id2triple"] = reinforce(
+                    s["id2score"], s["id2triple"], new_steps)
+
+        results = []
+        for s in states:
+            if s["id2score"]:
+                ranked_docs = self.get_docids_to_scores_from_triples(
+                    s["id2score"], s["id2triple"])
+            else:
+                ranked_docs = dict(sorted(s["docids_to_scores"].items(),
+                                          key=lambda x: x[1], reverse=True))
+            results.append((s["chains"], ranked_docs))
+        return results

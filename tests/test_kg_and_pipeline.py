@@ -245,3 +245,104 @@ class TestReinforcementVariants:
 
 def state_calls(generator) -> int:
     return len(generator.backend.calls)
+
+
+def _build_batch_pipeline(tmp_path, stop_questions=()):
+    """KiRAG stack with CONTENT-keyed (not call-order) stubs, so sequential
+    and batched loops see identical responses for identical prompts."""
+    tok = make_tokenizer(tmp_path)
+    enc = make_tiny_encoder(vocab_size=tok.vocab_size)
+    collator = E5Collator(tokenizer=tok, query_maxlength=64, doc_maxlength=64)
+    path, _ = make_corpus_json(tmp_path)
+    corpus = HotPotQA(title_prefix="title:", passage_prefix="text:", corpus_path=path)
+    indexer = TPUIndexer(enc.embedding_size, chunk_size=32)
+    retriever = DenseRetriever(enc, collator, indexer=indexer, corpus=corpus, batch_size=8)
+    doc_texts = [corpus[i]["passage"] for i in range(len(corpus))]
+    indexer.index_data([corpus[i]["passage_id"] for i in range(len(corpus))],
+                       retriever.calculate_document_embeddings(doc_texts))
+    aligner = DenseRetriever(enc, collator, batch_size=8)
+
+    kg_gen_llm = make_stub_generator(tok, rules=[_kg_rule()])
+    kg_generator = KGGenerator(kg_gen_llm, examplar_type="hotpotqa",
+                               adaptive_examplars=False, max_length=2048, batch_size=4)
+
+    def constructor_respond(prompt):
+        # key on the REAL question (the last "question :" segment; examplar
+        # questions in the instruction precede it)
+        seg = prompt.lower().split("question :")[-1]
+        m = re.findall(r"w(\d+)", seg)
+        n = int(m[0]) if m else 0
+        if f"w{n}" in stop_questions:
+            return ""  # terminates after turn 1 (empty step)
+        if f"w{n + 150}" in seg:
+            # the forced Thought already carries this question's emitted
+            # triple (w{n+150} appears nowhere in the corpus) -> stop
+            return ""
+        return f"< w{n} ; is ; w{n + 150} >"
+
+    constructor = make_stub_generator(
+        tok, rules=[(lambda p: "question :" in p.lower(), constructor_respond)],
+        max_new_tokens=64)
+    kirag = KiRAG(retriever=retriever, kg_generator=kg_generator, constructor=constructor,
+                  aligner=aligner, examplar_type="hotpotqa", adaptive_examplars=False,
+                  num_turns=3, topk=3, num_candidate_triples=5)
+    return kirag, corpus, constructor
+
+
+class TestRetrieveBatch:
+    """retrieve_batch (round 4): lockstep multi-question loop with coalesced
+    device stages must reproduce the sequential loop per question."""
+
+    def _questions(self, corpus):
+        return [corpus[5]["passage"].replace("title :", ""),
+                corpus[9]["passage"].replace("title :", "")]
+
+    def test_matches_sequential_loop(self, tmp_path):
+        questions = None
+        seq = []
+        for i in range(2):  # fresh stacks: the sequential runs must not warm
+            kirag, corpus, _ = _build_batch_pipeline(tmp_path)
+            questions = self._questions(corpus)
+            seq.append(kirag.retrieve(questions[i]))
+        kirag, corpus, constructor = _build_batch_pipeline(tmp_path)
+        batch = kirag.retrieve_batch(questions)
+        assert len(batch) == 2
+        for (chains_s, docs_s), (chains_b, docs_b) in zip(seq, batch):
+            assert chains_s == chains_b
+            assert list(docs_s.keys()) == list(docs_b.keys())
+            np.testing.assert_allclose(list(docs_s.values()),
+                                       list(docs_b.values()), rtol=1e-4,
+                                       atol=1e-5)
+        # coalescing evidence: one constructor decode per TURN, not per
+        # (question, turn) — both questions run 2 constructor turns here
+        assert len(constructor.backend.calls) == 2
+        assert all(len(c) == 2 for c in constructor.backend.calls)
+
+    def test_heterogeneous_termination(self, tmp_path):
+        kirag, corpus, constructor = _build_batch_pipeline(
+            tmp_path, stop_questions=("w9",))
+        questions = self._questions(corpus)
+        batch = kirag.retrieve_batch(questions)
+        # q9 emitted an empty step turn 1 and left the batch; q5 kept going
+        assert batch[0][0][0][0].startswith("<w5")  # q5 triple
+        assert batch[1][0][0] == [""]
+        assert len(batch[1][1]) > 0  # still ranked docs from its triples
+        # turn-2 constructor batch only carried the surviving question
+        assert [len(c) for c in constructor.backend.calls] == [2, 1]
+
+    def test_num_beams_two(self, tmp_path):
+        kirag, corpus, _ = _build_batch_pipeline(tmp_path)
+        questions = self._questions(corpus)
+        batch = kirag.retrieve_batch(questions, num_beams=2)
+        for chains, docs in batch:
+            assert len(chains) == 2
+            assert len(docs) > 0
+
+    def test_single_question_batch_equals_retrieve(self, tmp_path):
+        kirag, corpus, _ = _build_batch_pipeline(tmp_path)
+        q = self._questions(corpus)[0]
+        chains_s, docs_s = kirag.retrieve(q)
+        kirag2, corpus2, _ = _build_batch_pipeline(tmp_path)
+        (chains_b, docs_b), = kirag2.retrieve_batch([q])
+        assert chains_s == chains_b
+        assert list(docs_s.keys()) == list(docs_b.keys())
