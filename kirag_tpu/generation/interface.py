@@ -205,21 +205,28 @@ class Generator:
     class _StopTracker:
         """Incremental stop-word/eos detection across decode segments.
 
-        Decodes only each NEW segment (plus a fixed token overlap so a stop
-        word spanning a segment boundary is still seen) — O(generated tokens)
+        Decodes only each NEW segment (plus a token overlap so a stop word
+        spanning a segment boundary is still seen) — O(generated tokens)
         total host decode per generation instead of the naive
         O(segments x generated tokens) full re-decode each check. Rows are
         sticky: once a stop word or eos is seen the row never decodes again.
         """
 
-        OVERLAP = 32  # tokens re-decoded across the boundary; stop words are
-        # short strings ("\n", "Thought:", ...) — 32 tokens is > any of them
+        MIN_OVERLAP = 32  # floor; the actual overlap is sized from the
+        # longest tokenized stop word so no spanning match can be missed
 
         def __init__(self, tokenizer, stop_words: Sequence[str],
                      eos_token_id: int, n_rows: int):
             self.tokenizer = tokenizer
             self.stop_words = stop_words
             self.eos_token_id = eos_token_id
+            # a stop word spanning the boundary is fully contained in
+            # (tail + new segment) as long as the tail keeps more tokens
+            # than the word's own tokenization (+margin: retokenization of
+            # a decoded window need not align with the original split)
+            longest = max((len(tokenizer.encode(w, add_special_tokens=False))
+                           for w in stop_words), default=0)
+            self.overlap = max(self.MIN_OVERLAP, 2 * longest + 8)
             self.done = [False] * n_rows
             self._tails: List[np.ndarray] = [
                 np.empty(0, dtype=np.int64)] * n_rows
@@ -235,7 +242,7 @@ class Generator:
                         np.any(seg == self.eos_token_id)):
                     self.done[row] = True
                 else:
-                    self._tails[row] = window[-self.OVERLAP:]
+                    self._tails[row] = window[-self.overlap:]
             return self.done
 
     def _segmented_greedy(self, batch, max_new: int, stop_words: Sequence[str],

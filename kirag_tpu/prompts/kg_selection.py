@@ -946,3 +946,1261 @@ MUSIQUE_TRIPLE_SELECTION_EXAMPLARS += [
                       "The answer is: A.",
     },
 ]
+
+# -- round 4: bank depth to reference scale --------------------------------------
+# The reference ships 20 multi-hop demonstration groups per dataset
+# (`prompts/kg_selection/hotpotqa_demonstrations.py:1-1026` and siblings);
+# the blocks below bring each bank to 20 unique-question groups of original
+# content (2-3 per-hop records per group, mirroring the reference's
+# group-of-hops structure).
+
+HOTPOTQA_TRIPLE_SELECTION_EXAMPLARS += [
+    {
+        "question": "Which university awarded a doctorate to the physicist who proposed "
+                    "the theory of general relativity?",
+        "triples": [],
+        "candidate_triples": [
+            "A. <Albert Einstein; doctorate from; University of Zurich>",
+            "B. <theory of general relativity; proposed by; Albert Einstein>",
+            "C. <Wings; directed by; William A. Wellman>",
+            "D. <Hungary; capital; Budapest>",
+            "E. <Alfred Nobel; invented; dynamite>",
+        ],
+        "answer": "B",
+        "cot_answer": "The physicist behind general relativity must be identified before "
+                      "any university. The answer is: B.",
+    },
+    {
+        "question": "Which university awarded a doctorate to the physicist who proposed "
+                    "the theory of general relativity?",
+        "triples": ["<theory of general relativity; proposed by; Albert Einstein>"],
+        "candidate_triples": [
+            "A. <Albert Einstein; born in; Ulm>",
+            "B. <University of Zurich; located in; Switzerland>",
+            "C. <Albert Einstein; doctorate from; University of Zurich>",
+            "D. <The Beatles; formed in; Liverpool>",
+            "E. <Enola Gay; is a; Boeing B-29 Superfortress>",
+        ],
+        "answer": "C",
+        "cot_answer": "Einstein is established; his doctoral university answers the "
+                      "question. The answer is: C.",
+    },
+    {
+        "question": "In which city is the stadium that hosted the 1966 FIFA World Cup final?",
+        "triples": [],
+        "candidate_triples": [
+            "A. <Wembley Stadium; located in; London>",
+            "B. <1966 FIFA World Cup final; played at; Wembley Stadium>",
+            "C. <Statue of Liberty; gifted by; France>",
+            "D. <Albert Einstein; doctorate from; University of Zurich>",
+            "E. <The Shard; tallest building in; London>",
+        ],
+        "answer": "B",
+        "cot_answer": "The stadium must be found before its city. The answer is: B.",
+    },
+    {
+        "question": "In which city is the stadium that hosted the 1966 FIFA World Cup final?",
+        "triples": ["<1966 FIFA World Cup final; played at; Wembley Stadium>"],
+        "candidate_triples": [
+            "A. <Wembley Stadium; capacity; 90,000>",
+            "B. <1966 FIFA World Cup; won by; England>",
+            "C. <Wembley Stadium; located in; London>",
+            "D. <Danube; flows through; Budapest>",
+            "E. <Microsoft; co-founded by; Bill Gates>",
+        ],
+        "answer": "C",
+        "cot_answer": "With Wembley identified, its city completes the chain. "
+                      "The answer is: C.",
+    },
+    {
+        "question": "Who wrote the play on which West Side Story is based?",
+        "triples": [],
+        "candidate_triples": [
+            "A. <Romeo and Juliet; written by; William Shakespeare>",
+            "B. <West Side Story; based on; Romeo and Juliet>",
+            "C. <Leonard Bernstein; composed; West Side Story>",
+            "D. <Wembley Stadium; located in; London>",
+            "E. <France; capital; Paris>",
+        ],
+        "answer": "B",
+        "cot_answer": "First find the play underlying West Side Story. The answer is: B.",
+    },
+    {
+        "question": "Who wrote the play on which West Side Story is based?",
+        "triples": ["<West Side Story; based on; Romeo and Juliet>"],
+        "candidate_triples": [
+            "A. <Romeo and Juliet; set in; Verona>",
+            "B. <Romeo and Juliet; written by; William Shakespeare>",
+            "C. <West Side Story; premiered in; 1957>",
+            "D. <Abbey Road; recorded by; The Beatles>",
+            "E. <University of Chicago; located in; Illinois>",
+        ],
+        "answer": "B",
+        "cot_answer": "The play is Romeo and Juliet; its author is the final hop. "
+                      "The answer is: B.",
+    },
+    {
+        "question": "What is the capital of the country that gifted the Statue of Liberty "
+                    "to the United States?",
+        "triples": [],
+        "candidate_triples": [
+            "A. <France; capital; Paris>",
+            "B. <Statue of Liberty; gifted by; France>",
+            "C. <Statue of Liberty; stands on; Liberty Island>",
+            "D. <printing press; invented by; Johannes Gutenberg>",
+            "E. <Solomon R. Guggenheim Museum; located on; Fifth Avenue>",
+        ],
+        "answer": "B",
+        "cot_answer": "Identify the gifting country before its capital. The answer is: B.",
+    },
+    {
+        "question": "What is the capital of the country that gifted the Statue of Liberty "
+                    "to the United States?",
+        "triples": ["<Statue of Liberty; gifted by; France>"],
+        "candidate_triples": [
+            "A. <France; capital; Paris>",
+            "B. <France; borders; Spain>",
+            "C. <Statue of Liberty; designed by; Frederic Auguste Bartholdi>",
+            "D. <Albert A. Michelson; professor at; University of Chicago>",
+            "E. <2012 Summer Olympics; hosted by; London>",
+        ],
+        "answer": "A",
+        "cot_answer": "France is the gifting country; its capital answers the question. "
+                      "The answer is: A.",
+    },
+    {
+        "question": "In which decade was the university that the co-founder of Microsoft "
+                    "dropped out of established?",
+        "triples": [],
+        "candidate_triples": [
+            "A. <Bill Gates; dropped out of; Harvard University>",
+            "B. <Microsoft; co-founded by; Bill Gates>",
+            "C. <Harvard University; established in; 1636>",
+            "D. <Romeo and Juliet; written by; William Shakespeare>",
+            "E. <Nile; empties into; Mediterranean Sea>",
+        ],
+        "answer": "B",
+        "cot_answer": "The chain starts from Microsoft's co-founder. The answer is: B.",
+    },
+    {
+        "question": "In which decade was the university that the co-founder of Microsoft "
+                    "dropped out of established?",
+        "triples": ["<Microsoft; co-founded by; Bill Gates>"],
+        "candidate_triples": [
+            "A. <Bill Gates; dropped out of; Harvard University>",
+            "B. <Harvard University; established in; 1636>",
+            "C. <Microsoft; headquartered in; Redmond>",
+            "D. <fall of Constantinople; occurred in; 1453>",
+            "E. <Budapest; lies on; Danube>",
+        ],
+        "answer": "A",
+        "cot_answer": "Gates's university comes before its founding decade. "
+                      "The answer is: A.",
+    },
+    {
+        "question": "In which decade was the university that the co-founder of Microsoft "
+                    "dropped out of established?",
+        "triples": ["<Microsoft; co-founded by; Bill Gates>",
+                    "<Bill Gates; dropped out of; Harvard University>"],
+        "candidate_triples": [
+            "A. <Harvard University; located in; Cambridge, Massachusetts>",
+            "B. <Harvard University; established in; 1636>",
+            "C. <Bill Gates; born in; Seattle>",
+            "D. <Wembley Stadium; capacity; 90,000>",
+            "E. <Statue of Liberty; designed by; Frederic Auguste Bartholdi>",
+        ],
+        "answer": "B",
+        "cot_answer": "Harvard's founding year gives the decade the question asks for. "
+                      "The answer is: B.",
+    },
+    {
+        "question": "Who directed the film that won the first Academy Award for Best Picture?",
+        "triples": [],
+        "candidate_triples": [
+            "A. <Wings; directed by; William A. Wellman>",
+            "B. <Wings; won; first Academy Award for Best Picture>",
+            "C. <Academy Awards; first held in; 1929>",
+            "D. <Harvard University; established in; 1636>",
+            "E. <Alfred Nobel; nationality; Swedish>",
+        ],
+        "answer": "B",
+        "cot_answer": "The winning film must be identified before its director. "
+                      "The answer is: B.",
+    },
+    {
+        "question": "Who directed the film that won the first Academy Award for Best Picture?",
+        "triples": ["<Wings; won; first Academy Award for Best Picture>"],
+        "candidate_triples": [
+            "A. <Wings; released in; 1927>",
+            "B. <Academy Awards; first held in; 1929>",
+            "C. <Wings; directed by; William A. Wellman>",
+            "D. <University of Zurich; located in; Switzerland>",
+            "E. <London; hosted; 2012 Summer Olympics>",
+        ],
+        "answer": "C",
+        "cot_answer": "Wings is the film; its director is the final hop. The answer is: C.",
+    },
+    {
+        "question": "On which river does the capital of Hungary lie?",
+        "triples": [],
+        "candidate_triples": [
+            "A. <Budapest; lies on; Danube>",
+            "B. <Hungary; capital; Budapest>",
+            "C. <Danube; empties into; Black Sea>",
+            "D. <Wings; released in; 1927>",
+            "E. <Bill Gates; dropped out of; Harvard University>",
+        ],
+        "answer": "B",
+        "cot_answer": "Hungary's capital is the bridge entity. The answer is: B.",
+    },
+    {
+        "question": "On which river does the capital of Hungary lie?",
+        "triples": ["<Hungary; capital; Budapest>"],
+        "candidate_triples": [
+            "A. <Budapest; lies on; Danube>",
+            "B. <Danube; empties into; Black Sea>",
+            "C. <Hungary; borders; Austria>",
+            "D. <West Side Story; premiered in; 1957>",
+            "E. <Enola Gay; dropped; first atomic bomb used in war>",
+        ],
+        "answer": "A",
+        "cot_answer": "Budapest's river answers the question directly. The answer is: A.",
+    },
+    {
+        "question": "Was the printing press invented before or after the fall of "
+                    "Constantinople?",
+        "triples": [],
+        "candidate_triples": [
+            "A. <fall of Constantinople; occurred in; 1453>",
+            "B. <printing press; invented by Johannes Gutenberg around; 1440>",
+            "C. <Johannes Gutenberg; born in; Mainz>",
+            "D. <Budapest; lies on; Danube>",
+            "E. <Romeo and Juliet; set in; Verona>",
+        ],
+        "answer": "B",
+        "cot_answer": "A comparison question needs both dates; the press's invention date "
+                      "is a sound first hop. The answer is: B.",
+    },
+    {
+        "question": "Was the printing press invented before or after the fall of "
+                    "Constantinople?",
+        "triples": ["<printing press; invented by Johannes Gutenberg around; 1440>"],
+        "candidate_triples": [
+            "A. <Johannes Gutenberg; printed; 42-line Bible>",
+            "B. <fall of Constantinople; occurred in; 1453>",
+            "C. <Constantinople; renamed; Istanbul>",
+            "D. <France; capital; Paris>",
+            "E. <Microsoft; headquartered in; Redmond>",
+        ],
+        "answer": "B",
+        "cot_answer": "The second date of the comparison is still missing. "
+                      "The answer is: B.",
+    },
+    {
+        "question": "Which company manufactured the bomber that dropped the first atomic "
+                    "bomb used in war?",
+        "triples": [],
+        "candidate_triples": [
+            "A. <Enola Gay; is a; Boeing B-29 Superfortress>",
+            "B. <Enola Gay; dropped; first atomic bomb used in war>",
+            "C. <B-29 Superfortress; manufactured by; Boeing>",
+            "D. <1966 FIFA World Cup; won by; England>",
+            "E. <Harvard University; located in; Cambridge, Massachusetts>",
+        ],
+        "answer": "B",
+        "cot_answer": "Identify the aircraft first. The answer is: B.",
+    },
+    {
+        "question": "Which company manufactured the bomber that dropped the first atomic "
+                    "bomb used in war?",
+        "triples": ["<Enola Gay; dropped; first atomic bomb used in war>"],
+        "candidate_triples": [
+            "A. <Enola Gay; is a; Boeing B-29 Superfortress>",
+            "B. <Enola Gay; piloted by; Paul Tibbets>",
+            "C. <Boeing; founded in; Seattle>",
+            "D. <Sistine Chapel ceiling; painted by; Michelangelo>",
+            "E. <Danube; empties into; Black Sea>",
+        ],
+        "answer": "A",
+        "cot_answer": "The aircraft's type carries its manufacturer. The answer is: A.",
+    },
+    {
+        "question": "In which US state is the university where the first American Nobel "
+                    "laureate in physics taught?",
+        "triples": [],
+        "candidate_triples": [
+            "A. <Albert A. Michelson; professor at; University of Chicago>",
+            "B. <Albert A. Michelson; was; first American Nobel laureate in physics>",
+            "C. <University of Chicago; located in; Illinois>",
+            "D. <Enola Gay; piloted by; Paul Tibbets>",
+            "E. <West Side Story; based on; Romeo and Juliet>",
+        ],
+        "answer": "B",
+        "cot_answer": "The laureate must be named before his university. The answer is: B.",
+    },
+    {
+        "question": "In which US state is the university where the first American Nobel "
+                    "laureate in physics taught?",
+        "triples": ["<Albert A. Michelson; was; first American Nobel laureate in physics>"],
+        "candidate_triples": [
+            "A. <Albert A. Michelson; measured; speed of light>",
+            "B. <Albert A. Michelson; professor at; University of Chicago>",
+            "C. <University of Chicago; founded in; 1890>",
+            "D. <Boeing; founded in; Seattle>",
+            "E. <Hungary; borders; Austria>",
+        ],
+        "answer": "B",
+        "cot_answer": "Michelson's university is the next bridge. The answer is: B.",
+    },
+    {
+        "question": "In which US state is the university where the first American Nobel "
+                    "laureate in physics taught?",
+        "triples": ["<Albert A. Michelson; was; first American Nobel laureate in physics>",
+                    "<Albert A. Michelson; professor at; University of Chicago>"],
+        "candidate_triples": [
+            "A. <University of Chicago; founded in; 1890>",
+            "B. <Illinois; capital; Springfield>",
+            "C. <University of Chicago; located in; Illinois>",
+            "D. <Johannes Gutenberg; born in; Mainz>",
+            "E. <Leonard Bernstein; composed; West Side Story>",
+        ],
+        "answer": "C",
+        "cot_answer": "The university's state completes the chain. The answer is: C.",
+    },
+    {
+        "question": "Which architect designed the spiral museum on Fifth Avenue in Manhattan?",
+        "triples": [],
+        "candidate_triples": [
+            "A. <Solomon R. Guggenheim Museum; located on; Fifth Avenue>",
+            "B. <Solomon R. Guggenheim Museum; designed by; Frank Lloyd Wright>",
+            "C. <Frank Lloyd Wright; designed; Fallingwater>",
+            "D. <Albert A. Michelson; measured; speed of light>",
+            "E. <1966 FIFA World Cup final; played at; Wembley Stadium>",
+        ],
+        "answer": "A",
+        "cot_answer": "The museum itself must be identified from its location and form "
+                      "first. The answer is: A.",
+    },
+    {
+        "question": "Which architect designed the spiral museum on Fifth Avenue in Manhattan?",
+        "triples": ["<Solomon R. Guggenheim Museum; located on; Fifth Avenue>"],
+        "candidate_triples": [
+            "A. <Solomon R. Guggenheim Museum; opened in; 1959>",
+            "B. <Frank Lloyd Wright; designed; Fallingwater>",
+            "C. <Solomon R. Guggenheim Museum; designed by; Frank Lloyd Wright>",
+            "D. <Paris; capital of; France>",
+            "E. <B-29 Superfortress; manufactured by; Boeing>",
+        ],
+        "answer": "C",
+        "cot_answer": "With the museum fixed, its architect answers the question. "
+                      "The answer is: C.",
+    },
+    {
+        "question": "What nationality was the inventor of dynamite who endowed a set of "
+                    "annual prizes?",
+        "triples": [],
+        "candidate_triples": [
+            "A. <Alfred Nobel; nationality; Swedish>",
+            "B. <Alfred Nobel; invented; dynamite>",
+            "C. <Nobel Prizes; first awarded in; 1901>",
+            "D. <Solomon R. Guggenheim Museum; opened in; 1959>",
+            "E. <Romeo and Juliet; written by; William Shakespeare>",
+        ],
+        "answer": "B",
+        "cot_answer": "The inventor must be established before his nationality. "
+                      "The answer is: B.",
+    },
+    {
+        "question": "What nationality was the inventor of dynamite who endowed a set of "
+                    "annual prizes?",
+        "triples": ["<Alfred Nobel; invented; dynamite>"],
+        "candidate_triples": [
+            "A. <Alfred Nobel; endowed; Nobel Prizes>",
+            "B. <Alfred Nobel; nationality; Swedish>",
+            "C. <Nobel Prizes; first awarded in; 1901>",
+            "D. <Frank Lloyd Wright; designed; Fallingwater>",
+            "E. <England; won; 1966 FIFA World Cup>",
+        ],
+        "answer": "B",
+        "cot_answer": "Nobel's nationality is exactly what is asked. The answer is: B.",
+    },
+    {
+        "question": "In which city did the band that recorded the album Abbey Road form?",
+        "triples": [],
+        "candidate_triples": [
+            "A. <The Beatles; formed in; Liverpool>",
+            "B. <Abbey Road; recorded by; The Beatles>",
+            "C. <Abbey Road Studios; located in; London>",
+            "D. <Alfred Nobel; endowed; Nobel Prizes>",
+            "E. <University of Chicago; located in; Illinois>",
+        ],
+        "answer": "B",
+        "cot_answer": "The band behind the album comes first. The answer is: B.",
+    },
+    {
+        "question": "In which city did the band that recorded the album Abbey Road form?",
+        "triples": ["<Abbey Road; recorded by; The Beatles>"],
+        "candidate_triples": [
+            "A. <The Beatles; formed in; Liverpool>",
+            "B. <Abbey Road Studios; located in; London>",
+            "C. <The Beatles; disbanded in; 1970>",
+            "D. <printing press; invented by Johannes Gutenberg around; 1440>",
+            "E. <Statue of Liberty; stands on; Liberty Island>",
+        ],
+        "answer": "A",
+        "cot_answer": "The Beatles' formation city answers the question — not the "
+                      "studio's city. The answer is: A.",
+    },
+    {
+        "question": "What is the tallest building in the city that hosted the 2012 Summer "
+                    "Olympics?",
+        "triples": [],
+        "candidate_triples": [
+            "A. <The Shard; tallest building in; London>",
+            "B. <2012 Summer Olympics; hosted by; London>",
+            "C. <London; lies on; Thames>",
+            "D. <The Beatles; disbanded in; 1970>",
+            "E. <Albert Einstein; born in; Ulm>",
+        ],
+        "answer": "B",
+        "cot_answer": "Resolve the host city before its tallest building. "
+                      "The answer is: B.",
+    },
+    {
+        "question": "What is the tallest building in the city that hosted the 2012 Summer "
+                    "Olympics?",
+        "triples": ["<2012 Summer Olympics; hosted by; London>"],
+        "candidate_triples": [
+            "A. <London; lies on; Thames>",
+            "B. <The Shard; completed in; 2012>",
+            "C. <The Shard; tallest building in; London>",
+            "D. <Alfred Nobel; invented; dynamite>",
+            "E. <Wings; won; first Academy Award for Best Picture>",
+        ],
+        "answer": "C",
+        "cot_answer": "London's tallest building completes the chain. The answer is: C.",
+    },
+]
+
+WIKIMULTIHOPQA_TRIPLE_SELECTION_EXAMPLARS += [
+    {
+        "question": "Where was the composer of The Four Seasons born?",
+        "triples": [],
+        "candidate_triples": [
+            "A. <Antonio Vivaldi; place of birth; Venice>",
+            "B. <The Four Seasons; composed by; Antonio Vivaldi>",
+            "C. <Antonio Vivaldi; occupation; composer and violinist>",
+            "D. <War and Peace; written by; Leo Tolstoy>",
+            "E. <Mount Elbrus; elevation; 5,642 metres>",
+        ],
+        "answer": "B",
+        "cot_answer": "The composer must be identified before his birthplace. "
+                      "The answer is: B.",
+    },
+    {
+        "question": "Where was the composer of The Four Seasons born?",
+        "triples": ["<The Four Seasons; composed by; Antonio Vivaldi>"],
+        "candidate_triples": [
+            "A. <Antonio Vivaldi; place of birth; Venice>",
+            "B. <Antonio Vivaldi; died in; Vienna>",
+            "C. <The Four Seasons; published in; 1725>",
+            "D. <Psycho; directed by; Alfred Hitchcock>",
+            "E. <Jane Austen; country of citizenship; England>",
+        ],
+        "answer": "A",
+        "cot_answer": "Vivaldi's birthplace answers the question — not where he died. "
+                      "The answer is: A.",
+    },
+    {
+        "question": "Which film was released first, Citizen Kane or Casablanca?",
+        "triples": [],
+        "candidate_triples": [
+            "A. <Casablanca; released in; 1942>",
+            "B. <Citizen Kane; released in; 1941>",
+            "C. <Citizen Kane; directed by; Orson Welles>",
+            "D. <Antonio Vivaldi; died in; Vienna>",
+            "E. <penicillin; discovered by; Alexander Fleming>",
+        ],
+        "answer": "B",
+        "cot_answer": "A release-order comparison needs both dates; either is a valid "
+                      "first hop. The answer is: B.",
+    },
+    {
+        "question": "Which film was released first, Citizen Kane or Casablanca?",
+        "triples": ["<Citizen Kane; released in; 1941>"],
+        "candidate_triples": [
+            "A. <Casablanca; released in; 1942>",
+            "B. <Casablanca; starring; Humphrey Bogart>",
+            "C. <Citizen Kane; directed by; Orson Welles>",
+            "D. <Leo Tolstoy; place of death; Astapovo>",
+            "E. <Moonlight Sonata; composed by; Ludwig van Beethoven>",
+        ],
+        "answer": "A",
+        "cot_answer": "Casablanca's date is the missing half of the comparison. "
+                      "The answer is: A.",
+    },
+    {
+        "question": "When did the founder of the Ford Motor Company die?",
+        "triples": [],
+        "candidate_triples": [
+            "A. <Henry Ford; date of death; 7 April 1947>",
+            "B. <Ford Motor Company; founded by; Henry Ford>",
+            "C. <Ford Motor Company; founded in; 1903>",
+            "D. <Citizen Kane; released in; 1941>",
+            "E. <Vincent van Gogh; painted; The Starry Night>",
+        ],
+        "answer": "B",
+        "cot_answer": "Identify the founder first. The answer is: B.",
+    },
+    {
+        "question": "When did the founder of the Ford Motor Company die?",
+        "triples": ["<Ford Motor Company; founded by; Henry Ford>"],
+        "candidate_triples": [
+            "A. <Henry Ford; born in; 1863>",
+            "B. <Henry Ford; date of death; 7 April 1947>",
+            "C. <Ford Motor Company; headquartered in; Dearborn>",
+            "D. <The Four Seasons; published in; 1725>",
+            "E. <Marie Antoinette; spouse; Louis XVI>",
+        ],
+        "answer": "B",
+        "cot_answer": "Ford's death date is what the question asks. The answer is: B.",
+    },
+    {
+        "question": "Are Jane Austen and Charles Dickens of the same nationality?",
+        "triples": [],
+        "candidate_triples": [
+            "A. <Jane Austen; country of citizenship; England>",
+            "B. <Charles Dickens; wrote; Great Expectations>",
+            "C. <Jane Austen; wrote; Pride and Prejudice>",
+            "D. <Henry Ford; born in; 1863>",
+            "E. <Mont Blanc; elevation; 4,808 metres>",
+        ],
+        "answer": "A",
+        "cot_answer": "A nationality comparison needs each author's citizenship; start "
+                      "with Austen. The answer is: A.",
+    },
+    {
+        "question": "Are Jane Austen and Charles Dickens of the same nationality?",
+        "triples": ["<Jane Austen; country of citizenship; England>"],
+        "candidate_triples": [
+            "A. <Charles Dickens; country of citizenship; England>",
+            "B. <Charles Dickens; wrote; Great Expectations>",
+            "C. <Jane Austen; died in; Winchester>",
+            "D. <Ford Motor Company; founded in; 1903>",
+            "E. <Isaac Newton; father; Isaac Newton Sr.>",
+        ],
+        "answer": "A",
+        "cot_answer": "Dickens's citizenship completes the comparison. The answer is: A.",
+    },
+    {
+        "question": "Who was the father of the scientist who formulated the laws of motion?",
+        "triples": [],
+        "candidate_triples": [
+            "A. <Isaac Newton; father; Isaac Newton Sr.>",
+            "B. <laws of motion; formulated by; Isaac Newton>",
+            "C. <Isaac Newton; born in; Woolsthorpe>",
+            "D. <Charles Dickens; country of citizenship; England>",
+            "E. <Alfred Hitchcock; place of death; Bel Air, Los Angeles>",
+        ],
+        "answer": "B",
+        "cot_answer": "The scientist must be resolved before his father. The answer is: B.",
+    },
+    {
+        "question": "Who was the father of the scientist who formulated the laws of motion?",
+        "triples": ["<laws of motion; formulated by; Isaac Newton>"],
+        "candidate_triples": [
+            "A. <Isaac Newton; born in; Woolsthorpe>",
+            "B. <Isaac Newton; father; Isaac Newton Sr.>",
+            "C. <Isaac Newton; wrote; Principia Mathematica>",
+            "D. <Casablanca; starring; Humphrey Bogart>",
+            "E. <Elizabeth II; father; George VI>",
+        ],
+        "answer": "B",
+        "cot_answer": "Newton's father is the asked relation. The answer is: B.",
+    },
+    {
+        "question": "Where did the author of War and Peace die?",
+        "triples": [],
+        "candidate_triples": [
+            "A. <Leo Tolstoy; place of death; Astapovo>",
+            "B. <War and Peace; written by; Leo Tolstoy>",
+            "C. <Leo Tolstoy; born at; Yasnaya Polyana>",
+            "D. <Isaac Newton; wrote; Principia Mathematica>",
+            "E. <The Starry Night; painted by; Vincent van Gogh>",
+        ],
+        "answer": "B",
+        "cot_answer": "The author is the bridge entity. The answer is: B.",
+    },
+    {
+        "question": "Where did the author of War and Peace die?",
+        "triples": ["<War and Peace; written by; Leo Tolstoy>"],
+        "candidate_triples": [
+            "A. <Leo Tolstoy; born at; Yasnaya Polyana>",
+            "B. <War and Peace; published in; 1869>",
+            "C. <Leo Tolstoy; place of death; Astapovo>",
+            "D. <Louis XVI; crowned in; 1775>",
+            "E. <Antonio Vivaldi; place of birth; Venice>",
+        ],
+        "answer": "C",
+        "cot_answer": "Tolstoy's place of death answers the question — not his "
+                      "birthplace. The answer is: C.",
+    },
+    {
+        "question": "When was the spouse of Marie Antoinette crowned?",
+        "triples": [],
+        "candidate_triples": [
+            "A. <Louis XVI; crowned in; 1775>",
+            "B. <Marie Antoinette; spouse; Louis XVI>",
+            "C. <Marie Antoinette; born in; Vienna>",
+            "D. <Leo Tolstoy; born at; Yasnaya Polyana>",
+            "E. <Ludwig van Beethoven; died in; 1827>",
+        ],
+        "answer": "B",
+        "cot_answer": "Find the spouse before the coronation. The answer is: B.",
+    },
+    {
+        "question": "When was the spouse of Marie Antoinette crowned?",
+        "triples": ["<Marie Antoinette; spouse; Louis XVI>"],
+        "candidate_triples": [
+            "A. <Louis XVI; crowned in; 1775>",
+            "B. <Louis XVI; executed in; 1793>",
+            "C. <Marie Antoinette; born in; Vienna>",
+            "D. <Vincent van Gogh; place of birth; Zundert>",
+            "E. <Henry Ford; date of death; 7 April 1947>",
+        ],
+        "answer": "A",
+        "cot_answer": "Louis XVI's coronation date is the asked fact. The answer is: A.",
+    },
+    {
+        "question": "Which mountain is higher, Mont Blanc or Mount Elbrus?",
+        "triples": [],
+        "candidate_triples": [
+            "A. <Mont Blanc; elevation; 4,808 metres>",
+            "B. <Mont Blanc; located in; Alps>",
+            "C. <Louis XVI; executed in; 1793>",
+            "D. <Mount Elbrus; located in; Caucasus>",
+            "E. <penicillin; discovered by; Alexander Fleming>",
+        ],
+        "answer": "A",
+        "cot_answer": "A height comparison needs both elevations; take Mont Blanc's "
+                      "first. The answer is: A.",
+    },
+    {
+        "question": "Which mountain is higher, Mont Blanc or Mount Elbrus?",
+        "triples": ["<Mont Blanc; elevation; 4,808 metres>"],
+        "candidate_triples": [
+            "A. <Mount Elbrus; elevation; 5,642 metres>",
+            "B. <Mount Elbrus; located in; Caucasus>",
+            "C. <Mont Blanc; located in; Alps>",
+            "D. <Jane Austen; died in; Winchester>",
+            "E. <George VI; mother; Mary of Teck>",
+        ],
+        "answer": "A",
+        "cot_answer": "Elbrus's elevation is the missing half of the comparison. "
+                      "The answer is: A.",
+    },
+    {
+        "question": "Where was the painter of The Starry Night born?",
+        "triples": [],
+        "candidate_triples": [
+            "A. <Vincent van Gogh; place of birth; Zundert>",
+            "B. <The Starry Night; painted by; Vincent van Gogh>",
+            "C. <Vincent van Gogh; died in; Auvers-sur-Oise>",
+            "D. <Mount Elbrus; elevation; 5,642 metres>",
+            "E. <Ford Motor Company; headquartered in; Dearborn>",
+        ],
+        "answer": "B",
+        "cot_answer": "The painter is the bridge entity. The answer is: B.",
+    },
+    {
+        "question": "Where was the painter of The Starry Night born?",
+        "triples": ["<The Starry Night; painted by; Vincent van Gogh>"],
+        "candidate_triples": [
+            "A. <Vincent van Gogh; died in; Auvers-sur-Oise>",
+            "B. <The Starry Night; held by; Museum of Modern Art>",
+            "C. <Vincent van Gogh; place of birth; Zundert>",
+            "D. <laws of motion; formulated by; Isaac Newton>",
+            "E. <Alexander Fleming; studied at; St Mary's Hospital Medical School>",
+        ],
+        "answer": "C",
+        "cot_answer": "Van Gogh's birthplace answers the question — not where he died. "
+                      "The answer is: C.",
+    },
+    {
+        "question": "Who was the paternal grandmother of Elizabeth II?",
+        "triples": [],
+        "candidate_triples": [
+            "A. <George VI; mother; Mary of Teck>",
+            "B. <Elizabeth II; father; George VI>",
+            "C. <Elizabeth II; mother; Queen Elizabeth The Queen Mother>",
+            "D. <The Starry Night; held by; Museum of Modern Art>",
+            "E. <Moonlight Sonata; composed by; Ludwig van Beethoven>",
+        ],
+        "answer": "B",
+        "cot_answer": "The paternal line starts at her father. The answer is: B.",
+    },
+    {
+        "question": "Who was the paternal grandmother of Elizabeth II?",
+        "triples": ["<Elizabeth II; father; George VI>"],
+        "candidate_triples": [
+            "A. <George VI; mother; Mary of Teck>",
+            "B. <George VI; spouse; Queen Elizabeth The Queen Mother>",
+            "C. <Elizabeth II; born in; 1926>",
+            "D. <Citizen Kane; directed by; Orson Welles>",
+            "E. <Mont Blanc; located in; Alps>",
+        ],
+        "answer": "A",
+        "cot_answer": "George VI's mother is the paternal grandmother. The answer is: A.",
+    },
+    {
+        "question": "Did the composer of the Moonlight Sonata die before or after the "
+                    "premiere of his Ninth Symphony?",
+        "triples": [],
+        "candidate_triples": [
+            "A. <Ludwig van Beethoven; died in; 1827>",
+            "B. <Moonlight Sonata; composed by; Ludwig van Beethoven>",
+            "C. <Ninth Symphony; premiered in; 1824>",
+            "D. <George VI; spouse; Queen Elizabeth The Queen Mother>",
+            "E. <Henry Ford; born in; 1863>",
+        ],
+        "answer": "B",
+        "cot_answer": "The composer must be resolved before any dates. The answer is: B.",
+    },
+    {
+        "question": "Did the composer of the Moonlight Sonata die before or after the "
+                    "premiere of his Ninth Symphony?",
+        "triples": ["<Moonlight Sonata; composed by; Ludwig van Beethoven>"],
+        "candidate_triples": [
+            "A. <Ludwig van Beethoven; died in; 1827>",
+            "B. <Ludwig van Beethoven; born in; Bonn>",
+            "C. <Moonlight Sonata; published in; 1802>",
+            "D. <War and Peace; published in; 1869>",
+            "E. <Mary of Teck; spouse; George V>",
+        ],
+        "answer": "A",
+        "cot_answer": "With Beethoven fixed, the comparison needs his death year (and "
+                      "then the premiere year). The answer is: A.",
+    },
+    {
+        "question": "Did the composer of the Moonlight Sonata die before or after the "
+                    "premiere of his Ninth Symphony?",
+        "triples": ["<Moonlight Sonata; composed by; Ludwig van Beethoven>",
+                    "<Ludwig van Beethoven; died in; 1827>"],
+        "candidate_triples": [
+            "A. <Ninth Symphony; premiered in; 1824>",
+            "B. <Ludwig van Beethoven; born in; Bonn>",
+            "C. <Moonlight Sonata; published in; 1802>",
+            "D. <Elizabeth II; born in; 1926>",
+            "E. <Casablanca; released in; 1942>",
+        ],
+        "answer": "A",
+        "cot_answer": "The premiere year is the last missing fact of the comparison. "
+                      "The answer is: A.",
+    },
+    {
+        "question": "At which medical school did the discoverer of penicillin study?",
+        "triples": [],
+        "candidate_triples": [
+            "A. <Alexander Fleming; studied at; St Mary's Hospital Medical School>",
+            "B. <penicillin; discovered by; Alexander Fleming>",
+            "C. <Alexander Fleming; born in; Lochfield>",
+            "D. <Ninth Symphony; premiered in; 1824>",
+            "E. <Leo Tolstoy; place of death; Astapovo>",
+        ],
+        "answer": "B",
+        "cot_answer": "The discoverer is the bridge entity. The answer is: B.",
+    },
+    {
+        "question": "At which medical school did the discoverer of penicillin study?",
+        "triples": ["<penicillin; discovered by; Alexander Fleming>"],
+        "candidate_triples": [
+            "A. <Alexander Fleming; born in; Lochfield>",
+            "B. <Alexander Fleming; studied at; St Mary's Hospital Medical School>",
+            "C. <penicillin; mass-produced from; 1944>",
+            "D. <The Four Seasons; composed by; Antonio Vivaldi>",
+            "E. <Mount Elbrus; located in; Caucasus>",
+        ],
+        "answer": "B",
+        "cot_answer": "Fleming's medical school answers the question. The answer is: B.",
+    },
+    {
+        "question": "Where did the director of Psycho die?",
+        "triples": [],
+        "candidate_triples": [
+            "A. <Alfred Hitchcock; place of death; Bel Air, Los Angeles>",
+            "B. <Psycho; directed by; Alfred Hitchcock>",
+            "C. <Alfred Hitchcock; born in; Leytonstone, London>",
+            "D. <penicillin; mass-produced from; 1944>",
+            "E. <Marie Antoinette; born in; Vienna>",
+        ],
+        "answer": "B",
+        "cot_answer": "Identify Psycho's director first. The answer is: B.",
+    },
+    {
+        "question": "Where did the director of Psycho die?",
+        "triples": ["<Psycho; directed by; Alfred Hitchcock>"],
+        "candidate_triples": [
+            "A. <Alfred Hitchcock; born in; Leytonstone, London>",
+            "B. <Psycho; released in; 1960>",
+            "C. <Alfred Hitchcock; place of death; Bel Air, Los Angeles>",
+            "D. <Isaac Newton; born in; Woolsthorpe>",
+            "E. <Ludwig van Beethoven; born in; Bonn>",
+        ],
+        "answer": "C",
+        "cot_answer": "Hitchcock's place of death answers the question — not his "
+                      "birthplace. The answer is: C.",
+    },
+]
+
+MUSIQUE_TRIPLE_SELECTION_EXAMPLARS += [
+    {
+        "question": "What is the official language of the country where Machu Picchu stands?",
+        "triples": [],
+        "candidate_triples": [
+            "A. <Peru; official language; Spanish>",
+            "B. <Machu Picchu; located in; Peru>",
+            "C. <Machu Picchu; built by; Inca Empire>",
+            "D. <Lisbon; lies on; Tagus>",
+            "E. <Palace of Versailles; built under; Louis XIV>",
+        ],
+        "answer": "B",
+        "cot_answer": "Locate Machu Picchu's country first. The answer is: B.",
+    },
+    {
+        "question": "What is the official language of the country where Machu Picchu stands?",
+        "triples": ["<Machu Picchu; located in; Peru>"],
+        "candidate_triples": [
+            "A. <Peru; capital; Lima>",
+            "B. <Peru; official language; Spanish>",
+            "C. <Machu Picchu; built by; Inca Empire>",
+            "D. <Vienna; lies on; Danube>",
+            "E. <Mount Vesuvius; located in; Campania>",
+        ],
+        "answer": "B",
+        "cot_answer": "Peru's official language completes the chain. The answer is: B.",
+    },
+    {
+        "question": "Who founded the city that hosted the 1980 Summer Olympics?",
+        "triples": [],
+        "candidate_triples": [
+            "A. <Moscow; founded by; Yuri Dolgoruky>",
+            "B. <1980 Summer Olympics; hosted by; Moscow>",
+            "C. <Moscow; lies on; Moskva River>",
+            "D. <Peru; capital; Lima>",
+            "E. <Aristotle; student of; Plato>",
+        ],
+        "answer": "B",
+        "cot_answer": "The host city is the bridge entity. The answer is: B.",
+    },
+    {
+        "question": "Who founded the city that hosted the 1980 Summer Olympics?",
+        "triples": ["<1980 Summer Olympics; hosted by; Moscow>"],
+        "candidate_triples": [
+            "A. <Moscow; lies on; Moskva River>",
+            "B. <1980 Summer Olympics; boycotted by; 66 countries>",
+            "C. <Moscow; founded by; Yuri Dolgoruky>",
+            "D. <Napoleon; died on; Saint Helena>",
+            "E. <Finland; official language; Finnish>",
+        ],
+        "answer": "C",
+        "cot_answer": "Moscow's founder answers the question. The answer is: C.",
+    },
+    {
+        "question": "In which mountain range does the river that flows through Vienna rise?",
+        "triples": [],
+        "candidate_triples": [
+            "A. <Danube; rises in; Black Forest>",
+            "B. <Vienna; lies on; Danube>",
+            "C. <Danube; empties into; Black Sea>",
+            "D. <Moscow; founded by; Yuri Dolgoruky>",
+            "E. <Spain; borders; France and Portugal>",
+        ],
+        "answer": "B",
+        "cot_answer": "Vienna's river comes before its source. The answer is: B.",
+    },
+    {
+        "question": "In which mountain range does the river that flows through Vienna rise?",
+        "triples": ["<Vienna; lies on; Danube>"],
+        "candidate_triples": [
+            "A. <Danube; empties into; Black Sea>",
+            "B. <Danube; rises in; Black Forest>",
+            "C. <Vienna; capital of; Austria>",
+            "D. <telephone; invented by; Alexander Graham Bell>",
+            "E. <Tagus; empties into; Atlantic Ocean>",
+        ],
+        "answer": "B",
+        "cot_answer": "The Danube's source range answers the question — not its mouth. "
+                      "The answer is: B.",
+    },
+    {
+        "question": "What currency is used in the country whose capital is Ottawa?",
+        "triples": [],
+        "candidate_triples": [
+            "A. <Canada; currency; Canadian dollar>",
+            "B. <Ottawa; capital of; Canada>",
+            "C. <Ottawa; located in; Ontario>",
+            "D. <Danube; rises in; Black Forest>",
+            "E. <Pompeii; destroyed by eruption of; Mount Vesuvius>",
+        ],
+        "answer": "B",
+        "cot_answer": "Resolve the country from its capital first. The answer is: B.",
+    },
+    {
+        "question": "What currency is used in the country whose capital is Ottawa?",
+        "triples": ["<Ottawa; capital of; Canada>"],
+        "candidate_triples": [
+            "A. <Canada; largest city; Toronto>",
+            "B. <Canada; currency; Canadian dollar>",
+            "C. <Ottawa; located in; Ontario>",
+            "D. <1980 Summer Olympics; boycotted by; 66 countries>",
+            "E. <Alexander the Great; tutored by; Aristotle>",
+        ],
+        "answer": "B",
+        "cot_answer": "Canada's currency completes the chain. The answer is: B.",
+    },
+    {
+        "question": "What is the longest river of the continent where the Atacama Desert lies?",
+        "triples": [],
+        "candidate_triples": [
+            "A. <Amazon; longest river of; South America>",
+            "B. <Atacama Desert; located in; Chile>",
+            "C. <Atacama Desert; is; driest nonpolar desert>",
+            "D. <Canada; largest city; Toronto>",
+            "E. <English fleet against the Armada; commanded by; Lord Howard of Effingham>",
+        ],
+        "answer": "B",
+        "cot_answer": "The desert's country starts the chain toward its continent. "
+                      "The answer is: B.",
+    },
+    {
+        "question": "What is the longest river of the continent where the Atacama Desert lies?",
+        "triples": ["<Atacama Desert; located in; Chile>"],
+        "candidate_triples": [
+            "A. <Chile; located in; South America>",
+            "B. <Amazon; longest river of; South America>",
+            "C. <Chile; capital; Santiago>",
+            "D. <Moonlight Sonata; composed by; Ludwig van Beethoven>",
+            "E. <Mexico City; built on site of; Tenochtitlan>",
+        ],
+        "answer": "A",
+        "cot_answer": "Chile's continent must come before the river. The answer is: A.",
+    },
+    {
+        "question": "What is the longest river of the continent where the Atacama Desert lies?",
+        "triples": ["<Atacama Desert; located in; Chile>",
+                    "<Chile; located in; South America>"],
+        "candidate_triples": [
+            "A. <Chile; capital; Santiago>",
+            "B. <Amazon; longest river of; South America>",
+            "C. <Amazon; empties into; Atlantic Ocean>",
+            "D. <Saint Helena; located in; South Atlantic Ocean>",
+            "E. <Louis XIV; succeeded by; Louis XV>",
+        ],
+        "answer": "B",
+        "cot_answer": "South America's longest river answers the question. "
+                      "The answer is: B.",
+    },
+    {
+        "question": "Who was the first ruler of the empire whose capital stood where "
+                    "Mexico City is today?",
+        "triples": [],
+        "candidate_triples": [
+            "A. <Tenochtitlan; capital of; Aztec Empire>",
+            "B. <Mexico City; built on site of; Tenochtitlan>",
+            "C. <Aztec Empire; first ruler; Acamapichtli>",
+            "D. <Amazon; empties into; Atlantic Ocean>",
+            "E. <Plato; founded; the Academy>",
+        ],
+        "answer": "B",
+        "cot_answer": "The buried city under Mexico City starts the chain. "
+                      "The answer is: B.",
+    },
+    {
+        "question": "Who was the first ruler of the empire whose capital stood where "
+                    "Mexico City is today?",
+        "triples": ["<Mexico City; built on site of; Tenochtitlan>"],
+        "candidate_triples": [
+            "A. <Tenochtitlan; founded in; 1325>",
+            "B. <Tenochtitlan; capital of; Aztec Empire>",
+            "C. <Aztec Empire; first ruler; Acamapichtli>",
+            "D. <Machu Picchu; built by; Inca Empire>",
+            "E. <Madrid; largest city of; Spain>",
+        ],
+        "answer": "B",
+        "cot_answer": "The empire must be named before its first ruler. The answer is: B.",
+    },
+    {
+        "question": "Who was the first ruler of the empire whose capital stood where "
+                    "Mexico City is today?",
+        "triples": ["<Mexico City; built on site of; Tenochtitlan>",
+                    "<Tenochtitlan; capital of; Aztec Empire>"],
+        "candidate_triples": [
+            "A. <Aztec Empire; first ruler; Acamapichtli>",
+            "B. <Tenochtitlan; founded in; 1325>",
+            "C. <Aztec Empire; fell in; 1521>",
+            "D. <Yuri Dolgoruky; founded; Moscow>",
+            "E. <Finnish; language family; Uralic>",
+        ],
+        "answer": "A",
+        "cot_answer": "The Aztec Empire's first ruler completes the chain. "
+                      "The answer is: A.",
+    },
+    {
+        "question": "In which country did the inventor of the telephone die?",
+        "triples": [],
+        "candidate_triples": [
+            "A. <Alexander Graham Bell; place of death; Beinn Bhreagh, Nova Scotia>",
+            "B. <telephone; invented by; Alexander Graham Bell>",
+            "C. <Alexander Graham Bell; born in; Edinburgh>",
+            "D. <Aztec Empire; fell in; 1521>",
+            "E. <Spanish Armada; sent by; Philip II of Spain>",
+        ],
+        "answer": "B",
+        "cot_answer": "The inventor is the bridge entity. The answer is: B.",
+    },
+    {
+        "question": "In which country did the inventor of the telephone die?",
+        "triples": ["<telephone; invented by; Alexander Graham Bell>"],
+        "candidate_triples": [
+            "A. <Alexander Graham Bell; born in; Edinburgh>",
+            "B. <Alexander Graham Bell; place of death; Beinn Bhreagh, Nova Scotia>",
+            "C. <telephone; patented in; 1876>",
+            "D. <Chile; located in; South America>",
+            "E. <Mount Vesuvius; last erupted in; 1944>",
+        ],
+        "answer": "B",
+        "cot_answer": "Where Bell died must be found before its country. "
+                      "The answer is: B.",
+    },
+    {
+        "question": "In which country did the inventor of the telephone die?",
+        "triples": ["<telephone; invented by; Alexander Graham Bell>",
+                    "<Alexander Graham Bell; place of death; Beinn Bhreagh, Nova Scotia>"],
+        "candidate_triples": [
+            "A. <Nova Scotia; province of; Canada>",
+            "B. <Alexander Graham Bell; born in; Edinburgh>",
+            "C. <telephone; patented in; 1876>",
+            "D. <Ottawa; located in; Ontario>",
+            "E. <Lord Howard of Effingham; commanded; English fleet against the Armada>",
+        ],
+        "answer": "A",
+        "cot_answer": "Nova Scotia's country is the final hop. The answer is: A.",
+    },
+    {
+        "question": "What is the largest city of the country that borders both France "
+                    "and Portugal?",
+        "triples": [],
+        "candidate_triples": [
+            "A. <Madrid; largest city of; Spain>",
+            "B. <Spain; borders; France and Portugal>",
+            "C. <Spain; capital; Madrid>",
+            "D. <Nova Scotia; province of; Canada>",
+            "E. <Napoleon; exiled to; Saint Helena>",
+        ],
+        "answer": "B",
+        "cot_answer": "Identify the doubly-bordering country first. The answer is: B.",
+    },
+    {
+        "question": "What is the largest city of the country that borders both France "
+                    "and Portugal?",
+        "triples": ["<Spain; borders; France and Portugal>"],
+        "candidate_triples": [
+            "A. <Madrid; largest city of; Spain>",
+            "B. <Spain; currency; euro>",
+            "C. <Portugal; capital; Lisbon>",
+            "D. <Amazon; longest river of; South America>",
+            "E. <Pompeii; destroyed by eruption of; Mount Vesuvius>",
+        ],
+        "answer": "A",
+        "cot_answer": "Spain's largest city answers the question. The answer is: A.",
+    },
+    {
+        "question": "To which language family does the official language of Finland belong?",
+        "triples": [],
+        "candidate_triples": [
+            "A. <Finnish; language family; Uralic>",
+            "B. <Finland; official language; Finnish>",
+            "C. <Finland; capital; Helsinki>",
+            "D. <Spain; currency; euro>",
+            "E. <Moscow; lies on; Moskva River>",
+        ],
+        "answer": "B",
+        "cot_answer": "The language must be fixed before its family. The answer is: B.",
+    },
+    {
+        "question": "To which language family does the official language of Finland belong?",
+        "triples": ["<Finland; official language; Finnish>"],
+        "candidate_triples": [
+            "A. <Finland; capital; Helsinki>",
+            "B. <Finnish; language family; Uralic>",
+            "C. <Finnish; co-official with; Swedish>",
+            "D. <Tenochtitlan; founded in; 1325>",
+            "E. <Danube; empties into; Black Sea>",
+        ],
+        "answer": "B",
+        "cot_answer": "Finnish's language family completes the chain. The answer is: B.",
+    },
+    {
+        "question": "Who commanded the English fleet that defeated the Armada sent by "
+                    "Philip II?",
+        "triples": [],
+        "candidate_triples": [
+            "A. <English fleet against the Armada; commanded by; Lord Howard of Effingham>",
+            "B. <Spanish Armada; sent by; Philip II of Spain>",
+            "C. <Spanish Armada; defeated in; 1588>",
+            "D. <Finnish; co-official with; Swedish>",
+            "E. <Palace of Versailles; built under; Louis XIV>",
+        ],
+        "answer": "B",
+        "cot_answer": "Confirm which Armada Philip II sent before its opponents. "
+                      "The answer is: B.",
+    },
+    {
+        "question": "Who commanded the English fleet that defeated the Armada sent by "
+                    "Philip II?",
+        "triples": ["<Spanish Armada; sent by; Philip II of Spain>"],
+        "candidate_triples": [
+            "A. <Spanish Armada; defeated in; 1588>",
+            "B. <English fleet against the Armada; commanded by; Lord Howard of Effingham>",
+            "C. <Philip II of Spain; ruled from; 1556>",
+            "D. <Alexander Graham Bell; place of death; Beinn Bhreagh, Nova Scotia>",
+            "E. <Vienna; capital of; Austria>",
+        ],
+        "answer": "B",
+        "cot_answer": "The fleet's commander is the asked fact. The answer is: B.",
+    },
+    {
+        "question": "In which ocean is the island where Napoleon died in exile?",
+        "triples": [],
+        "candidate_triples": [
+            "A. <Saint Helena; located in; South Atlantic Ocean>",
+            "B. <Napoleon; died on; Saint Helena>",
+            "C. <Napoleon; first exiled to; Elba>",
+            "D. <Philip II of Spain; ruled from; 1556>",
+            "E. <Canada; currency; Canadian dollar>",
+        ],
+        "answer": "B",
+        "cot_answer": "The island of his death comes before its ocean — and it is not "
+                      "Elba. The answer is: B.",
+    },
+    {
+        "question": "In which ocean is the island where Napoleon died in exile?",
+        "triples": ["<Napoleon; died on; Saint Helena>"],
+        "candidate_triples": [
+            "A. <Saint Helena; located in; South Atlantic Ocean>",
+            "B. <Napoleon; first exiled to; Elba>",
+            "C. <Saint Helena; is a; British Overseas Territory>",
+            "D. <Black Forest; located in; Germany>",
+            "E. <Acamapichtli; first ruler of; Aztec Empire>",
+        ],
+        "answer": "A",
+        "cot_answer": "Saint Helena's ocean completes the chain. The answer is: A.",
+    },
+    {
+        "question": "Into which ocean does the river that flows through Lisbon empty?",
+        "triples": [],
+        "candidate_triples": [
+            "A. <Tagus; empties into; Atlantic Ocean>",
+            "B. <Lisbon; lies on; Tagus>",
+            "C. <Tagus; rises in; Spain>",
+            "D. <Saint Helena; is a; British Overseas Territory>",
+            "E. <1980 Summer Olympics; hosted by; Moscow>",
+        ],
+        "answer": "B",
+        "cot_answer": "Lisbon's river starts the chain. The answer is: B.",
+    },
+    {
+        "question": "Into which ocean does the river that flows through Lisbon empty?",
+        "triples": ["<Lisbon; lies on; Tagus>"],
+        "candidate_triples": [
+            "A. <Tagus; rises in; Spain>",
+            "B. <Tagus; empties into; Atlantic Ocean>",
+            "C. <Portugal; capital; Lisbon>",
+            "D. <Moscow; founded by; Yuri Dolgoruky>",
+            "E. <Peru; official language; Spanish>",
+        ],
+        "answer": "B",
+        "cot_answer": "The Tagus's mouth answers the question — not its source. "
+                      "The answer is: B.",
+    },
+    {
+        "question": "Who succeeded the king who built the Palace of Versailles?",
+        "triples": [],
+        "candidate_triples": [
+            "A. <Louis XIV; succeeded by; Louis XV>",
+            "B. <Palace of Versailles; built under; Louis XIV>",
+            "C. <Palace of Versailles; located near; Paris>",
+            "D. <Tagus; empties into; Atlantic Ocean>",
+            "E. <Aztec Empire; first ruler; Acamapichtli>",
+        ],
+        "answer": "B",
+        "cot_answer": "The building king must be identified first. The answer is: B.",
+    },
+    {
+        "question": "Who succeeded the king who built the Palace of Versailles?",
+        "triples": ["<Palace of Versailles; built under; Louis XIV>"],
+        "candidate_triples": [
+            "A. <Louis XIV; reigned for; 72 years>",
+            "B. <Louis XIV; succeeded by; Louis XV>",
+            "C. <Palace of Versailles; located near; Paris>",
+            "D. <Spain; borders; France and Portugal>",
+            "E. <Finland; official language; Finnish>",
+        ],
+        "answer": "B",
+        "cot_answer": "Louis XIV's successor is the asked fact. The answer is: B.",
+    },
+    {
+        "question": "In which Italian region is the volcano that destroyed Pompeii?",
+        "triples": [],
+        "candidate_triples": [
+            "A. <Mount Vesuvius; located in; Campania>",
+            "B. <Pompeii; destroyed by eruption of; Mount Vesuvius>",
+            "C. <Mount Vesuvius; last erupted in; 1944>",
+            "D. <Louis XIV; reigned for; 72 years>",
+            "E. <Ottawa; capital of; Canada>",
+        ],
+        "answer": "B",
+        "cot_answer": "The volcano must be identified before its region. "
+                      "The answer is: B.",
+    },
+    {
+        "question": "In which Italian region is the volcano that destroyed Pompeii?",
+        "triples": ["<Pompeii; destroyed by eruption of; Mount Vesuvius>"],
+        "candidate_triples": [
+            "A. <Mount Vesuvius; last erupted in; 1944>",
+            "B. <Mount Vesuvius; located in; Campania>",
+            "C. <Pompeii; buried in; AD 79>",
+            "D. <Madrid; largest city of; Spain>",
+            "E. <Amazon; longest river of; South America>",
+        ],
+        "answer": "B",
+        "cot_answer": "Vesuvius's region answers the question. The answer is: B.",
+    },
+    {
+        "question": "Who taught the philosopher who tutored Alexander the Great?",
+        "triples": [],
+        "candidate_triples": [
+            "A. <Aristotle; student of; Plato>",
+            "B. <Alexander the Great; tutored by; Aristotle>",
+            "C. <Plato; founded; the Academy>",
+            "D. <Pompeii; buried in; AD 79>",
+            "E. <Lisbon; lies on; Tagus>",
+        ],
+        "answer": "B",
+        "cot_answer": "The tutor must be identified before his own teacher. "
+                      "The answer is: B.",
+    },
+    {
+        "question": "Who taught the philosopher who tutored Alexander the Great?",
+        "triples": ["<Alexander the Great; tutored by; Aristotle>"],
+        "candidate_triples": [
+            "A. <Plato; founded; the Academy>",
+            "B. <Aristotle; student of; Plato>",
+            "C. <Aristotle; founded; the Lyceum>",
+            "D. <Napoleon; first exiled to; Elba>",
+            "E. <Machu Picchu; located in; Peru>",
+        ],
+        "answer": "B",
+        "cot_answer": "Aristotle's teacher answers the question. The answer is: B.",
+    },
+]

@@ -116,12 +116,15 @@ class TestStubGenerator:
                 calls.append(len(ids))
                 return tok.decode(ids, **kw)
 
+            def encode(self, text, **kw):
+                return tok.encode(text, **kw)
+
         seg = 4
         tracker = Generator._StopTracker(CountingTok(), ["zzz"], -1, 2)
         rng = np.random.RandomState(0)
         for _ in range(40):  # 160 tokens in 4-token segments
             tracker.update(rng.randint(5, 50, size=(2, seg)))
-        bound = seg + Generator._StopTracker.OVERLAP
+        bound = seg + tracker.overlap
         assert calls and max(calls) <= bound, (max(calls), bound)
 
     def test_stop_word_spanning_segment_boundary(self, tok):
@@ -139,6 +142,26 @@ class TestStubGenerator:
         assert tracker.update(np.asarray([ids[4:6]])) == [True]
         # sticky: later updates never decode again nor un-set done
         assert tracker.update(np.asarray([ids[0:2]])) == [True]
+
+    def test_long_stop_word_sizes_the_overlap(self, tok):
+        # a stop phrase tokenizing LONGER than the 32-token floor must still
+        # be caught when it spans a segment boundary — the tracker sizes its
+        # overlap from the tokenized stop words (ADVICE r3: a fixed overlap
+        # silently missed any stop word longer than it)
+        from kirag_tpu.generation.interface import Generator
+
+        phrase_words = [f"w{i}" for i in range(40)]  # 40 tokens, > 32 floor
+        phrase = " ".join(phrase_words)
+        ids = tok(phrase, add_special_tokens=False)["input_ids"]
+        assert len(ids) >= 40
+        tracker = Generator._StopTracker(tok, [phrase], -1, 1)
+        assert tracker.overlap >= 2 * len(ids)
+        # feed the phrase split across many small segments; only the final
+        # segment completes it
+        done = [False]
+        for start in range(0, len(ids), 4):
+            done = tracker.update(np.asarray([ids[start: start + 4]]))
+        assert done == [True]
 
     def test_stop_tracker_eos(self, tok):
         from kirag_tpu.generation.interface import Generator

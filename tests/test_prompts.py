@@ -60,7 +60,12 @@ class TestSelectionBanks:
     @pytest.mark.parametrize("name", DATASETS)
     def test_schema_and_size(self, name):
         bank = getattr(ks, f"{name}_TRIPLE_SELECTION_EXAMPLARS")
-        assert len(bank) >= 10, f"{name} selection bank below reference scale"
+        # reference scale: 20 multi-hop demonstration groups per dataset
+        # (`prompts/kg_selection/*_demonstrations.py`), each a set of per-hop
+        # records sharing one question
+        groups = {r["question"] for r in bank}
+        assert len(groups) >= 20, (
+            f"{name} selection bank below reference scale: {len(groups)} groups")
         letters = "ABCDE"
         for rec in bank:
             assert set(rec) == {"question", "triples", "candidate_triples",
