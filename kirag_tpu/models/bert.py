@@ -41,6 +41,10 @@ class BertConfig:
     type_vocab_size: int = 2
     layer_norm_eps: float = 1e-12
     pad_token_id: int = 0
+    # one [h, 3h] QKV matmul instead of three [h, h]: bit-identical per
+    # output column (each column's dot accumulates independently), larger
+    # MXU tiles, one kernel launch. Off switch kept for A/B timing.
+    fused_qkv: bool = True
 
     @property
     def head_dim(self) -> int:
@@ -136,12 +140,34 @@ def _dense(x: jnp.ndarray, p: Params) -> jnp.ndarray:
     return jnp.dot(x, p["kernel"].astype(x.dtype), preferred_element_type=x.dtype) + p["bias"].astype(x.dtype)
 
 
+def _qkv(x: jnp.ndarray, p: Params, config: BertConfig):
+    """Project to (q, k, v). ``config.fused_qkv`` concatenates the three
+    kernels into one [h, 3h] matmul — bit-identical to three separate
+    projections (every output column accumulates independently of its
+    neighbors), but one launch with 3x-wider MXU tiles. The per-call concat
+    copies 24 x 6 MB of weights at e5-large — noise against the ~10 TFLOP
+    forward. Under tensor parallelism all three kernels are column-sharded
+    over ``model`` identically, so the concat stays column-sharded."""
+    if not config.fused_qkv:
+        return (_dense(x, p["query"]), _dense(x, p["key"]),
+                _dense(x, p["value"]))
+    kern = jnp.concatenate(
+        [p["query"]["kernel"], p["key"]["kernel"], p["value"]["kernel"]],
+        axis=1).astype(x.dtype)
+    bias = jnp.concatenate(
+        [p["query"]["bias"], p["key"]["bias"], p["value"]["bias"]]
+    ).astype(x.dtype)
+    qkv = jnp.dot(x, kern, preferred_element_type=x.dtype) + bias
+    return tuple(jnp.split(qkv, 3, axis=-1))
+
+
 def _attention(x: jnp.ndarray, mask_bias: jnp.ndarray, p: Params, config: BertConfig) -> jnp.ndarray:
     b, t, h = x.shape
     nh, hd = config.num_attention_heads, config.head_dim
-    q = _dense(x, p["query"]).reshape(b, t, nh, hd)
-    k = _dense(x, p["key"]).reshape(b, t, nh, hd)
-    v = _dense(x, p["value"]).reshape(b, t, nh, hd)
+    q, k, v = _qkv(x, p, config)
+    q = q.reshape(b, t, nh, hd)
+    k = k.reshape(b, t, nh, hd)
+    v = v.reshape(b, t, nh, hd)
     # [b, nh, t, t] logits, f32 softmax accumulation
     logits = jnp.einsum("bqnd,bknd->bnqk", q, k, preferred_element_type=jnp.float32)
     logits = logits / math.sqrt(hd) + mask_bias
@@ -163,9 +189,10 @@ def _flash_attention(x: jnp.ndarray, attention_mask: jnp.ndarray, p: Params,
 
     b, t, h = x.shape
     nh, hd = config.num_attention_heads, config.head_dim
-    q = _dense(x, p["query"]).reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
-    k = _dense(x, p["key"]).reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
-    v = _dense(x, p["value"]).reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+    q, k, v = _qkv(x, p, config)
+    q = q.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
     seg = attention_mask.astype(jnp.int32)
     # largest block that divides t (BlockSizes requires it): t=640/768/896
     # pass the auto gate (t % 128 == 0) but are not divisible by 512

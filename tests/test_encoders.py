@@ -70,6 +70,24 @@ class TestBertParity:
         sel = mask.astype(bool)
         np.testing.assert_allclose(got[sel], ref[sel], rtol=2e-4, atol=2e-5)
 
+    def test_fused_qkv_matches_unfused(self, converted, rng):
+        """``fused_qkv`` folds the three QKV projections into one [h, 3h]
+        matmul (bigger MXU tiles, one launch). Every output column's dot
+        product accumulates independently of its neighbors, so the fused
+        path must match the three-matmul path to float tolerance."""
+        import dataclasses
+
+        config, params, _ = converted
+        ids, mask = make_batch(rng)
+        outs = {
+            flag: np.asarray(bert_encode(
+                params, jnp.asarray(ids), jnp.asarray(mask),
+                dataclasses.replace(config, fused_qkv=flag)))
+            for flag in (True, False)
+        }
+        np.testing.assert_allclose(outs[True], outs[False],
+                                   rtol=1e-6, atol=1e-6)
+
     def test_e5_pooling_matches_torch_recipe(self, converted, rng):
         """masked mean pool + L2 norm == the reference E5Encoder.forward math."""
         config, params, model = converted

@@ -333,6 +333,8 @@ class TestRemat:
                                              remat=remat)[0]
 
         g1 = jax.grad(lambda p: loss(p, False))(params)
-        g2 = jax.grad(lambda p: loss(p, True))(params)
-        diffs = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), g1, g2)
-        assert max(jax.tree.leaves(diffs)) < 1e-5
+        for mode in (True, "dots"):  # full remat and dots_saveable policy
+            g2 = jax.grad(lambda p: loss(p, mode))(params)
+            diffs = jax.tree.map(
+                lambda a, b: float(jnp.max(jnp.abs(a - b))), g1, g2)
+            assert max(jax.tree.leaves(diffs)) < 1e-5, mode
