@@ -39,11 +39,13 @@ N_QUERIES = int(os.environ.get("BENCH_QUERIES", 256))
 TOPK = int(os.environ.get("BENCH_TOPK", 100))
 SCAN_LENS = (int(os.environ.get("BENCH_ITERS_LO", 8)),
              int(os.environ.get("BENCH_ITERS_HI", 32)))
-# kernel knobs (defaults = the on-chip A/B winner: chunk 16384 measured
-# 8.77 ms vs 10.1-10.4 at 8192 once the index is pre-padded — trial7)
-CHUNK = int(os.environ.get("BENCH_CHUNK", 16384))
+# kernel knobs (defaults = the on-chip A/B winner per impl: stream@8192
+# measured 7.59 ms vs single@16384's 8.77 ms, probe_r4b — stream reads the
+# corpus once and keeps scores in VMEM, so smaller chunks win there while
+# single amortized its HBM score stream with bigger ones)
+IMPL = os.environ.get("BENCH_IMPL", "stream")
+CHUNK = int(os.environ.get("BENCH_CHUNK", 8192 if IMPL == "stream" else 16384))
 SELECT = os.environ.get("BENCH_SELECT", "hier")
-IMPL = os.environ.get("BENCH_IMPL", "single")
 
 BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "benchmarks", "cpu_baseline.json")

@@ -1,0 +1,138 @@
+"""Batched vs sequential KiRAG loop throughput on one chip (VERDICT r3 #4).
+
+The reference processes questions one at a time (`retrieve.py:72-84`); the
+KiRAG loop is decode-bound and decode at small batch is weight-bandwidth-
+bound, so coalescing N in-flight questions' decode/embed/search stages into
+shared device batches (`KiRAG.retrieve_batch`) is nearly-free throughput.
+
+This measures questions/hour for the SAME 8 questions two ways:
+  - sequential: the reference-shaped loop, one `retrieve()` per question,
+  - batched: one `retrieve_batch()` over all 8 in lockstep turns,
+and asserts the per-question outputs are IDENTICAL (chains + ranked docs).
+
+Stack = bench_kirag_e2e's (e5-large-geometry encoder + 100k device index +
+TinyLlama-1.1B-int8 decode; scripted parseable triples, real device decode
+timing — see that module's docstring for why outputs are scripted). Decode
+batch sizes: the sequential loop inherits the e2e bench's production sizes
+(kg 4 / constructor 2); the batched loop may legitimately fill wider decode
+batches because each call carries N questions' sequences — both run the
+same per-sequence token budgets.
+
+Both modes run once for compile warmup (reported) and once steady.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/bench_kirag_batched.py
+Appends JSON lines to benchmarks/bench_kirag_batched_results.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+SMOKE = os.environ.get("SMOKE", "0") == "1"
+N_QUESTIONS = int(os.environ.get("BENCH_NQ", 4 if SMOKE else 8))
+OUT = "benchmarks/bench_kirag_batched_results.jsonl"
+
+QUESTIONS = [
+    "what is the w17 of the w42 title",
+    "which w9 is the w133 of w60",
+    "who w25 the w71 of the w8 title",
+    "what w3 does the w150 w66 belong to",
+    "which w12 title has the w99 of w47",
+    "what is the w81 w5 of the w123 title",
+    "who is the w33 behind the w102 w58",
+    "which w7 w140 matches the w19 title",
+]
+
+
+def _reset(kirag):
+    """Fresh per-question state: per-doc KG decode cache and the pipeline's
+    cross-turn triple-embedding cache both persist across calls by design —
+    clear them so each mode pays identical per-question work."""
+    kirag.kg_generator.cached_kg_triples = {}
+    kirag._triple_emb_cache.clear()
+
+
+def _canon(result):
+    chains, scores = result
+    return (tuple(tuple(c) for c in chains),
+            tuple((k, round(float(v), 5)) for k, v in scores.items()))
+
+
+def main() -> None:
+    from benchmarks.bench_kirag_e2e import build_stack
+
+    kirag, timings = build_stack(fixed_padding=True)
+    questions = QUESTIONS[:N_QUESTIONS]
+
+    # widen the decode batch for BOTH modes (identical config, clean
+    # comparison): the sequential loop's calls carry <=topk sequences so it
+    # cannot fill this — the measured speedup is pure cross-question
+    # coalescing, not a batch-size knob
+    wide = 2 * N_QUESTIONS
+    kirag.kg_generator.batch_size = wide
+    kirag.kg_generator.generator.batch_size = wide
+    kirag.constructor.batch_size = wide
+
+    def run_sequential():
+        outs = []
+        for q in questions:
+            kirag.kg_generator.cached_kg_triples = {}
+            outs.append(kirag.retrieve(q))
+        return outs
+
+    def run_batched():
+        kirag.kg_generator.cached_kg_triples = {}
+        return kirag.retrieve_batch(questions)
+
+    records = []
+    for phase in ("compile", "steady"):
+        for mode, fn in (("sequential", run_sequential), ("batched", run_batched)):
+            _reset(kirag)
+            timings.clear()
+            t0 = time.perf_counter()
+            outs = fn()
+            wall = time.perf_counter() - t0
+            rec = {
+                "bench": "kirag_batched", "mode": mode, "phase": phase,
+                "n_questions": len(questions),
+                "wall_s": round(wall, 2),
+                "questions_per_hour": round(3600 * len(questions) / wall, 1),
+                "stage_total_s": {k: round(sum(v), 3)
+                                  for k, v in sorted(timings.items())},
+            }
+            records.append((mode, phase, outs, rec))
+            print(json.dumps(rec), flush=True)
+            with open(OUT, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+
+    # identical outputs, steady phase (compile runs share the same state
+    # machine so they match too, but steady is the claim)
+    by_key = {(m, p): o for m, p, o, _ in records}
+    seq = [_canon(r) for r in by_key[("sequential", "steady")]]
+    bat = [_canon(r) for r in by_key[("batched", "steady")]]
+    for i, (a, b) in enumerate(zip(seq, bat)):
+        assert a == b, f"question {i}: batched != sequential\n{a}\n{b}"
+    print("outputs identical across modes", flush=True)
+
+    seq_rec = next(r for m, p, _, r in records
+                   if (m, p) == ("sequential", "steady"))
+    bat_rec = next(r for m, p, _, r in records
+                   if (m, p) == ("batched", "steady"))
+    speedup = round(bat_rec["questions_per_hour"] /
+                    seq_rec["questions_per_hour"], 2)
+    summary = {"bench": "kirag_batched_summary",
+               "n_questions": len(questions),
+               "sequential_qph": seq_rec["questions_per_hour"],
+               "batched_qph": bat_rec["questions_per_hour"],
+               "speedup": speedup}
+    print(json.dumps(summary), flush=True)
+    with open(OUT, "a") as f:
+        f.write(json.dumps(summary) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -41,7 +41,14 @@ KG_MAX_NEW = 8 if SMOKE else 512
 CONSTRUCTOR_MAX_NEW = 8 if SMOKE else 128
 
 
-def build_stack():
+def build_stack(fixed_padding: bool = False):
+    """``fixed_padding=True`` pins every encoder batch to max_length padding
+    so a row's embedding is bit-identical regardless of batch composition
+    (bucketed padding varies sequence length with the batch, which perturbs
+    bf16 reductions at the last ulp — enough to flip near-ties between the
+    random-init mock's almost-collinear embeddings). The batched-vs-
+    sequential equivalence bench needs this determinism; throughput numbers
+    keep the production bucketed default."""
     import jax
     import jax.numpy as jnp
 
@@ -86,7 +93,10 @@ def build_stack():
     bparams = jax.tree.map(
         lambda x: jnp.asarray(x, jnp.bfloat16) if x.ndim >= 2 else x, bparams)
     encoder = Encoder(bparams, bcfg, "e5", compute_dtype=jnp.bfloat16)
-    coll = E5Collator(tokenizer=tok, query_maxlength=256, doc_maxlength=128)
+    pad_kw = ({"query_padding": "max_length", "doc_padding": "max_length"}
+              if fixed_padding else {})
+    coll = E5Collator(tokenizer=tok, query_maxlength=256, doc_maxlength=128,
+                      **pad_kw)
 
     path, _ = make_corpus_json(tmp, n=N_INDEX)  # unique docid per index row
     corpus = HotPotQA(title_prefix="title:", passage_prefix="text:",
@@ -141,15 +151,24 @@ def build_stack():
 
         @staticmethod
         def _script(stage, inputs, forced):
-            # salt by prompt hash so triples differ across questions/turns —
-            # otherwise the cross-question aligner cache absorbs every embed
+            # salt by prompt digest so triples differ across questions/turns
+            # (otherwise the cross-question aligner cache absorbs every
+            # embed) — and depend ONLY on the row's own prompt, never on the
+            # row's position in the decode batch: batched and sequential
+            # modes compose decode batches differently, and a position-
+            # dependent mock would fake a pipeline divergence (bit r4: the
+            # old `title : ` regex missed the real `Title: w17` format and
+            # fell back to the batch index)
+            import hashlib
+
             texts = []
             for i, inp in enumerate(inputs):
-                salt = abs(hash(inp)) % 97
+                digest = int(hashlib.md5(inp.encode()).hexdigest()[:8], 16)
+                salt = digest % 97
                 if stage == "kg_decode":
-                    m = re.findall(r"title : (\w+)", inp)
-                    t = m[-1] if m else f"w{i}"
-                    n = int(t[1:]) if t[1:].isdigit() else i
+                    m = re.findall(r"title\s*:\s*(\w+)", inp, flags=re.IGNORECASE)
+                    t = m[-1] if m else f"w{digest % 190}"
+                    n = int(t[1:]) if t[1:].isdigit() else digest % 190
                     texts.append(f"<{t}; is; w{(n + salt) % 190}>\n"
                                  f"<{t}; of; the w{n % 190}>")
                 else:

@@ -29,6 +29,9 @@ B_QUERIES = 4 if SMOKE else 32
 DOCS_PER_QUERY = 4          # 1 positive + 3 negatives (reference sampling)
 Q_LEN, D_LEN = (32, 16) if SMOKE else (256, 64)
 STEPS = 3 if SMOKE else 20
+# MFU A/B knobs (VERDICT r3 #8): remat mode and QKV fusion
+REMAT = os.environ.get("BENCH_REMAT", "full")      # full | dots | none
+FUSED_QKV = os.environ.get("BENCH_FUSED_QKV", "1") == "1"
 
 
 def main() -> None:
@@ -52,7 +55,8 @@ def main() -> None:
               if SMOKE else
               BertConfig(vocab_size=30522, hidden_size=1024,
                          num_hidden_layers=24, num_attention_heads=16,
-                         intermediate_size=4096, max_position_embeddings=512))
+                         intermediate_size=4096, max_position_embeddings=512,
+                         fused_qkv=FUSED_QKV))
     params = init_bert_params(jax.random.PRNGKey(0), config)
 
     tcfg = TrainerConfig(learning_rate=2e-5, weight_decay=0.01,
@@ -88,10 +92,13 @@ def main() -> None:
 
             def loss_fn(p):
                 # remat: e5-large fwd activations for b32xq256 + b128xd64
-                # OOM 16GB HBM without it (measured 17.8G)
+                # OOM 16GB HBM without it (measured 17.8G); "dots" saves
+                # matmul outputs and recomputes only elementwise pieces
+                remat = (False if SMOKE or REMAT == "none"
+                         else ("dots" if REMAT == "dots" else True))
                 return in_batch_contrastive_loss(
                     p, batch, config, "e5", 0.01, compute_dtype=jnp.bfloat16,
-                    remat=not SMOKE)
+                    remat=remat)
 
             (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
             updates, s = opt.update(grads, s, p)
@@ -116,6 +123,7 @@ def main() -> None:
     steps_per_sec = STEPS / dt
     rec = {"bench": "aligner_train_e5large",
            "b_queries": B_QUERIES, "docs_per_query": DOCS_PER_QUERY,
+           "remat": REMAT, "fused_qkv": FUSED_QKV,
            "q_len": Q_LEN, "d_len": D_LEN, "compute": "bf16",
            "steps": STEPS, "ms_per_step": round(dt / STEPS * 1e3, 1),
            "steps_per_sec": round(steps_per_sec, 3),
