@@ -72,6 +72,7 @@ def build_quantized_params(config, bits: int):
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--bits", type=int, nargs="*", default=[8, 4])
+    p.add_argument("--geometry", choices=["8b", "1.1b"], default="8b")
     p.add_argument("--batch", type=int, default=2)
     p.add_argument("--new", type=int, default=64)
     p.add_argument("--iters", type=int, default=3)
@@ -82,10 +83,16 @@ def main() -> None:
 
     from kirag_tpu.models.llm import LlamaConfig, greedy_decode
 
-    config = LlamaConfig(vocab_size=128256, hidden_size=4096,
-                         num_hidden_layers=32, num_attention_heads=32,
-                         num_key_value_heads=8, intermediate_size=14336,
-                         max_position_embeddings=8192, rope_theta=500000.0)
+    if args.geometry == "8b":
+        config = LlamaConfig(vocab_size=128256, hidden_size=4096,
+                             num_hidden_layers=32, num_attention_heads=32,
+                             num_key_value_heads=8, intermediate_size=14336,
+                             max_position_embeddings=8192, rope_theta=500000.0)
+    else:  # TinyLlama-1.1B geometry (the KiRAG loop's decode workhorse)
+        config = LlamaConfig(vocab_size=32000, hidden_size=2048,
+                             num_hidden_layers=22, num_attention_heads=32,
+                             num_key_value_heads=4, intermediate_size=5632,
+                             max_position_embeddings=2048, rope_theta=10000.0)
     rng = np.random.default_rng(1)
     ids = rng.integers(1, 100000, size=(args.batch, 64)).astype(np.int32)
     mask = np.ones_like(ids)
@@ -119,7 +126,7 @@ def main() -> None:
         assert final.shape[1] == args.new and (final >= 0).all() \
             and (final < config.vocab_size).all()
         toks = args.batch * args.new / dt
-        rec = {"bench": f"decode_8b_int{bits}", "batch": args.batch,
+        rec = {"bench": f"decode_{args.geometry}_int{bits}", "batch": args.batch,
                "new_tokens": args.new, "ms_per_step": round(dt * 1e3 / args.new, 2),
                "tok_per_s": round(toks, 1)}
         print(json.dumps(rec), flush=True)
