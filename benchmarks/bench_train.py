@@ -121,7 +121,32 @@ def main() -> None:
     assert np.isfinite(l_host).all() and l_host[-1] != l_host[0]
 
     steps_per_sec = STEPS / dt
+
+    # -- FLOP attribution (VERDICT r3 #8) ---------------------------------
+    # Matmul params per layer: QKV 3h^2 + attn-out h^2 + FFN 2hi; plus the
+    # pooler-free head (none here). Embedding lookups are gathers (no MXU
+    # FLOPs). Per-token matmul FLOPs: fwd 2P, bwd 4P; full remat re-runs
+    # the fwd (+2P), "dots" recomputes only elementwise (matmul outputs are
+    # saved) so ~0 extra MXU FLOPs. Attention score/value matmuls add
+    # fwd 4*t*h FLOPs/token/layer (2 matmuls of 2*t*h), x3 with backward,
+    # +fwd again under full remat.
+    h, L = config.hidden_size, config.num_hidden_layers
+    i = config.intermediate_size
+    p_mat = L * (4 * h * h + 2 * h * i)
+    q_tok = B_QUERIES * Q_LEN
+    d_tok = B_QUERIES * DOCS_PER_QUERY * D_LEN
+    fwd_mult, extra = (3, 1) if REMAT == "full" else (3, 0)
+    lin_flops = 2 * p_mat * (q_tok + d_tok) * (fwd_mult + extra)
+    attn_flops = sum(
+        4 * t * h * L * n_tok * (fwd_mult + extra)
+        for t, n_tok in ((Q_LEN, q_tok), (D_LEN, d_tok)))
+    flops = lin_flops + attn_flops
+    peak_tfs = 197.0  # v5e bf16 MXU peak
+    achieved_tfs = flops * steps_per_sec / 1e12
     rec = {"bench": "aligner_train_e5large",
+           "flops_per_step_tf": round(flops / 1e12, 3),
+           "achieved_tfs": round(achieved_tfs, 1),
+           "mfu": round(achieved_tfs / peak_tfs, 3),
            "b_queries": B_QUERIES, "docs_per_query": DOCS_PER_QUERY,
            "remat": REMAT, "fused_qkv": FUSED_QKV,
            "q_len": Q_LEN, "d_len": D_LEN, "compute": "bf16",
