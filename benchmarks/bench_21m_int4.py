@@ -95,8 +95,17 @@ def build_corpus_and_oracles():
         z = np.load(CACHE)
         oz = np.load(ORACLE_CACHE)
         print("cached corpus + oracles loaded", flush=True)
+        deq = oz["deq_top"] if "deq_top" in oz.files else None
         return (z["packed"], z["scales"], z["q_rows"], z["queries"],
-                oz["f32_top"], oz["deq_top"])
+                oz["f32_top"], deq)
+
+    if os.path.exists(CACHE):
+        # pass 1 cached from an earlier run: reload instead of re-quantizing
+        z = np.load(CACHE)
+        packed, scales = z["packed"], z["scales"]
+        q_rows, queries = z["q_rows"], z["queries"]
+        print("cached packed corpus loaded; building oracles", flush=True)
+        return _build_oracles(packed, scales, q_rows, queries)
 
     rng = np.random.default_rng(0)
     nb = D // 128
@@ -121,12 +130,23 @@ def build_corpus_and_oracles():
         print(f"  quantized rows {stop}/{N}", flush=True)
     np.savez(CACHE, packed=packed, scales=scales, q_rows=q_rows,
              queries=queries)
+    return _build_oracles(packed, scales, q_rows, queries)
 
-    # pass 2: both oracles, blockwise running top-128. The f32 stream is
-    # regenerated from the same seed (plants reapplied identically); the
-    # dequant view comes from `packed`.
+
+def _build_oracles(packed, scales, q_rows, queries):
+    """Pass 2: the f32 oracle (blockwise running top-128; the stream is
+    regenerated from the same seed, plants reapplied identically). The
+    dequantized-int4 oracle is opt-in (DEQ_ORACLE=1): at 21M rows its
+    host-side dequant + two ml_dtypes bf16 casts of the full corpus cost
+    ~10 min/1M-row block single-core — ~4 h of wall for a secondary
+    kernel-fidelity number that unit tests already pin at smaller scale
+    (tests/test_scale.py, tests/test_pallas_exact.py).
+    """
+    from kirag_tpu.ops.quantized import dequantize_rows_int4
     import ml_dtypes
 
+    with_deq = os.environ.get("DEQ_ORACLE", "0") == "1"
+    alphas = _plant_alphas()
     q_bf = queries.astype(ml_dtypes.bfloat16).astype(np.float32)
     rng = np.random.default_rng(0)
     f32_s = np.full((Q, 128), -np.inf, np.float32)
@@ -139,14 +159,18 @@ def build_corpus_and_oracles():
         block /= np.linalg.norm(block, axis=-1, keepdims=True)
         _plant_block(block, start, queries, q_rows, alphas)
         f32_s, f32_i = _merge_top(f32_s, f32_i, queries @ block.T, start)
-        deq = dequantize_rows_int4(packed[start:stop], scales[start:stop])
-        # mimic the kernel's bf16 input rounding on both sides of the dot
-        deq = deq.astype(ml_dtypes.bfloat16).astype(np.float32)
-        deq_s, deq_i = _merge_top(deq_s, deq_i, q_bf @ deq.T, start)
+        if with_deq:
+            deq = dequantize_rows_int4(packed[start:stop], scales[start:stop])
+            # mimic the kernel's bf16 input rounding on both sides of the dot
+            deq = deq.astype(ml_dtypes.bfloat16).astype(np.float32)
+            deq_s, deq_i = _merge_top(deq_s, deq_i, q_bf @ deq.T, start)
         print(f"  oracles rows {stop}/{N}", flush=True)
     f32_top = _finalize(f32_s, f32_i, K)
-    deq_top = _finalize(deq_s, deq_i, K)
-    np.savez(ORACLE_CACHE, f32_top=f32_top, deq_top=deq_top)
+    deq_top = _finalize(deq_s, deq_i, K) if with_deq else None
+    if with_deq:
+        np.savez(ORACLE_CACHE, f32_top=f32_top, deq_top=deq_top)
+    else:
+        np.savez(ORACLE_CACHE, f32_top=f32_top)
     return packed, scales, q_rows, queries, f32_top, deq_top
 
 
@@ -173,7 +197,8 @@ def main() -> None:
 
     f32_sets = [set(r.tolist()) for r in f32_top]
     f10_sets = [set(r.tolist()) for r in f32_top[:, :10]]
-    deq_sets = [set(r.tolist()) for r in deq_top]
+    deq_sets = (None if deq_top is None
+                else [set(r.tolist()) for r in deq_top])
 
     def validate(idx):
         idx = np.asarray(idx)
@@ -182,8 +207,9 @@ def main() -> None:
                               for a, b in zip(idx, f32_sets)]))
         r10 = float(np.mean([len(set(a[:10].tolist()) & b) / 10
                              for a, b in zip(idx, f10_sets)]))
-        d100 = float(np.mean([len(set(a.tolist()) & b) / K
-                              for a, b in zip(idx, deq_sets)]))
+        d100 = (None if deq_sets is None else
+                float(np.mean([len(set(a.tolist()) & b) / K
+                               for a, b in zip(idx, deq_sets)])))
         return self_hit, r10, r100, d100
 
     def timed(name, fn, iters=5):
@@ -213,7 +239,8 @@ def main() -> None:
                "qps": round(Q / dt, 1), "self_hit": self_hit,
                "recall_at10_vs_f32": round(r10, 4),
                "recall_at100_vs_f32": round(r100, 4),
-               "overlap_at100_vs_deq": round(d100, 4),
+               "overlap_at100_vs_deq": (None if d100 is None
+                                        else round(d100, 4)),
                "compile_s": round(compile_s, 1)}
         print(json.dumps(rec), flush=True)
         with open(OUT, "a") as f:
