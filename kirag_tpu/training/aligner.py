@@ -80,7 +80,7 @@ class AlignerTrainer(BaseTrainer):
                  train_loader, eval_loader=None, encoder_type: str = "e5",
                  temperature: float = 0.01, compute_dtype=jnp.float32,
                  num_candidates_per_query: Optional[int] = None, mesh=None,
-                 batch_sharding=None, remat: bool = False):
+                 batch_sharding=None, remat: bool = False, trackers=()):
         self.bert_config = bert_config
         self.encoder_type = encoder_type
         self.temperature = temperature
@@ -103,7 +103,8 @@ class AlignerTrainer(BaseTrainer):
                 lambda p, s: jax.device_put(np.asarray(p), NamedSharding(mesh, s)),
                 params, specs)
         super().__init__(params, config, train_loader, eval_loader,
-                         mesh=mesh, batch_sharding=batch_sharding)
+                         mesh=mesh, batch_sharding=batch_sharding,
+                         trackers=trackers)
         self._jit_scores = jax.jit(self._score_batch)
 
     @staticmethod

@@ -90,12 +90,17 @@ class BaseTrainer:
     """
 
     def __init__(self, params, config: TrainerConfig, train_loader, eval_loader=None,
-                 mesh=None, batch_sharding=None):
+                 mesh=None, batch_sharding=None, trackers=()):
         self.config = config
         self.train_loader = train_loader
         self.eval_loader = eval_loader
         self.mesh = mesh
         self.batch_sharding = batch_sharding
+        # pluggable experiment trackers (the wandb role in the reference,
+        # trainer/base_trainer.py:426-432 — this rig has zero egress, so the
+        # remote sink is injected): each callable receives every log record
+        # after the built-in history/file/stream sinks.
+        self.trackers = list(trackers)
 
         steps_per_epoch = max(1, len(train_loader))
         self.total_steps = config.max_steps or steps_per_epoch * config.num_train_epochs
@@ -232,6 +237,8 @@ class BaseTrainer:
         # persist per-step metrics so an operator can tail/plot a run
         with open(os.path.join(self.config.save_dir, "metrics.jsonl"), "a") as f:
             f.write(json.dumps({"time": time.time(), **record}) + "\n")
+        for tracker in self.trackers:
+            tracker(record)
 
     def train(self, resume: bool = False) -> Dict[str, Any]:
         if resume:

@@ -207,6 +207,20 @@ class TestAlignerTraining:
         # steps / 1s. The buggy global formula would report 6.0.
         assert rates[-1] == pytest.approx(2.0)
 
+    def test_tracker_hook_receives_records(self, tmp_path):
+        """Pluggable experiment trackers (the reference's wandb role,
+        base_trainer.py:426-432) get every log record after the built-in
+        history/file sinks."""
+        seen = []
+        trainer = _training_setup(tmp_path, log_steps=1)
+        trainer.trackers.append(seen.append)
+        for batch in trainer.train_loader:
+            trainer.training_step(batch)
+            trainer.log({"loss": 0.5})
+            break
+        assert seen and seen[0]["loss"] == 0.5 and "step" in seen[0]
+        assert seen == trainer.history[-len(seen):]
+
     def test_best_checkpoint_retention(self, tmp_path):
         trainer = _training_setup(tmp_path, keep_top_k=2)
         for metric in (0.1, 0.5, 0.3, 0.9):
