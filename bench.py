@@ -105,32 +105,47 @@ def tpu_qps() -> float:
         last_vals, hits = jax.lax.scan(body, init, None, length=iters)
         return last_vals, hits
 
-    windows = {}
-    for n in SCAN_LENS:
-        out = run(queries, corpus, rows_d, iters=n)  # warm/compile
-        jax.tree.map(np.asarray, out)
-        reps = []
-        for _ in range(int(os.environ.get("BENCH_REPS", 3))):
-            t0 = time.perf_counter()
-            vals, hits = run(queries, corpus, rows_d, iters=n)
-            hits_h = np.asarray(hits)                # fetched inside window
-            vals_h = np.asarray(vals)
-            reps.append(time.perf_counter() - t0)
-            # every timed iteration: queries sampled from the corpus must
-            # retrieve themselves top-1 (bf16 rounding can flip the odd
-            # near-tie, hence 0.99 not 1.0)
-            assert (hits_h > 0.99 * N_QUERIES).all(), hits_h
-            assert np.isfinite(vals_h).all()
-        # min over repetitions: the differencing assumes the dispatch+fetch
-        # constant is CONSTANT — a relay hiccup inside one window otherwise
-        # gets billed to the kernel (observed: +150ms on a 32-iter window)
-        windows[n] = min(reps)
+    def measure_windows():
+        windows = {}
+        for n in SCAN_LENS:
+            out = run(queries, corpus, rows_d, iters=n)  # warm/compile
+            jax.tree.map(np.asarray, out)
+            reps = []
+            for _ in range(int(os.environ.get("BENCH_REPS", 3))):
+                t0 = time.perf_counter()
+                vals, hits = run(queries, corpus, rows_d, iters=n)
+                hits_h = np.asarray(hits)            # fetched inside window
+                vals_h = np.asarray(vals)
+                reps.append(time.perf_counter() - t0)
+                # every timed iteration: queries sampled from the corpus must
+                # retrieve themselves top-1 (bf16 rounding can flip the odd
+                # near-tie, hence 0.99 not 1.0)
+                assert (hits_h > 0.99 * N_QUERIES).all(), hits_h
+                assert np.isfinite(vals_h).all()
+            # min over repetitions: the differencing assumes the dispatch+
+            # fetch constant is CONSTANT — a relay hiccup inside one window
+            # otherwise gets billed to the kernel (+150ms observed once)
+            windows[n] = min(reps)
+        return windows
+
     n0, n1 = SCAN_LENS
-    per_iter = (windows[n1] - windows[n0]) / (n1 - n0)
-    print(f"windows: {n0}-iter {windows[n0]*1e3:.1f}ms, "
-          f"{n1}-iter {windows[n1]*1e3:.1f}ms -> {per_iter*1e3:.2f}ms/iter",
-          file=sys.stderr)
-    return N_QUERIES / per_iter
+    for attempt in range(int(os.environ.get("BENCH_ATTEMPTS", 3))):
+        windows = measure_windows()
+        per_iter = (windows[n1] - windows[n0]) / (n1 - n0)
+        print(f"windows: {n0}-iter {windows[n0]*1e3:.1f}ms, "
+              f"{n1}-iter {windows[n1]*1e3:.1f}ms -> "
+              f"{per_iter*1e3:.2f}ms/iter", file=sys.stderr)
+        if per_iter > 0:
+            return N_QUERIES / per_iter
+        # A short window slower than a long one means another process held
+        # the (single-tenant) chip or the relay mid-window — the differencing
+        # assumption is void, not the kernel (observed r4: -37 ms/iter while
+        # a decode bench + a 21M index build shared the chip). Re-measure.
+        print("non-positive window diff (chip/relay contention?); retrying",
+              file=sys.stderr)
+    raise RuntimeError(
+        f"window differencing failed {attempt + 1} times: {windows}; "
+        "is another process using the chip?")
 
 
 def cpu_baseline_qps() -> float:

@@ -905,6 +905,7 @@ def exact_topk_mips(queries: jnp.ndarray, corpus: jnp.ndarray, k: int,
     # in-kernel [Q, G, LANES] reshape with an opaque trace error), then clamp
     chunk_size = max(LANES, (chunk_size // LANES) * LANES)
     chunk_size = min(chunk_size, -(-corpus.shape[0] // LANES) * LANES)
+    chunk_size = _clamp_chunk_for_corpus_window(chunk_size, corpus)
     n_q = queries.shape[0]
     # QUERY_BLOCK-multiple batches run blockwise under lax.map (see
     # _exact_topk_jit), so VMEM sizing follows the block, not the batch
@@ -933,6 +934,35 @@ def _clamp_chunk_for_queries(chunk_size: int, n_queries: int) -> int:
     if n_queries * chunk_size <= budget:
         return chunk_size
     target = max(LANES, budget // max(n_queries, 1))
+    best = LANES
+    d = LANES
+    while d <= target:
+        if chunk_size % d == 0:
+            best = d
+        d += LANES
+    return best
+
+
+def _clamp_chunk_for_corpus_window(chunk_size: int,
+                                   corpus: jnp.ndarray) -> int:
+    """Bound the kernel's corpus input window, not just the score block.
+
+    Every variant streams a ``[chunk, D]`` corpus window into VMEM with 2
+    buffering levels, so the window costs ``2 * chunk * D * itemsize`` bytes.
+    The Q=256 x chunk=16384 envelope was validated on bf16/int8 corpora
+    (window <= 64 MB); an f32 corpus at d=1024 doubles that to 128 MB and
+    OOMs VMEM outright (measured: 128.85M of 128.00M, bench_kirag_batched
+    r4 with a 114688 x 1024 f32 corpus). Keep the window within the 64 MB
+    validated budget by shrinking the chunk for wide dtypes.
+
+    Like :func:`_clamp_chunk_for_queries`, the result is a divisor of the
+    requested chunk so pre-padded corpus grids (TPUIndexer.to_device) still
+    divide evenly and never re-pad inside jit."""
+    budget = 64 * 1024 * 1024
+    row_bytes = 2 * corpus.shape[-1] * corpus.dtype.itemsize
+    if chunk_size * row_bytes <= budget:
+        return chunk_size
+    target = max(LANES, budget // row_bytes)
     best = LANES
     d = LANES
     while d <= target:
@@ -990,6 +1020,7 @@ def sharded_exact_topk_mips(queries: jnp.ndarray, corpus_sharded: jnp.ndarray,
     k_eff = min(k, shard_rows)
     local_chunk = max(LANES, (chunk_size // LANES) * LANES)
     local_chunk = min(local_chunk, -(-shard_rows // LANES) * LANES)
+    local_chunk = _clamp_chunk_for_corpus_window(local_chunk, corpus_sharded)
     local_chunk = _clamp_chunk_for_queries(local_chunk, queries.shape[0])
     _check_select(select)
     # per-shard budget: local corpus rows/bytes (same guards as unsharded)

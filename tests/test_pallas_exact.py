@@ -692,3 +692,24 @@ class TestClampChunkDivisor:
         # non-power-of-two chunk still gets a 128-multiple divisor
         got = _clamp_chunk_for_queries(3 * 4096, 512)
         assert (3 * 4096) % got == 0 and got % 128 == 0
+
+    def test_corpus_window_clamp_by_dtype(self):
+        """Regression (bench_kirag_batched r4): an f32 corpus at d=1024 with
+        chunk 16384 puts a 128 MB double-buffered window in VMEM and OOMs;
+        the chunk must shrink with the corpus dtype width."""
+        from kirag_tpu.ops.pallas_exact import _clamp_chunk_for_corpus_window
+
+        f32 = jnp.zeros((256, 1024), jnp.float32)
+        bf16 = jnp.zeros((256, 1024), jnp.bfloat16)
+        i8 = jnp.zeros((256, 1024), jnp.int8)
+        packed4 = jnp.zeros((256, 512), jnp.uint8)
+        # validated bf16/int8 envelope untouched
+        assert _clamp_chunk_for_corpus_window(16384, bf16) == 16384
+        assert _clamp_chunk_for_corpus_window(16384, i8) == 16384
+        assert _clamp_chunk_for_corpus_window(16384, packed4) == 16384
+        # f32 halves the chunk: 2*8192*1024*4 = 64 MB window
+        assert _clamp_chunk_for_corpus_window(16384, f32) == 8192
+        # result is always a LANES-multiple divisor of the request
+        got = _clamp_chunk_for_corpus_window(3 * 4096, f32)
+        assert (3 * 4096) % got == 0 and got % 128 == 0
+        assert 2 * got * 1024 * 4 <= 64 * 1024 * 1024
