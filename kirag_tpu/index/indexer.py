@@ -96,10 +96,12 @@ class TPUIndexer:
                              f"of 128, got {pallas_chunk_size}")
         self.pallas_chunk_size = pallas_chunk_size
         # selection stages inside the fused kernel: "hier" (two-level, the
-        # measured round-3 winner: 16.1 vs 17.7 ms/batch at 1M x 1024) or
-        # "flat" (plain lax.top_k)
-        if pallas_select not in ("hier", "flat"):
-            raise KeyError(f"pallas_select must be hier|flat, got {pallas_select}")
+        # measured round-3 winner: 16.1 vs 17.7 ms/batch at 1M x 1024),
+        # "flat" (plain lax.top_k), or "capdom" (stream impl only: selection
+        # in the capture domain with a residual exactness check)
+        if pallas_select not in ("hier", "flat", "capdom"):
+            raise KeyError("pallas_select must be hier|flat|capdom, "
+                           f"got {pallas_select}")
         self.pallas_select = pallas_select
 
         self._host_chunks: List[np.ndarray] = []

@@ -396,33 +396,48 @@ def _topb_ids(x, b: int):
     """In-kernel top-``b`` group ids of ``x`` [Q, G] by b masked-max
     extractions (ties to the lowest id — FAISS order). Callers clamp ``x``
     to finite values and keep b <= G, so the b extracted ids are distinct
-    (the -inf removal marker can never tie a remaining entry)."""
+    (the -inf removal marker can never tie a remaining entry).
+
+    Returns ``(sel [Q, b] int32, vals [Q, b] f32, resid [Q] f32)``: the
+    peeled ids, their values (descending; within ties, ascending id), and
+    the max over everything NOT peeled (-inf when b == G) — the per-chunk
+    residual the capture-domain selection tail checks exactness against."""
     qn, g = x.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (qn, g), 1)
     bcol = jax.lax.broadcasted_iota(jnp.int32, (qn, b), 1)
 
     def body(j, carry):
-        x, sel = carry
+        x, sel, vals = carry
         m = jnp.max(x, axis=-1, keepdims=True)
         s = jnp.min(jnp.where(x == m, col, g), axis=-1, keepdims=True)
         sel = jnp.where(bcol == j, s, sel)
+        vals = jnp.where(bcol == j, m, vals)
         x = jnp.where(col == s, -jnp.inf, x)
-        return x, sel
+        return x, sel, vals
 
-    _, sel = jax.lax.fori_loop(
-        0, b, body, (x, jnp.zeros((qn, b), dtype=jnp.int32)))
-    return sel
+    x_left, sel, vals = jax.lax.fori_loop(
+        0, b, body, (x, jnp.zeros((qn, b), dtype=jnp.int32),
+                     jnp.zeros((qn, b), dtype=jnp.float32)))
+    return sel, vals, jnp.max(x_left, axis=-1)
 
 
 def _stream_kernel(q_ref, c_ref, valid_ref, *rest, groups_per_chunk: int,
-                   chunk_size: int, b: int, quant: str):
+                   chunk_size: int, b: int, quant: str,
+                   capdom: bool = False):
     """Single-read scoring pass with in-VMEM candidate capture: scores never
     leave VMEM. Per chunk, emits (a) the per-group maxima (as the other
     impls) and (b) the full 128-lane scores of the chunk's top-``b`` groups
     plus their global group ids — the capture from which `_exact_body`
     assembles the final candidates when the membership check passes.
-    All writes are chunk-disjoint (grid is parallel)."""
+    With ``capdom`` it additionally emits the peeled capture maxima and the
+    non-captured residual max (both free by-products of `_topb_ids`), which
+    let the tail select in the C*B capture domain instead of over all group
+    maxima (see `_stream_body`). All writes are chunk-disjoint (grid is
+    parallel)."""
     rest = list(rest)
+    if capdom:
+        resid_ref = rest.pop()
+        capmax_ref = rest.pop()
     gid_ref = rest.pop()
     cand_ref = rest.pop()
     gmax_ref = rest.pop()
@@ -439,8 +454,13 @@ def _stream_kernel(q_ref, c_ref, valid_ref, *rest, groups_per_chunk: int,
         # adversarial input produced -inf scores
         gmax = jnp.maximum(gmax, FIN_MIN)
         gmax_ref[0] = gmax.T                             # [G, Q]
-        bsel = _topb_ids(gmax, b)                        # [Q, B]
+        bsel, bvals, resid = _topb_ids(gmax, b)          # [Q, B] x2, [Q]
         gid_ref[0] = bsel.T + i * groups_per_chunk       # [B, Q] global ids
+        if capdom:
+            capmax_ref[0] = bvals.T                      # [B, Q]
+            # -inf when b == G (nothing left uncaptured): the tail's strict
+            # comparison then always passes for this chunk
+            resid_ref[0] = resid[None, :]                # [1, Q]
         gc = jax.lax.broadcasted_iota(
             jnp.int32, (n_q, b, groups_per_chunk), 2)
         onehot = (bsel[:, :, None] == gc).astype(jnp.float32)
@@ -579,6 +599,10 @@ def _exact_body(queries, corpus, k_eff: int, chunk_size: int, n_valid,
     corpus read, scores materialized to HBM, candidates gathered from the
     score matrix; "twopass" = the round-2 kernel pair that re-scores the
     corpus to gather candidates (never materializes [Q, N] scores)."""
+    if select == "capdom" and impl != "stream":
+        # capture-domain selection only exists in the stream kernel; the
+        # other impls have no capture to select over
+        select = "hier"
     quant = _quant_kind(corpus, scales)
     n, d_c = corpus.shape
     n_q = queries.shape[0]
@@ -760,6 +784,7 @@ def _stream_body(queries, corpus, scales, quant, k_eff, chunk_size, n_valid,
     most force the fallback branch.
     """
     b = _capture_budget(k_eff, num_chunks, groups_per_chunk)
+    capdom = select == "capdom"
     out_specs = [
         pl.BlockSpec((1, groups_per_chunk, n_q), lambda i: (i, 0, 0)),
         pl.BlockSpec((1, n_q, b * LANES), lambda i: (i, 0, 0)),
@@ -771,9 +796,19 @@ def _stream_body(queries, corpus, scales, quant, k_eff, chunk_size, n_valid,
         jax.ShapeDtypeStruct((num_chunks, n_q, b * LANES), jnp.float32),
         jax.ShapeDtypeStruct((num_chunks, b, n_q), jnp.int32),
     ]
-    gmax_out, cand_out, gid_out = pl.pallas_call(
+    if capdom:
+        out_specs += [
+            pl.BlockSpec((1, b, n_q), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, n_q), lambda i: (i, 0, 0)),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((num_chunks, b, n_q), jnp.float32),
+            jax.ShapeDtypeStruct((num_chunks, 1, n_q), jnp.float32),
+        ]
+    outs = pl.pallas_call(
         functools.partial(_stream_kernel, groups_per_chunk=groups_per_chunk,
-                          chunk_size=chunk_size, b=b, quant=quant),
+                          chunk_size=chunk_size, b=b, quant=quant,
+                          capdom=capdom),
         grid=(num_chunks,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -781,6 +816,14 @@ def _stream_body(queries, corpus, scales, quant, k_eff, chunk_size, n_valid,
         interpret=interpret,
         **_compiler_params(interpret, parallel=True),
     )(*operands)
+    gmax_out, cand_out, gid_out = outs[:3]
+    cb = num_chunks * b
+    gids = gid_out.transpose(2, 0, 1).reshape(n_q, cb)
+
+    if capdom:
+        return _capdom_tail(outs, gids, queries, corpus, scales, quant,
+                            k_eff, chunk_size, n_valid, interpret, n_q,
+                            num_chunks, groups, groups_per_chunk, b)
 
     gmax = gmax_out.reshape(groups, n_q).T               # [Q, groups]
     if select == "hier":
@@ -793,9 +836,8 @@ def _stream_body(queries, corpus, scales, quant, k_eff, chunk_size, n_valid,
     gsel = jnp.take_along_axis(gsel, order, axis=-1)
     gvals = jnp.take_along_axis(gvals, order, axis=-1)
 
-    gids = gid_out.transpose(2, 0, 1).reshape(n_q, num_chunks * b)
     cand_all = cand_out.reshape(num_chunks, n_q, b, LANES).transpose(
-        1, 0, 2, 3).reshape(n_q, num_chunks * b, LANES)
+        1, 0, 2, 3).reshape(n_q, cb, LANES)
 
     # membership: every selected group must appear in its chunk's capture.
     # Group ids are globally unique and captured at most once, so `eq` has
@@ -828,6 +870,75 @@ def _stream_body(queries, corpus, scales, quant, k_eff, chunk_size, n_valid,
     else:
         cand = jax.lax.cond(ok, from_capture, from_corpus, None)
     return _final_select(cand, gsel, k_eff, n_valid, n_q, select, interpret)
+
+
+def _capdom_tail(outs, gids, queries, corpus, scales, quant, k_eff,
+                 chunk_size, n_valid, interpret, n_q, num_chunks, groups,
+                 groups_per_chunk, b):
+    """select="capdom": group selection in the CAPTURE domain.
+
+    Instead of a top-k over all ``groups`` maxima followed by a membership
+    check, select directly over the ``C*B`` peeled capture maxima (~1952 at
+    1M rows/chunk 8192 vs 7813 group maxima) and prove exactness with a
+    residual comparison: the kernel emits, per chunk, the max group score
+    it did NOT capture; if the kth selected capture max is STRICTLY above
+    every chunk's residual, then every group that could hold a true top-k
+    row is captured AND selected (any group with gmax >= kth selected value
+    beats all residuals, so it was captured; top-k over captures then keeps
+    it). Strictness matters: at equality the globally-correct selection
+    could prefer a lower-gid non-captured group (FAISS lower-row-id ties),
+    so ties fall back to the exact global path.
+
+    Tie order inside the capture domain matches the global rule by
+    construction: flattened [C, B] order is chunk-ascending (= gid
+    ascending) and `_topb_ids` peels equal values lowest-gid-first, so
+    `lax.top_k`'s stable lowest-index tie-break composes to lowest-gid.
+
+    The fallback branch re-selects over the full group maxima and gathers
+    by re-scoring the corpus — bitwise the ordinary exact path.
+    """
+    gmax_out, cand_out, gid_out, capmax_out, resid_out = outs
+    cb = num_chunks * b
+    capmax = capmax_out.transpose(2, 0, 1).reshape(n_q, cb)  # [Q, C*B]
+    cvals, cpos = jax.lax.top_k(capmax, k_eff)
+    gsel_cap = jnp.take_along_axis(gids, cpos, axis=-1)
+    resid = jnp.max(resid_out[:, 0, :], axis=0)              # [Q]
+    # resid <= FIN_MIN: nothing real was left uncaptured anywhere (fully
+    # captured chunks peel to -inf; fully-masked tails clamp to FIN_MIN and
+    # carry no valid rows), so the capture holds every real group
+    ok = jnp.all((cvals[:, -1] > resid) | (resid <= FIN_MIN))
+
+    # ascending group order => stable final top-k ties to the lower row id
+    order = jnp.argsort(gsel_cap, axis=-1)
+    gsel_cap = jnp.take_along_axis(gsel_cap, order, axis=-1)
+    cpos = jnp.take_along_axis(cpos, order, axis=-1)
+
+    def from_capture(_):
+        eq = cpos[:, :, None] == jax.lax.broadcasted_iota(
+            jnp.int32, (n_q, k_eff, cb), 2)
+        # contraction on the capture's NATIVE [C, Q, B, L] layout: XLA fuses
+        # the transpose into the dot (probe_r4d v_einsum)
+        eq4 = eq.reshape(n_q, k_eff, num_chunks, b).astype(jnp.float32)
+        cand4 = cand_out.reshape(num_chunks, n_q, b, LANES)
+        cand = jnp.einsum("qkcb,cqbl->qkl", eq4, cand4,
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+        return cand, gsel_cap
+
+    def from_global(_):
+        gmax = gmax_out.reshape(groups, n_q).T               # [Q, groups]
+        _, gsel = hier_topk(gmax, k_eff)
+        gsel = jnp.sort(gsel, axis=-1)
+        cand = _twopass_gather(queries, corpus, gsel, scales, quant,
+                               chunk_size, num_chunks, groups_per_chunk,
+                               k_eff, interpret)
+        return cand, gsel
+
+    if _STREAM_ASSERT_CAPTURE:
+        cand, gsel = from_capture(None)
+    else:
+        cand, gsel = jax.lax.cond(ok, from_capture, from_global, None)
+    return _final_select(cand, gsel, k_eff, n_valid, n_q, "hier", interpret)
 
 
 _STREAM_ASSERT_CAPTURE = False  # see _stream_body; tests only
@@ -995,8 +1106,9 @@ def _resolve_impl(impl: str, n_queries: int, rows: int, nbytes: int,
 
 
 def _check_select(select: str) -> None:
-    if select not in ("flat", "hier"):
-        raise ValueError(f"select must be 'flat' or 'hier', got {select!r}")
+    if select not in ("flat", "hier", "capdom"):
+        raise ValueError(
+            f"select must be 'flat', 'hier' or 'capdom', got {select!r}")
 
 
 def sharded_exact_topk_mips(queries: jnp.ndarray, corpus_sharded: jnp.ndarray,
