@@ -453,8 +453,10 @@ def probe_exact_pallas_c8192_q1024(iters):
     return _probe_exact_pallas(iters, 8192, q_rows=1024)
 
 
-def _probe_topk_lastdim(iters, w, use_kernel):
-    """Pallas iterative top-k vs lax.top_k at the exact-path widths."""
+def _probe_topk_lastdim(iters, w):
+    """lax.top_k at the exact-path widths. (The Pallas iterative variant
+    these probes measured 2.5-3.6x slower was removed in round 4 — the
+    recorded probe_r2b numbers are its tombstone.)"""
     import jax
 
     from kirag_tpu.ops.pallas_exact import topk_lastdim
@@ -463,7 +465,7 @@ def _probe_topk_lastdim(iters, w, use_kernel):
     x = jax.device_put(rng.standard_normal((Q, w), dtype=np.float32))
     x.block_until_ready()
     ref = np.argsort(-np.asarray(x), axis=-1, kind="stable")[:, :K]
-    fn = lambda: topk_lastdim(x, K, interpret=False, use_kernel=use_kernel)
+    fn = lambda: topk_lastdim(x, K, interpret=False)
 
     def val(o):
         assert np.array_equal(o[1], ref)
@@ -472,16 +474,8 @@ def _probe_topk_lastdim(iters, w, use_kernel):
     return {"ms_per_op": dt * 1e3}
 
 
-def probe_topk_pallas_7936(iters):
-    return _probe_topk_lastdim(iters, 7936, True)
-
-
-def probe_topk_pallas_12800(iters):
-    return _probe_topk_lastdim(iters, 12800, True)
-
-
 def probe_topk_lax_12800(iters):
-    return _probe_topk_lastdim(iters, 12800, False)
+    return _probe_topk_lastdim(iters, 12800)
 
 
 # ------------------------------------------------------- chained A/B probes

@@ -107,97 +107,29 @@ def _compiler_params(interpret: bool, parallel: bool = False):
     return {"compiler_params": pltpu.CompilerParams(**kw)}
 
 
-# --------------------------------------------------------------- pallas top-k
+# ----------------------------------------------------------------- flat top-k
 
 
-def _topk_kernel(x_ref, vals_ref, idx_ref, *, k: int, w: int):
-    """Iterative top-k by masked max extraction: k sequential (max, argmin-of-
-    ties, mask) VPU passes over a [QT, W] block. No sort. Ties resolve to the
-    lowest column, matching a stable flat scan (FAISS parity).
-
-    If fewer than k entries are finite, the tail repeats the lowest -inf
-    column — callers mask values to -inf only for slots they discard anyway.
-    """
-    x = x_ref[:]
-    qt = x.shape[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (qt, w), 1)
-    kcol = jax.lax.broadcasted_iota(jnp.int32, (qt, k), 1)
-
-    def body(j, carry):
-        x, vals, idx = carry
-        m = jnp.max(x, axis=-1, keepdims=True)                    # [QT, 1]
-        sel = jnp.min(jnp.where(x == m, col, w), axis=-1,
-                      keepdims=True)                              # [QT, 1]
-        vals = jnp.where(kcol == j, m, vals)
-        idx = jnp.where(kcol == j, sel, idx)
-        x = jnp.where(col == sel, -jnp.inf, x)
-        return x, vals, idx
-
-    init = (x,
-            jnp.full((qt, k), -jnp.inf, dtype=jnp.float32),
-            jnp.zeros((qt, k), dtype=jnp.int32))
-    _, vals, idx = jax.lax.fori_loop(0, k, body, init)
-    vals_ref[:] = vals
-    idx_ref[:] = idx
-
-
-@functools.partial(jax.jit, static_argnames=("k", "interpret", "use_kernel"))
-def topk_lastdim(x: jnp.ndarray, k: int, interpret: Optional[bool] = None,
-                 use_kernel: Optional[bool] = None
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def topk_lastdim(x: jnp.ndarray, k: int, interpret: Optional[bool] = None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k over the last dim of ``x`` [Q, W] -> (vals f32, idx int32),
-    descending, score ties broken toward the lower index.
+    descending, score ties broken toward the lower index (lax.top_k is
+    stable, which gives FAISS tie order).
 
-    Default = `lax.top_k` (stable ordering gives the same tie-breaking).
-    ``use_kernel=True`` selects the iterative Pallas kernel (k masked-max
-    extractions). MEASURED on v5e (benchmarks/probe_r2b, W=7936/12800,
-    Q=256, k=100): the kernel is 2.5-3.6x SLOWER than lax.top_k — the k
-    sequential VPU reductions are latency-bound — so it stays opt-in; the
-    kernel remains useful as a fusion building block and for future
-    lower-latency selection work.
+    History: an iterative Pallas kernel (k masked-max extractions) lived
+    here through round 3, kept as a "future building block". Measured 2.5-
+    3.6x SLOWER than lax.top_k on v5e (benchmarks/probe_r2b, W=7936/12800,
+    Q=256, k=100) -- k sequential VPU reductions are latency-bound -- and
+    the building-block role materialized differently: the stream exact
+    kernel's in-VMEM capture uses its own peel loop (`_topb_ids`), so the
+    standalone kernel was dead opt-in code and was removed (VERDICT r3).
+    ``interpret`` is accepted for call-site compatibility; selection is
+    plain XLA either way.
     """
-    interpret = _resolve_interpret(interpret)
+    del interpret
     q, w = x.shape
-    if use_kernel is None:
-        use_kernel = False
-    if not use_kernel or k >= w or q == 0:
-        # small widths: the sort is fine; interpret: fori_loop of k steps is
-        # pathologically slow under the interpreter but lax.top_k is the
-        # same contract
-        return jax.lax.top_k(x.astype(jnp.float32), min(k, w))
-
-    w_pad = -(-w // LANES) * LANES
-    q_pad = -(-q // 8) * 8
-    x = x.astype(jnp.float32)
-    if w_pad != w or q_pad != q:
-        x = jnp.pad(x, ((0, q_pad - q), (0, w_pad - w)),
-                    constant_values=-jnp.inf)
-    # bound the block to ~8MB of VMEM
-    qt = q_pad
-    while qt > 8 and qt * w_pad * 4 > 8 * 1024 * 1024:
-        qt //= 2
-    qt = max(8, -(-qt // 8) * 8)  # keep full f32 sublanes
-    q_pad2 = -(-q_pad // qt) * qt
-    if q_pad2 != q_pad:
-        x = jnp.pad(x, ((0, q_pad2 - q_pad), (0, 0)), constant_values=-jnp.inf)
-
-    kernel = functools.partial(_topk_kernel, k=k, w=w_pad)
-    vals, idx = pl.pallas_call(
-        kernel,
-        grid=(q_pad2 // qt,),
-        in_specs=[pl.BlockSpec((qt, w_pad), lambda i: (i, 0))],
-        out_specs=[
-            pl.BlockSpec((qt, k), lambda i: (i, 0)),
-            pl.BlockSpec((qt, k), lambda i: (i, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((q_pad2, k), jnp.float32),
-            jax.ShapeDtypeStruct((q_pad2, k), jnp.int32),
-        ],
-        interpret=interpret,
-        **_compiler_params(interpret),
-    )(x)
-    return vals[:q], idx[:q]
+    return jax.lax.top_k(x.astype(jnp.float32), min(k, w))
 
 
 def hier_topk(x: jnp.ndarray, k: int, block: int = 16

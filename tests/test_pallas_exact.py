@@ -23,29 +23,24 @@ def numpy_topk(scores: np.ndarray, k: int):
 
 class TestTopkLastdim:
     @pytest.mark.parametrize("q,w,k", [(3, 256, 5), (8, 512, 17), (5, 384, 1)])
-    def test_kernel_matches_oracle(self, rng, q, w, k):
+    def test_matches_oracle_param(self, rng, q, w, k):
         x = rng.randn(q, w).astype(np.float32)
-        vals, idx = topk_lastdim(jnp.asarray(x), k, interpret=True,
-                                 use_kernel=True)
+        vals, idx = topk_lastdim(jnp.asarray(x), k, interpret=True)
         ovals, oidx = numpy_topk(x, k)
         np.testing.assert_allclose(np.asarray(vals), ovals, rtol=1e-6)
         np.testing.assert_array_equal(np.asarray(idx), oidx)
 
-    def test_kernel_ties_prefer_lower_index(self):
+    def test_ties_prefer_lower_index(self):
         x = np.zeros((2, 256), dtype=np.float32)
         x[0, [7, 3, 200]] = 1.0  # three-way tie
         x[1, :] = 2.0            # full-row tie
-        vals, idx = topk_lastdim(jnp.asarray(x), 3, interpret=True,
-                                 use_kernel=True)
+        vals, idx = topk_lastdim(jnp.asarray(x), 3, interpret=True)
         np.testing.assert_array_equal(np.asarray(idx)[0], [3, 7, 200])
         np.testing.assert_array_equal(np.asarray(idx)[1], [0, 1, 2])
 
-    def test_kernel_ragged_width_and_rows(self, rng):
-        # width not a lane multiple and rows not a sublane multiple: padding
-        # must never leak -inf into real slots
+    def test_ragged_width_and_rows(self, rng):
         x = rng.randn(5, 300).astype(np.float32)
-        vals, idx = topk_lastdim(jnp.asarray(x), 7, interpret=True,
-                                 use_kernel=True)
+        vals, idx = topk_lastdim(jnp.asarray(x), 7, interpret=True)
         ovals, oidx = numpy_topk(x, 7)
         np.testing.assert_allclose(np.asarray(vals), ovals, rtol=1e-6)
         np.testing.assert_array_equal(np.asarray(idx), oidx)
