@@ -95,15 +95,16 @@ def _resolve_interpret(interpret: Optional[bool]) -> bool:
     return jax.default_backend() not in ("tpu",)
 
 
-def _compiler_params(interpret: bool, parallel: bool = False):
-    """``parallel=True`` marks the (single) grid dim as dependency-free —
-    legal for the score/gmax kernels (every step writes disjoint output
+def _compiler_params(interpret: bool, parallel: bool = False,
+                     grid_dims: int = 1):
+    """``parallel=True`` marks all ``grid_dims`` grid dims as dependency-free
+    — legal for the score/gmax kernels (every step writes disjoint output
     blocks), NOT for the accumulating two-pass gather kernel."""
     if pltpu is None or interpret:
         return {}
     kw = {"vmem_limit_bytes": 128 * 1024 * 1024}
     if parallel:
-        kw["dimension_semantics"] = ("parallel",)
+        kw["dimension_semantics"] = ("parallel",) * grid_dims
     return {"compiler_params": pltpu.CompilerParams(**kw)}
 
 
@@ -225,19 +226,25 @@ def _chunk_scores(q, c, s, quant: str):
 
 
 def _scale_operand(scales, quant: str, num_chunks: int, groups_per_chunk: int,
-                   chunk_size: int):
+                   chunk_size: int, chunk_axis: int = 0):
     """Reshape flat scales into the kernel's per-chunk block layout + spec.
     Both layouts keep the last two block dims (8,128)-divisible (the Mosaic
-    window rule that interpret mode does not check)."""
+    window rule that interpret mode does not check). ``chunk_axis`` names
+    which grid coordinate sweeps chunks (the stream grid is
+    (chunks, qblocks); the tiled gather grid is (qblocks, chunks))."""
     if quant == "int8":
-        spec = pl.BlockSpec((1, groups_per_chunk, LANES), lambda i: (i, 0, 0))
+        shape = (1, groups_per_chunk, LANES)
         op = scales.astype(jnp.float32).reshape(
             num_chunks, groups_per_chunk, LANES)
     else:  # int4: [N, NB] -> [chunks, NB, CHUNK]
         nb = scales.shape[1]
-        spec = pl.BlockSpec((1, nb, chunk_size), lambda i: (i, 0, 0))
+        shape = (1, nb, chunk_size)
         op = scales.astype(jnp.float32).reshape(
             num_chunks, chunk_size, nb).transpose(0, 2, 1)
+    if chunk_axis == 0:
+        spec = pl.BlockSpec(shape, lambda i, *js: (i, 0, 0))
+    else:
+        spec = pl.BlockSpec(shape, lambda j, i: (i, 0, 0))
     return op, spec
 
 
@@ -469,7 +476,9 @@ def _gather_kernel(q_ref, c_ref, gsel_ref, *rest, groups_per_chunk: int,
     else:
         s_ref = None
         (cand_ref,) = rest
-    i = pl.program_id(0)
+    # grid = (qblocks, chunks): the chunk sweep is the MINOR axis so each
+    # query block's output window accumulates across consecutive steps
+    i = pl.program_id(1)
     scores = _chunk_scores(q_ref[:], c_ref[:],
                            s_ref[0] if s_ref is not None else None, quant)
     n_q = scores.shape[0]
@@ -656,26 +665,38 @@ def _twopass_gather(queries, corpus, gsel, scales, quant, chunk_size,
                     num_chunks, groups_per_chunk, k_eff, interpret):
     """Candidate extraction by re-reading + re-scoring the corpus
     (:func:`_gather_kernel`). Used by impl="twopass" and as the lax.cond
-    fallback branch of impl="stream"."""
+    fallback branch of impl="stream".
+
+    Query batches beyond QUERY_BLOCK are tiled on the grid's MAJOR axis
+    (grid = (qblocks, chunks)): each query block's [qb, k, LANES] output
+    window stays VMEM-resident while the chunk axis sweeps and accumulates
+    (the same consecutive-revisit pattern as the untiled kernel), and the
+    per-step VMEM footprint stays within the validated [qb, chunk]
+    envelope. The corpus is re-read once per query block here — this is
+    the rare fallback/second pass, where correctness beats traffic."""
     n_q = queries.shape[0]
+    qb = (QUERY_BLOCK if n_q > QUERY_BLOCK and n_q % QUERY_BLOCK == 0
+          else n_q)
+    num_qb = n_q // qb
     gather_specs = [
-        pl.BlockSpec((n_q, queries.shape[1]), lambda i: (0, 0)),
-        pl.BlockSpec((chunk_size, corpus.shape[1]), lambda i: (i, 0)),
-        pl.BlockSpec((n_q, k_eff), lambda i: (0, 0)),
+        pl.BlockSpec((qb, queries.shape[1]), lambda j, i: (j, 0)),
+        pl.BlockSpec((chunk_size, corpus.shape[1]), lambda j, i: (i, 0)),
+        pl.BlockSpec((qb, k_eff), lambda j, i: (j, 0)),
     ]
     gather_ops = [queries, corpus, gsel]
     if scales is not None:
         s_op, s_spec = _scale_operand(scales, quant, num_chunks,
-                                      groups_per_chunk, chunk_size)
+                                      groups_per_chunk, chunk_size,
+                                      chunk_axis=1)
         gather_specs.append(s_spec)
         gather_ops.append(s_op)
     return pl.pallas_call(
         functools.partial(_gather_kernel,
                           groups_per_chunk=groups_per_chunk, k=k_eff,
                           quant=quant),
-        grid=(num_chunks,),
+        grid=(num_qb, num_chunks),
         in_specs=gather_specs,
-        out_specs=pl.BlockSpec((n_q, k_eff, LANES), lambda i: (0, 0, 0)),
+        out_specs=pl.BlockSpec((qb, k_eff, LANES), lambda j, i: (j, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n_q, k_eff, LANES), jnp.float32),
         interpret=interpret,
         **_compiler_params(interpret),
@@ -717,10 +738,33 @@ def _stream_body(queries, corpus, scales, quant, k_eff, chunk_size, n_valid,
     """
     b = _capture_budget(k_eff, num_chunks, groups_per_chunk)
     capdom = select == "capdom"
+    # In-kernel QUERY TILING (round 4): grid = (chunks, qblocks) with the
+    # qblock axis MINOR, and the corpus window's index map ignoring it — so
+    # Mosaic keeps each corpus chunk resident in VMEM while every query
+    # block scores against it. A 1024-query batch reads the corpus ONCE
+    # (the former lax.map blocking re-read all 2 GB per 256-query block:
+    # 4x the HBM traffic of the tiled grid at 1M x 1024 bf16).
+    qb = (QUERY_BLOCK if n_q > QUERY_BLOCK and n_q % QUERY_BLOCK == 0
+          else n_q)
+    num_qb = n_q // qb
+    d_q = queries.shape[1]
+    del in_specs  # rebuilt below with 2-D index maps (qb-blocked queries)
+    in_specs = [
+        pl.BlockSpec((qb, d_q), lambda i, j: (j, 0)),
+        pl.BlockSpec((chunk_size, corpus.shape[1]), lambda i, j: (i, 0)),
+        (pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                      memory_space=pltpu.SMEM) if pltpu is not None
+         else pl.BlockSpec((1, 1), lambda i, j: (0, 0))),
+    ]
+    if scales is not None:
+        s_op, s_spec = _scale_operand(scales, quant, num_chunks,
+                                      groups_per_chunk, chunk_size)
+        in_specs.append(s_spec)
+        operands = operands[:3] + [s_op]
     out_specs = [
-        pl.BlockSpec((1, groups_per_chunk, n_q), lambda i: (i, 0, 0)),
-        pl.BlockSpec((1, n_q, b * LANES), lambda i: (i, 0, 0)),
-        pl.BlockSpec((1, b, n_q), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, groups_per_chunk, qb), lambda i, j: (i, 0, j)),
+        pl.BlockSpec((1, qb, b * LANES), lambda i, j: (i, j, 0)),
+        pl.BlockSpec((1, b, qb), lambda i, j: (i, 0, j)),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((num_chunks, groups_per_chunk, n_q),
@@ -730,8 +774,8 @@ def _stream_body(queries, corpus, scales, quant, k_eff, chunk_size, n_valid,
     ]
     if capdom:
         out_specs += [
-            pl.BlockSpec((1, b, n_q), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, n_q), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, b, qb), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, 1, qb), lambda i, j: (i, 0, j)),
         ]
         out_shape += [
             jax.ShapeDtypeStruct((num_chunks, b, n_q), jnp.float32),
@@ -741,12 +785,12 @@ def _stream_body(queries, corpus, scales, quant, k_eff, chunk_size, n_valid,
         functools.partial(_stream_kernel, groups_per_chunk=groups_per_chunk,
                           chunk_size=chunk_size, b=b, quant=quant,
                           capdom=capdom),
-        grid=(num_chunks,),
+        grid=(num_chunks, num_qb),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-        **_compiler_params(interpret, parallel=True),
+        **_compiler_params(interpret, parallel=True, grid_dims=2),
     )(*operands)
     gmax_out, cand_out, gid_out = outs[:3]
     cb = num_chunks * b
@@ -877,6 +921,11 @@ _STREAM_ASSERT_CAPTURE = False  # see _stream_body; tests only
 
 
 QUERY_BLOCK = 256  # the validated VMEM envelope's query-batch unit
+# stream impl: max query blocks tiled on one kernel grid (one corpus read
+# covers QUERY_BLOCK * STREAM_QTILE queries; beyond that, lax.map over
+# super-tiles bounds the [C, Q, B*128] capture buffer and the tail's
+# [Q, k, C*B] one-hot working set)
+STREAM_QTILE = 4
 
 
 @functools.partial(jax.jit,
@@ -889,17 +938,33 @@ def _exact_topk_jit(queries, corpus, k, chunk_size, valid_rows, interpret,
     k_eff = min(k, n)
     n_q = queries.shape[0]
     if n_q > QUERY_BLOCK and n_q % QUERY_BLOCK == 0:
-        # large query batches: queries are independent — run the fast
-        # QUERY_BLOCK-sized program per block under lax.map (one compile,
-        # one dispatch, per-block VMEM footprint) instead of degrading the
-        # whole batch to a smaller chunk / the twopass fallback
-        blocks = queries.reshape(n_q // QUERY_BLOCK, QUERY_BLOCK, -1)
-        vals, idx = jax.lax.map(
-            lambda q: _exact_body(q, corpus, k_eff, chunk_size, n_valid,
-                                  interpret, scales, select=select,
-                                  impl=impl), blocks)
-        vals = vals.reshape(n_q, k_eff)
-        idx = idx.reshape(n_q, k_eff)
+        # large query batches: queries are independent. The stream kernel
+        # tiles query blocks on its own grid's minor axis (one corpus read
+        # for up to STREAM_QTILE query blocks — see _stream_body); for it,
+        # lax.map only over SUPER-tiles beyond that. The other impls run
+        # the fast QUERY_BLOCK-sized program per block under lax.map (one
+        # compile, one dispatch, per-block VMEM footprint) instead of
+        # degrading the whole batch to a smaller chunk / the twopass
+        # fallback.
+        n_blocks = n_q // QUERY_BLOCK
+        if impl == "stream":
+            group = next(g for g in range(min(STREAM_QTILE, n_blocks), 0, -1)
+                         if n_blocks % g == 0)
+        else:
+            group = 1
+        tile = QUERY_BLOCK * group
+        if tile == n_q:
+            vals, idx = _exact_body(queries, corpus, k_eff, chunk_size,
+                                    n_valid, interpret, scales,
+                                    select=select, impl=impl)
+        else:
+            blocks = queries.reshape(n_q // tile, tile, -1)
+            vals, idx = jax.lax.map(
+                lambda q: _exact_body(q, corpus, k_eff, chunk_size, n_valid,
+                                      interpret, scales, select=select,
+                                      impl=impl), blocks)
+            vals = vals.reshape(n_q, k_eff)
+            idx = idx.reshape(n_q, k_eff)
     else:
         vals, idx = _exact_body(queries, corpus, k_eff, chunk_size, n_valid,
                                 interpret, scales, select=select, impl=impl)

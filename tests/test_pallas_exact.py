@@ -694,6 +694,89 @@ class TestCapdomSelect:
         _, oidx = numpy_topk(q @ c.T, 9)
         np.testing.assert_array_equal(np.asarray(idx), oidx)
 
+    def test_tiled_query_blocks_match_oracle(self, rng):
+        # Q > QUERY_BLOCK on the stream impl: query blocks tile the kernel
+        # grid's minor axis (ONE corpus read), capdom tail over the full
+        # batch — must be oracle-identical incl. cross-block queries
+        from kirag_tpu.ops import pallas_exact as pe
+
+        old = pe.QUERY_BLOCK
+        pe.QUERY_BLOCK = 4
+        try:
+            q = rng.randn(12, 16).astype(np.float32)
+            c = rng.randn(2048, 16).astype(np.float32)
+            c[100] = c[900] = q[5] * 3  # tie seen by one query block
+            for sel in ("capdom", "hier"):
+                vals, idx = exact_topk_mips(jnp.asarray(q), jnp.asarray(c), 7,
+                                            chunk_size=512, interpret=True,
+                                            impl="stream", select=sel)
+                ovals, oidx = numpy_topk(q @ c.T, 7)
+                np.testing.assert_allclose(np.asarray(vals), ovals,
+                                           rtol=1e-4, atol=1e-4)
+                np.testing.assert_array_equal(np.asarray(idx), oidx)
+        finally:
+            pe.QUERY_BLOCK = old
+
+    def test_tiled_int8_scales(self, rng):
+        # scale operands must follow the CHUNK grid coordinate, not the
+        # qblock one, in both the stream kernel and the fallback gather
+        from kirag_tpu.ops import pallas_exact as pe
+        from kirag_tpu.ops.quantized import quantize_rows_int8
+
+        old = pe.QUERY_BLOCK
+        pe.QUERY_BLOCK = 4
+        try:
+            c = rng.randn(1024, 32).astype(np.float32)
+            c /= np.linalg.norm(c, axis=-1, keepdims=True)
+            q = c[:8]
+            ci8, scales = quantize_rows_int8(c)
+            _, idx = exact_topk_mips(
+                jnp.asarray(q, dtype=jnp.bfloat16), jnp.asarray(ci8), 5,
+                chunk_size=256, interpret=True, scales=jnp.asarray(scales),
+                impl="stream", select="capdom")
+            np.testing.assert_array_equal(np.asarray(idx)[:, 0], np.arange(8))
+        finally:
+            pe.QUERY_BLOCK = old
+
+    def test_tiled_adversarial_falls_back_exactly(self, rng):
+        # tiled batch + capture overflow: the QUERY-TILED twopass gather
+        # fallback must still assemble oracle-exact candidates
+        from kirag_tpu.ops import pallas_exact as pe
+
+        old = pe.QUERY_BLOCK
+        pe.QUERY_BLOCK = 4
+        try:
+            c = (rng.randn(4096, 16) * 0.01).astype(np.float32)
+            c[100:200] = (rng.randn(100, 16) + 5.0).astype(np.float32)
+            q = np.ones((8, 16), dtype=np.float32) + \
+                rng.randn(8, 16).astype(np.float32) * 0.01
+            for sel in ("capdom", "hier"):
+                vals, idx = exact_topk_mips(jnp.asarray(q), jnp.asarray(c),
+                                            30, chunk_size=512,
+                                            interpret=True, impl="stream",
+                                            select=sel)
+                ovals, oidx = numpy_topk(q @ c.T, 30)
+                np.testing.assert_array_equal(np.asarray(idx), oidx)
+                np.testing.assert_allclose(np.asarray(vals), ovals,
+                                           rtol=1e-4, atol=1e-4)
+        finally:
+            pe.QUERY_BLOCK = old
+
+    def test_supertile_grouping(self):
+        # dispatch: 12 blocks of QUERY_BLOCK group into 4-block supertiles;
+        # 6 into 3; 5 into 1 (indivisible by 2..4)
+        from kirag_tpu.ops.pallas_exact import STREAM_QTILE
+
+        def group_of(n_blocks):
+            return next(g for g in range(min(STREAM_QTILE, n_blocks), 0, -1)
+                        if n_blocks % g == 0)
+
+        assert group_of(12) == 4
+        assert group_of(6) == 3
+        assert group_of(5) == 1
+        assert group_of(4) == 4
+        assert group_of(1) == 1
+
     def test_sharded_capdom(self, rng, mesh8):
         n, d, k = 4096, 32, 13
         q = rng.randn(5, d).astype(np.float32)
