@@ -42,10 +42,12 @@ SCAN_LENS = (int(os.environ.get("BENCH_ITERS_LO", 8)),
 # kernel knobs (defaults = the on-chip A/B winner per impl: stream@8192
 # measured 7.59 ms vs single@16384's 8.77 ms, probe_r4b — stream reads the
 # corpus once and keeps scores in VMEM, so smaller chunks win there while
-# single amortized its HBM score stream with bigger ones)
+# single amortized its HBM score stream with bigger ones; select=capdom
+# measured 7.51 ms vs hier's 7.72 with the query-tiled grid, r4 on-chip)
 IMPL = os.environ.get("BENCH_IMPL", "stream")
 CHUNK = int(os.environ.get("BENCH_CHUNK", 8192 if IMPL == "stream" else 16384))
-SELECT = os.environ.get("BENCH_SELECT", "hier")
+SELECT = os.environ.get("BENCH_SELECT",
+                        "capdom" if IMPL == "stream" else "hier")
 
 BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "benchmarks", "cpu_baseline.json")

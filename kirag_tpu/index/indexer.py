@@ -50,7 +50,7 @@ class TPUIndexer:
                  compression: str = "none", n_subquantizers: int = 0, n_bits: int = 8,
                  max_device_rows: Optional[int] = None,
                  exact_impl: str = "auto", pallas_chunk_size: int = 16384,
-                 pallas_select: str = "hier"):
+                 pallas_select: str = "capdom"):
         # drop-in compatibility with the reference ctor (`retriever/index.py:19`):
         # a PQ request maps to our int8/int4 row compression (the TPU
         # equal-memory play); <=4-bit PQ codes pick the 8x-compressed int4
@@ -95,10 +95,12 @@ class TPUIndexer:
             raise ValueError("pallas_chunk_size must be a positive multiple "
                              f"of 128, got {pallas_chunk_size}")
         self.pallas_chunk_size = pallas_chunk_size
-        # selection stages inside the fused kernel: "hier" (two-level, the
-        # measured round-3 winner: 16.1 vs 17.7 ms/batch at 1M x 1024),
-        # "flat" (plain lax.top_k), or "capdom" (stream impl only: selection
-        # in the capture domain with a residual exactness check)
+        # selection stages inside the fused kernel: "capdom" (selection in
+        # the capture domain with a residual exactness check — the measured
+        # round-4 winner on the stream impl, 7.51 vs hier's 7.72 ms/iter at
+        # 1M x 1024; degrades to hier on non-stream impls), "hier"
+        # (two-level, the round-3 winner: 16.1 vs flat's 17.7 ms/batch), or
+        # "flat" (plain lax.top_k)
         if pallas_select not in ("hier", "flat", "capdom"):
             raise KeyError("pallas_select must be hier|flat|capdom, "
                            f"got {pallas_select}")
