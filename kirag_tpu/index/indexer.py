@@ -286,15 +286,13 @@ class TPUIndexer:
         for blk in self._stream_blocks:
             corpus = jnp.asarray(blk["corpus"])
             if mode == "approx":
-                if self.compression == "int4":
-                    raise NotImplementedError(
-                        "approx mode does not support int4 corpora yet")
                 from kirag_tpu.ops.pallas_mips import approx_topk_mips
 
                 vals, idx = approx_topk_mips(
                     queries, corpus, k_eff, valid_rows=blk["valid"],
                     scales=(jnp.asarray(blk["scales"])
-                            if self.compression == "int8" else None))
+                            if self.compression in ("int8", "int4")
+                            else None))
             elif self._use_pallas_exact():
                 from kirag_tpu.ops.pallas_exact import exact_topk_mips
 
@@ -387,12 +385,8 @@ class TPUIndexer:
                                    valid_rows=self._device_rows, scales=scales,
                                    select=self.pallas_select)
         if mode == "approx":
-            # fused Pallas group-sampled kernel; composes with int8 (the
-            # kernel dequantizes in VMEM) and with corpus sharding
-            if self.compression == "int4":
-                raise NotImplementedError(
-                    "approx mode does not support int4 corpora yet; use "
-                    "mode='exact' (impl='stream' reads the corpus once)")
+            # fused Pallas group-sampled kernel; composes with int8/int4
+            # (the kernel dequantizes in VMEM) and with corpus sharding
             if sharded:
                 from kirag_tpu.ops.pallas_mips import sharded_approx_topk_mips
 

@@ -39,34 +39,33 @@ except AttributeError:  # pragma: no cover - older jax
 LANES = 128
 
 
-def _group_max_kernel(q_ref, c_ref, *rest, groups_per_chunk: int):
+def _group_max_kernel(q_ref, c_ref, *rest, groups_per_chunk: int,
+                      quant: str = "none"):
     """One grid step: score a [CHUNK, D] corpus block against all queries and
     emit per-group (max, argmax-lane).
 
     Refs:
       q_ref:    [Q, D]               (VMEM, same block every step)
-      c_ref:    [CHUNK, D]           (VMEM, pipelined per chunk; bf16 or int8)
-      s_ref:    [1, G, LANES] f32    (optional per-row dequant scales, 3-D)
+      c_ref:    [CHUNK, D]           (VMEM, pipelined per chunk; bf16/int8,
+                                      or packed-nibble uint8 [CHUNK, D/2])
+      s_ref:    [1, G, LANES] f32    (int8: per-row dequant scales) or
+                [1, NB, CHUNK] f32   (int4: per-block scales)
       gmax_ref: [1, groups, Q] f32   (output block for this chunk)
       gidx_ref: [1, groups, Q] int32 (lane index of the max, ties -> lowest)
+
+    Scoring (incl. in-VMEM int8/int4 dequantization) is shared with the
+    exact kernels — :func:`kirag_tpu.ops.pallas_exact._chunk_scores` — so
+    approx and exact see bit-identical quantized scores.
     """
+    from kirag_tpu.ops.pallas_exact import _chunk_scores
+
     if len(rest) == 3:
         s_ref, gmax_ref, gidx_ref = rest
     else:
         s_ref = None
         gmax_ref, gidx_ref = rest
-    q = q_ref[:]
-    c = c_ref[:]
-    if c.dtype == jnp.int8:
-        c = c.astype(jnp.bfloat16)
-        q = q.astype(jnp.bfloat16)
-    scores = jax.lax.dot_general(
-        q, c,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [Q, CHUNK] in VMEM
-    if s_ref is not None:
-        scores = scores * s_ref[0].reshape(1, -1)
+    scores = _chunk_scores(q_ref[:], c_ref[:],
+                           s_ref[0] if s_ref is not None else None, quant)
     n_q = scores.shape[0]
     s3 = scores.reshape(n_q, groups_per_chunk, LANES)
     m = jnp.max(s3, axis=-1)  # [Q, G]
@@ -93,17 +92,23 @@ def grouped_max_scores(queries: jnp.ndarray, corpus: jnp.ndarray,
 
     Returns (gmax [Q, N/128] f32, gidx [Q, N/128] int32 lane-in-group).
     ``corpus`` rows must be divisible by ``chunk_size`` and ``chunk_size`` by
-    128 (pad upstream). ``scales`` ([N] f32 per-row dequant factors) enables
-    int8-compressed corpora: the int8 chunk is cast to bf16 in VMEM and the
-    f32 scores are scaled before the group reduction.
+    128 (pad upstream). ``scales`` enables quantized corpora (same contract
+    as the exact kernels): 1-D [N] f32 per-row factors for int8 rows, or
+    2-D [N, D/128] per-block factors for packed-nibble int4 rows — both
+    dequantized in VMEM before the group reduction.
     """
+    from kirag_tpu.ops.pallas_exact import _quant_kind, _scale_operand
+
     n, d = corpus.shape
     n_q = queries.shape[0]
+    d_q = queries.shape[1]  # = 2*d for packed int4 corpora
     assert n % chunk_size == 0 and chunk_size % LANES == 0
     num_chunks = n // chunk_size
     groups_per_chunk = chunk_size // LANES
+    quant = _quant_kind(corpus, scales)
 
-    kernel = functools.partial(_group_max_kernel, groups_per_chunk=groups_per_chunk)
+    kernel = functools.partial(_group_max_kernel,
+                               groups_per_chunk=groups_per_chunk, quant=quant)
     kwargs = {}
     if pltpu is not None and not interpret:
         # grid steps write disjoint output blocks -> dependency-free grid dim
@@ -111,15 +116,15 @@ def grouped_max_scores(queries: jnp.ndarray, corpus: jnp.ndarray,
             vmem_limit_bytes=int(1024 * 1024 * 100),
             dimension_semantics=("parallel",))
     in_specs = [
-        pl.BlockSpec((n_q, d), lambda i: (0, 0)),
+        pl.BlockSpec((n_q, d_q), lambda i: (0, 0)),
         pl.BlockSpec((chunk_size, d), lambda i: (i, 0)),
     ]
     operands = [queries, corpus]
     if scales is not None:
-        in_specs.append(pl.BlockSpec((1, groups_per_chunk, LANES),
-                             lambda i: (i, 0, 0)))
-        operands.append(scales.astype(jnp.float32).reshape(num_chunks,
-                                   groups_per_chunk, LANES))
+        s_op, s_spec = _scale_operand(scales, quant, num_chunks,
+                                      groups_per_chunk, chunk_size)
+        in_specs.append(s_spec)
+        operands.append(s_op)
     gmax, gidx = pl.pallas_call(
         kernel,
         grid=(num_chunks,),
@@ -152,7 +157,8 @@ def approx_topk_mips(queries: jnp.ndarray, corpus: jnp.ndarray, k: int,
     Exact for k=1; recall@k ~ 1 - k(k-1)*64/N for random row order. Pads the
     corpus to the chunk grid; padded rows are masked via ``valid_rows``
     (a traced scalar is accepted, for shard-local calls). ``scales`` enables
-    int8 corpora; ``row_offset`` shifts returned row ids (sharded search).
+    int8 ([N] f32) and packed-int4 ([N, D/128] f32) corpora; ``row_offset``
+    shifts returned row ids (sharded search).
     """
     interpret = _resolve_interpret(interpret)
     n, d = corpus.shape
@@ -161,7 +167,8 @@ def approx_topk_mips(queries: jnp.ndarray, corpus: jnp.ndarray, k: int,
     if pad_to != n:
         corpus = jnp.pad(corpus, ((0, pad_to - n), (0, 0)))
         if scales is not None:
-            scales = jnp.pad(scales, (0, pad_to - n))
+            scales = jnp.pad(scales, ((0, pad_to - n),) +
+                             ((0, 0),) * (scales.ndim - 1))
     gmax, gidx = grouped_max_scores(queries, corpus, chunk_size=chunk_size,
                                     interpret=interpret, scales=scales)
     total_groups = gmax.shape[1]

@@ -224,12 +224,22 @@ class TestInt4Compression:
         for row, (ids, _) in enumerate(res):
             assert ids[0] == str(row)
 
-    def test_int4_approx_mode_raises(self, rng):
+    def test_int4_approx_mode(self, rng):
         c = self._corpus(rng)
         ix = TPUIndexer(256, compression="int4")
         ix.index_data(range(512), c)
-        with pytest.raises(NotImplementedError):
-            ix.search_knn(c[:2], top_docs=5, mode="approx")
+        approx = ix.search_knn(c[:4], top_docs=5, mode="approx")
+        for row, (ids, _) in enumerate(approx):
+            # top-1 survives int4 quantization + group sampling
+            assert ids[0] == str(row)
+
+    def test_int4_streaming_approx(self, rng):
+        c = self._corpus(rng)
+        ix = TPUIndexer(256, compression="int4", max_device_rows=256)
+        ix.index_data(range(512), c)
+        approx = ix.search_knn(c[:4], top_docs=5, mode="approx")
+        for row, (ids, _) in enumerate(approx):
+            assert ids[0] == str(row)
 
     def test_int4_serialize_roundtrip(self, rng, tmp_path):
         c = self._corpus(rng)

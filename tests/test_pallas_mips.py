@@ -111,6 +111,24 @@ class TestInt8Scales:
         # self-retrieval survives quantization (top-1 is exact in approx mode)
         np.testing.assert_array_equal(np.asarray(idx)[:, 0], np.arange(4))
 
+    def test_approx_int4_matches_dequant_oracle(self, rng):
+        from kirag_tpu.ops.quantized import (dequantize_rows_int4,
+                                             quantize_rows_int4)
+
+        c = rng.randn(1024, 256).astype(np.float32)
+        c /= np.linalg.norm(c, axis=-1, keepdims=True)
+        q = c[:4]
+        packed, scales = quantize_rows_int4(c)
+        vals, idx = approx_topk_mips(
+            jnp.asarray(q), jnp.asarray(packed), k=5,
+            chunk_size=256, interpret=True, scales=jnp.asarray(scales))
+        np.testing.assert_array_equal(np.asarray(idx)[:, 0], np.arange(4))
+        # returned values = the dequantized corpus' scores at the returned
+        # rows (the kernel dequantizes in VMEM; bf16 matmul tolerance)
+        deq = dequantize_rows_int4(np.asarray(packed), np.asarray(scales))
+        ref = np.take_along_axis(q @ deq.T, np.asarray(idx), axis=1)
+        np.testing.assert_allclose(np.asarray(vals), ref, rtol=2e-2, atol=2e-2)
+
 
 class TestShardedApprox:
     def test_matches_single_shard(self, rng, mesh8):
@@ -148,3 +166,19 @@ class TestShardedApprox:
             jnp.asarray(q, dtype=jnp.bfloat16), jnp.asarray(ci8), 5,
             chunk_size=256, interpret=True, scales=jnp.asarray(scales))
         np.testing.assert_array_equal(np.asarray(is_), np.asarray(i1))
+
+    def test_sharded_int4(self, rng, mesh8):
+        from kirag_tpu.ops.quantized import quantize_rows_int4
+
+        c = rng.randn(2048, 256).astype(np.float32)
+        c /= np.linalg.norm(c, axis=-1, keepdims=True)
+        q = c[:4]
+        packed, scales = quantize_rows_int4(c)
+        vs, is_ = sharded_approx_topk_mips(
+            jnp.asarray(q), jnp.asarray(packed), 5, mesh8,
+            chunk_size=256, interpret=True, scales=jnp.asarray(scales))
+        v1, i1 = approx_topk_mips(
+            jnp.asarray(q), jnp.asarray(packed), 5,
+            chunk_size=256, interpret=True, scales=jnp.asarray(scales))
+        np.testing.assert_array_equal(np.asarray(is_), np.asarray(i1))
+        np.testing.assert_allclose(np.asarray(vs), np.asarray(v1), rtol=1e-5)
