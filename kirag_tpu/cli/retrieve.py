@@ -70,6 +70,13 @@ def setup_parser():
     parser.add_argument("--aligner_model", type=str, default="e5", choices=["e5", "bge"])
     parser.add_argument("--aligner_model_name_or_path", type=str, required=True)
     parser.add_argument("--num_beams", type=int, default=1, choices=[1, 2])
+    parser.add_argument("--concurrent_questions", type=int, default=1,
+                        help="process N questions in lockstep turns, "
+                             "coalescing decode/embed/search device batches "
+                             "across them (KiRAG.retrieve_batch; decode is "
+                             "weight-bound, so N~8 raises questions/hour "
+                             "nearly linearly). 1 = the reference-shaped "
+                             "sequential loop")
     parser.add_argument("--num_turns", type=int, default=5)
     parser.add_argument("--topk", type=int, default=10)
     parser.add_argument("--num_candidate_triples", type=int, default=20)
@@ -168,12 +175,20 @@ def convert_chains_to_qa_format(example, reasoning_chains, documents):
 
 def retrieve(args, questions, kirag, retriever):
     results = []
-    for n, example in enumerate(questions):
-        chains, docids_to_scores = kirag.retrieve(
-            question=example["question"], num_beams=args.num_beams)
-        documents = retriever.get_documents(docids_to_scores)
-        results.append(convert_chains_to_qa_format(example, chains, documents))
-        logger.info(f"[{n + 1}/{len(questions)}] retrieved {len(documents)} docs")
+    wave = max(1, getattr(args, "concurrent_questions", 1))
+    for start in range(0, len(questions), wave):
+        batch = questions[start: start + wave]
+        if wave == 1:
+            outs = [kirag.retrieve(question=batch[0]["question"],
+                                   num_beams=args.num_beams)]
+        else:
+            outs = kirag.retrieve_batch([ex["question"] for ex in batch],
+                                        num_beams=args.num_beams)
+        for example, (chains, docids_to_scores) in zip(batch, outs):
+            documents = retriever.get_documents(docids_to_scores)
+            results.append(convert_chains_to_qa_format(example, chains, documents))
+        logger.info(f"[{min(start + wave, len(questions))}/{len(questions)}] "
+                    f"retrieved (wave={wave})")
     if args.cached_kg_triples_file is not None:
         kirag.kg_generator.save_cached_kg_triples(args.cached_kg_triples_file)
     return results

@@ -109,6 +109,7 @@ class TestCLIWorkflow:
             "--llm", ws["llm_dir"],
             "--aligner_model_name_or_path", ws["enc_dir"],
             "--num_turns", "2", "--topk", "3", "--num_candidate_triples", "5",
+            "--concurrent_questions", "2",  # lockstep batched loop via CLI
             "--save_dir", out, "--name", "kirag", "--save_file", "results.json",
         ], monkeypatch)
         results = json.load(open(os.path.join(out, "kirag", "results.json")))
