@@ -248,19 +248,56 @@ def main() -> None:
         assert self_hit > 0.95, f"{name}: invalid timed output {self_hit}"
 
     from kirag_tpu.ops.pallas_exact import exact_topk_mips
+    from kirag_tpu.ops.pallas_mips import approx_topk_mips
 
-    timed("exact_stream_hier_c16k_int4_21m",
-          lambda qq: exact_topk_mips(qq, c, K, chunk_size=16384, scales=s,
-                                     valid_rows=N, interpret=False,
-                                     select="hier", impl="stream"))
-    timed("exact_stream_hier_int4_21m",
-          lambda qq: exact_topk_mips(qq, c, K, chunk_size=8192, scales=s,
-                                     valid_rows=N, interpret=False,
-                                     select="hier", impl="stream"))
-    timed("exact_twopass_hier_c16k_int4_21m",
-          lambda qq: exact_topk_mips(qq, c, K, chunk_size=16384, scales=s,
-                                     valid_rows=N, interpret=False,
-                                     select="hier", impl="twopass"))
+    def guarded(name, fn):
+        """One variant must not take down the rest (the r4 chunk-8192 run
+        HBM-OOM'd at compile — 16.17G of 15.75G: doubling num_chunks grows
+        the [C, Q, B*128] capture buffer past what the 11.4 GiB corpus
+        leaves free — and the crash cost the twopass row)."""
+        try:
+            timed(name, fn)
+        except Exception as e:  # noqa: BLE001 - record and continue
+            msg = str(e).split("\n")[0][:300]
+            print(json.dumps({"bench": name, "error": msg}), flush=True)
+            with open(OUT, "a") as f:
+                f.write(json.dumps({"bench": name, "error": msg}) + "\n")
+
+    variants = {
+        "stream16k": lambda: guarded(
+            "exact_stream_hier_c16k_int4_21m",
+            lambda qq: exact_topk_mips(qq, c, K, chunk_size=16384, scales=s,
+                                       valid_rows=N, interpret=False,
+                                       select="hier", impl="stream")),
+        "capdom16k": lambda: guarded(
+            "exact_stream_capdom_c16k_int4_21m",
+            lambda qq: exact_topk_mips(qq, c, K, chunk_size=16384, scales=s,
+                                       valid_rows=N, interpret=False,
+                                       select="capdom", impl="stream")),
+        "twopass16k": lambda: guarded(
+            "exact_twopass_hier_c16k_int4_21m",
+            lambda qq: exact_topk_mips(qq, c, K, chunk_size=16384, scales=s,
+                                       valid_rows=N, interpret=False,
+                                       select="hier", impl="twopass")),
+        # NOTE on the approx row: this corpus plants each query's graded
+        # neighbors in CONSECUTIVE rows (q_row+1..+160), which is the
+        # adversarial case for one-winner-per-128-row-group sampling — at
+        # most ~2 of the 100 f32-oracle rows are reachable, so its
+        # recall_vs_f32 measures the planted adjacency, not the kernel
+        # (random-order corpora measure ~0.994 at 1M). Read its row for
+        # qps + self_hit; recall claims for approx live in bench.py /
+        # tests at shuffled row order. Real corpora with article-adjacent
+        # passages (DPR) share this failure mode — documented in PARITY.md.
+        "approx16k": lambda: guarded(
+            "approx_gmax_c16k_int4_21m_adjacent_plants",
+            lambda qq: approx_topk_mips(qq, c, K, chunk_size=16384,
+                                        valid_rows=N, interpret=False,
+                                        scales=s)),
+    }
+    which = os.environ.get("BENCH21M_VARIANTS",
+                           "capdom16k,twopass16k,approx16k").split(",")
+    for name in which:
+        variants[name.strip()]()
 
 
 if __name__ == "__main__":
