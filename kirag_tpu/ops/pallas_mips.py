@@ -154,8 +154,11 @@ def approx_topk_mips(queries: jnp.ndarray, corpus: jnp.ndarray, k: int,
                      row_offset=0) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Group-sampled top-k: one candidate (the argmax row) per 128-row group.
 
-    Exact for k=1; recall@k ~ 1 - k(k-1)*64/N for random row order. Pads the
-    corpus to the chunk grid; padded rows are masked via ``valid_rows``
+    Exact for k=1; recall@k ~ 1 - k(k-1)*64/N for random row order. Row
+    order correlated with similarity (e.g. an article's passages in
+    consecutive rows) degrades recall — at most one row per 128-row group
+    can surface; shuffle rows upstream or use exact mode for such corpora.
+    Pads the corpus to the chunk grid; padded rows are masked via ``valid_rows``
     (a traced scalar is accepted, for shard-local calls). ``scales`` enables
     int8 ([N] f32) and packed-int4 ([N, D/128] f32) corpora; ``row_offset``
     shifts returned row ids (sharded search).
