@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -79,9 +80,11 @@ def main() -> None:
 
     def run_sequential():
         outs = []
-        for q in questions:
+        for i, q in enumerate(questions):
             kirag.kg_generator.cached_kg_triples = {}
             outs.append(kirag.retrieve(q))
+            print(f"  sequential question {i + 1}/{len(questions)} done",
+                  file=sys.stderr, flush=True)
         return outs
 
     def run_batched():
@@ -91,6 +94,8 @@ def main() -> None:
     records = []
     for phase in ("compile", "steady"):
         for mode, fn in (("sequential", run_sequential), ("batched", run_batched)):
+            print(f"phase={phase} mode={mode} starting",
+                  file=sys.stderr, flush=True)
             _reset(kirag)
             timings.clear()
             t0 = time.perf_counter()

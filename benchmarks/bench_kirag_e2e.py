@@ -27,6 +27,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import sys
 import time
 from collections import defaultdict
 
@@ -121,11 +122,14 @@ def build_stack(fixed_padding: bool = False):
                         intermediate_size=5632, num_hidden_layers=22,
                         num_attention_heads=32, num_key_value_heads=4,
                         max_position_embeddings=4096))
+    print("build_stack: encoder + index ready; quantizing LLM params",
+          file=sys.stderr, flush=True)
     lparams = init_llama_params(jax.random.key(7), lcfg)
     lparams = quantize_llama_params(
         jax.tree.map(np.asarray, lparams), bits=8)
     backend = JaxLlamaBackend(lparams, lcfg, eos_token_id=-1,  # never stop early
                               compute_dtype=jnp.bfloat16)
+    print("build_stack: LLM backend ready", file=sys.stderr, flush=True)
 
     class TimedScriptedGenerator(Generator):
         """Real device decode (timed), scripted text (so parsing succeeds)."""
