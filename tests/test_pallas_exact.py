@@ -908,3 +908,82 @@ class TestClampChunkDivisor:
         got = _clamp_chunk_for_corpus_window(3 * 4096, f32)
         assert (3 * 4096) % got == 0 and got % 128 == 0
         assert 2 * got * 1024 * 4 <= 64 * 1024 * 1024
+
+
+class TestFuzzVsOracle:
+    """Seeded random sweep over (shape, k, chunk, impl, select, quant)
+    combinations — every draw must match the numpy oracle bit-for-bit on
+    indices (FAISS lower-index tie-break included). Deterministic seeds:
+    failures reproduce by case number."""
+
+    CASES = 14
+
+    @pytest.mark.parametrize("case", range(CASES))
+    def test_random_config_matches_oracle(self, case):
+        from kirag_tpu.ops.quantized import (dequantize_rows_int4,
+                                             quantize_rows_int4,
+                                             quantize_rows_int8)
+
+        r = np.random.default_rng(1000 + case)
+        impl = r.choice(["stream", "single", "twopass", "auto"])
+        select = r.choice(["capdom", "hier", "flat"])
+        quant = r.choice(["none", "none", "int8", "int4"])
+        d = 256 if quant == "int4" else int(r.choice([16, 64, 96]))
+        n = int(r.integers(300, 4000))
+        n_q = int(r.integers(1, 24))
+        k = int(r.integers(1, 40))
+        chunk = int(r.choice([128, 256, 512, 1024]))
+        c = r.standard_normal((n, d), dtype=np.float32)
+        c /= np.linalg.norm(c, axis=-1, keepdims=True)
+        # duplicated rows exercise tie-breaking under every selection
+        dup = r.integers(0, n, size=max(2, n // 50))
+        c[dup] = c[dup[0]]
+        q = c[r.integers(0, n, size=n_q)] + 0.01 * r.standard_normal(
+            (n_q, d), dtype=np.float32)
+
+        import ml_dtypes
+
+        if quant == "int8":
+            corpus, scales = quantize_rows_int8(c)
+            oracle_c = corpus.astype(np.float32) * scales[:, None]
+        elif quant == "int4":
+            corpus, scales = quantize_rows_int4(c)
+            oracle_c = dequantize_rows_int4(corpus, scales)
+        else:
+            corpus, scales = c, None
+            oracle_c = c
+        oracle_q = q
+        if quant != "none":
+            # quantized kernels round the queries to bf16 before the MXU
+            # (the corpus side — int8 values, (nibble-7.5) — is bf16-exact)
+            oracle_q = q.astype(ml_dtypes.bfloat16).astype(np.float32)
+
+        vals, idx = exact_topk_mips(
+            jnp.asarray(q), jnp.asarray(corpus), k, chunk_size=chunk,
+            interpret=True, impl=str(impl), select=str(select),
+            scales=None if scales is None else jnp.asarray(scales))
+        oscores = oracle_q @ oracle_c.T
+        ovals, oidx = numpy_topk(oscores, min(k, n))
+        label = f"case={case} impl={impl} select={select} quant={quant} " \
+                f"n={n} d={d} q={n_q} k={k} chunk={chunk}"
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        if quant == "none":
+            # unquantized: bit-exact index parity incl. FAISS tie-breaking
+            np.testing.assert_array_equal(idx, oidx, err_msg=label)
+            np.testing.assert_allclose(vals, ovals, rtol=3e-3, atol=3e-3,
+                                       err_msg=label)
+        else:
+            # quantized: the kernel's blockwise f32 accumulation order
+            # differs from numpy's at the last ulp, so near-ties may swap —
+            # demand (a) the top-k SCORE curve matches, (b) returned values
+            # equal the oracle's scores AT the returned rows (no fabricated
+            # candidates), (c) >=90% row overlap with the oracle's top-k
+            np.testing.assert_allclose(vals, ovals, rtol=3e-3, atol=3e-3,
+                                       err_msg=label)
+            at_idx = np.take_along_axis(oscores, idx, axis=-1)
+            np.testing.assert_allclose(vals, at_idx, rtol=3e-3, atol=3e-3,
+                                       err_msg=label)
+            k_eff = min(k, n)
+            for qi in range(n_q):
+                ov = len(set(idx[qi].tolist()) & set(oidx[qi].tolist()))
+                assert ov >= max(1, int(0.9 * k_eff)), (label, qi, ov)
