@@ -182,3 +182,74 @@ class TestShardedApprox:
             chunk_size=256, interpret=True, scales=jnp.asarray(scales))
         np.testing.assert_array_equal(np.asarray(is_), np.asarray(i1))
         np.testing.assert_allclose(np.asarray(vs), np.asarray(v1), rtol=1e-5)
+
+
+class TestFuzzApproxVsOracle:
+    """Seeded random sweep: group-sampled top-k has an EXACT oracle (per
+    128-row-group argmax, then top-k over group winners with stable
+    lowest-group tie-break) — every draw must reproduce it."""
+
+    CASES = 8
+
+    @pytest.mark.parametrize("case", range(CASES))
+    def test_random_config_matches_group_oracle(self, case):
+        import ml_dtypes
+
+        from kirag_tpu.ops.quantized import (dequantize_rows_int4,
+                                             quantize_rows_int8,
+                                             quantize_rows_int4)
+
+        r = np.random.default_rng(2000 + case)
+        quant = r.choice(["none", "none", "int8", "int4"])
+        d = 256 if quant == "int4" else int(r.choice([16, 64]))
+        n = int(r.integers(300, 3000))
+        n_q = int(r.integers(1, 16))
+        k = int(r.integers(1, 20))
+        chunk = int(r.choice([128, 256, 512]))
+        c = r.standard_normal((n, d), dtype=np.float32)
+        c /= np.linalg.norm(c, axis=-1, keepdims=True)
+        q = c[r.integers(0, n, size=n_q)] + 0.01 * r.standard_normal(
+            (n_q, d), dtype=np.float32)
+
+        if quant == "int8":
+            corpus, scales = quantize_rows_int8(c)
+            oracle_c = corpus.astype(np.float32) * scales[:, None]
+        elif quant == "int4":
+            corpus, scales = quantize_rows_int4(c)
+            oracle_c = dequantize_rows_int4(corpus, scales)
+        else:
+            corpus, scales = c, None
+            oracle_c = c
+        oracle_q = (q.astype(ml_dtypes.bfloat16).astype(np.float32)
+                    if quant != "none" else q)
+
+        vals, idx = approx_topk_mips(
+            jnp.asarray(q), jnp.asarray(corpus), k, chunk_size=chunk,
+            interpret=True,
+            scales=None if scales is None else jnp.asarray(scales))
+        vals, idx = np.asarray(vals), np.asarray(idx)
+
+        # oracle: pad to a LANES grid, per-group (max, lowest-argmax row)
+        s = oracle_q @ oracle_c.T
+        pad = (-n) % LANES
+        s_pad = np.pad(s, ((0, 0), (0, pad)), constant_values=-np.inf)
+        g = s_pad.reshape(n_q, -1, LANES)
+        gmax = g.max(-1)
+        grow = g.argmax(-1) + np.arange(g.shape[1])[None, :] * LANES
+        k_eff = min(k, g.shape[1])
+        sel = np.lexsort((np.arange(g.shape[1])[None, :].repeat(n_q, 0),
+                          -gmax), axis=-1)[:, :k_eff]
+        o_vals = np.take_along_axis(gmax, sel, axis=-1)
+        o_idx = np.take_along_axis(grow, sel, axis=-1)
+
+        label = f"case={case} quant={quant} n={n} d={d} q={n_q} k={k} " \
+                f"chunk={chunk}"
+        np.testing.assert_allclose(vals[:, :k_eff], o_vals, rtol=3e-3,
+                                   atol=3e-3, err_msg=label)
+        if quant == "none":
+            np.testing.assert_array_equal(idx[:, :k_eff], o_idx,
+                                          err_msg=label)
+        else:
+            at_idx = np.take_along_axis(s, idx[:, :k_eff], axis=-1)
+            np.testing.assert_allclose(vals[:, :k_eff], at_idx, rtol=3e-3,
+                                       atol=3e-3, err_msg=label)
