@@ -244,7 +244,7 @@ def main() -> None:
                 windows[n] = min(reps)
             n0, n1 = SCAN_LENS
             per_iter = (windows[n1] - windows[n0]) / (n1 - n0)
-            rec = {"label": label, "chunk": chunk, "b": b,
+            rec = {"label": label, "smoke": SMOKE, "chunk": chunk, "b": b,
                    "ms_per_batch": round(per_iter * 1e3, 3),
                    "windows_ms": {str(k): round(v * 1e3, 1)
                                   for k, v in windows.items()}}
