@@ -101,8 +101,13 @@ def main() -> None:
             t0 = time.perf_counter()
             outs = fn()
             wall = time.perf_counter() - t0
+            import jax
+
             rec = {
-                "bench": "kirag_batched", "mode": mode, "phase": phase,
+                "bench": "kirag_batched",
+                "platform": ("cpu_smoke" if SMOKE or
+                             jax.default_backend() != "tpu" else "tpu"),
+                "mode": mode, "phase": phase,
                 "n_questions": len(questions),
                 "wall_s": round(wall, 2),
                 "questions_per_hour": round(3600 * len(questions) / wall, 1),
@@ -129,7 +134,11 @@ def main() -> None:
                    if (m, p) == ("batched", "steady"))
     speedup = round(bat_rec["questions_per_hour"] /
                     seq_rec["questions_per_hour"], 2)
+    import jax
+
     summary = {"bench": "kirag_batched_summary",
+               "platform": ("cpu_smoke" if SMOKE or
+                            jax.default_backend() != "tpu" else "tpu"),
                "n_questions": len(questions),
                "sequential_qph": seq_rec["questions_per_hour"],
                "batched_qph": bat_rec["questions_per_hour"],
