@@ -500,3 +500,20 @@ class TestChunkGridPrepad:
         idx.to_device()
         # below the chunk threshold: only the 8-row sublane pad applies
         assert idx._device_corpus.shape[0] == 24
+
+
+class TestL2Approx:
+    def test_l2_approx_top1_matches_exact(self, rng):
+        # l2 rides the augmented-column MIPS trick; group-sampled approx
+        # must keep its top-1-exact property under that augmentation
+        c = rng.randn(1024, 16).astype(np.float32)
+        q = c[:4] + 0.01 * rng.randn(4, 16).astype(np.float32)
+        ix = TPUIndexer(16, metric="l2", chunk_size=256)
+        ix.index_data(range(1024), c)
+        exact = ix.search_knn(q, top_docs=5)
+        approx = ix.search_knn(q, top_docs=5, mode="approx")
+        for (ids_e, vals_e), (ids_a, vals_a) in zip(exact, approx):
+            assert ids_a[0] == ids_e[0]
+            assert abs(vals_a[0] - vals_e[0]) < 1e-3  # same (squared) distance
+            # distances ascend (l2 contract) in approx mode too
+            assert list(vals_a) == sorted(vals_a)
