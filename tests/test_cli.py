@@ -171,3 +171,38 @@ class TestCLIWorkflow:
                 monkeypatch)
         out = capsys.readouterr().out
         assert "'Recall@1': 1.0" in out
+
+
+class TestCompressedIndexCLI:
+    @pytest.mark.parametrize("compression,dim", [("int8", 32), ("int4", 256)])
+    def test_build_compressed_index_roundtrip(self, tmp_path, monkeypatch,
+                                              compression, dim):
+        """--compression int8/int4 on build_index persists through
+        serialize; a fresh indexer restores it from the config and serves
+        self-hit searches (the reference's IndexPQ CLI role)."""
+        import numpy as np
+
+        from kirag_tpu.cli import build_index
+        from kirag_tpu.index import TPUIndexer
+
+        rng = np.random.default_rng(5)
+        emb_dir = tmp_path / "emb"
+        emb_dir.mkdir()
+        emb = rng.standard_normal((300, dim)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+        np.savez(emb_dir / "corpus_embeddings_0_300.npz",
+                 passage_ids=np.asarray([f"d{i}" for i in range(300)],
+                                        dtype=object),
+                 embeddings=emb)
+        out = str(tmp_path / "index")
+        run_cli(build_index, [
+            "--embeddings_dir", str(emb_dir), "--embedding_size", str(dim),
+            "--compression", compression, "--save_dir", out,
+        ], monkeypatch)
+
+        loaded = TPUIndexer(dim)
+        loaded.deserialize_from(out)
+        assert loaded.compression == compression
+        res = loaded.search_knn(emb[:4], top_docs=3)
+        for row, (ids, _) in enumerate(res):
+            assert ids[0] == f"d{row}"
