@@ -98,11 +98,12 @@ class TPUIndexer:
         # selection stages inside the fused kernel: "capdom" (selection in
         # the capture domain with a residual exactness check — the measured
         # round-4 winner on the stream impl, 7.51 vs hier's 7.72 ms/iter at
-        # 1M x 1024; degrades to hier on non-stream impls), "hier"
-        # (two-level, the round-3 winner: 16.1 vs flat's 17.7 ms/batch), or
-        # "flat" (plain lax.top_k)
-        if pallas_select not in ("hier", "flat", "capdom"):
-            raise KeyError("pallas_select must be hier|flat|capdom, "
+        # 1M x 1024; degrades to hier on non-stream impls), "merge" (round-5
+        # running in-kernel top-B window: no capture round-trip or assembly;
+        # opt-in until chip-validated), "hier" (two-level, the round-3
+        # winner: 16.1 vs flat's 17.7 ms/batch), or "flat" (plain lax.top_k)
+        if pallas_select not in ("hier", "flat", "capdom", "merge"):
+            raise KeyError("pallas_select must be hier|flat|capdom|merge, "
                            f"got {pallas_select}")
         self.pallas_select = pallas_select
 

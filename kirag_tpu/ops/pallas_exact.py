@@ -360,6 +360,35 @@ def _topb_ids(x, b: int):
     return sel, vals, jnp.max(x_left, axis=-1)
 
 
+def _worstb_ids(x, b: int):
+    """In-kernel ``b`` SMALLEST values of ``x`` [Q, S] by b masked-min
+    extractions (ties to the lowest slot). Any tie pick is safe for
+    exactness: a "wrong" tied peel at the ejection boundary is covered by
+    the lost-max check in :func:`_merge_body` (equal-value losses force the
+    fallback). Callers only pass keys < +inf, so the +inf removal marker
+    can never tie a remaining entry.
+
+    Returns ``(pos [Q, b] int32, vals [Q, b] f32)`` in ascending value
+    order; the peeled slot positions are distinct."""
+    qn, s = x.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (qn, s), 1)
+    bcol = jax.lax.broadcasted_iota(jnp.int32, (qn, b), 1)
+
+    def body(j, carry):
+        x, pos, vals = carry
+        m = jnp.min(x, axis=-1, keepdims=True)
+        c = jnp.min(jnp.where(x == m, col, s), axis=-1, keepdims=True)
+        pos = jnp.where(bcol == j, c, pos)
+        vals = jnp.where(bcol == j, m, vals)
+        x = jnp.where(col == c, jnp.inf, x)
+        return x, pos, vals
+
+    _, pos, vals = jax.lax.fori_loop(
+        0, b, body, (x, jnp.zeros((qn, b), dtype=jnp.int32),
+                     jnp.zeros((qn, b), dtype=jnp.float32)))
+    return pos, vals
+
+
 def _stream_kernel(q_ref, c_ref, valid_ref, *rest, groups_per_chunk: int,
                    chunk_size: int, b: int, quant: str,
                    capdom: bool = False):
@@ -423,6 +452,170 @@ def _stream_kernel(q_ref, c_ref, valid_ref, *rest, groups_per_chunk: int,
     @pl.when(chunk_start + chunk_size <= valid_ref[0, 0])
     def _():
         finish(jnp.max(s3, axis=-1))
+
+
+def _merge_kernel(q_ref, c_ref, valid_ref, *rest, groups_per_chunk: int,
+                  chunk_size: int, bc: int, br: int, num_chunks: int,
+                  total_groups: int, quant: str):
+    """Round-5 stream variant (``select="merge"``): a RUNNING top-``br``
+    candidate window held in the kernel's accumulating output refs across
+    chunk steps — the [C, B, Q, 128] capture HBM round-trip and the tail's
+    one-hot assembly disappear; only the final top-k over the window runs
+    outside.
+
+    Grid = (qblocks, chunks) with the CHUNK axis minor, so each query
+    block's window refs (`win` [Q, br, 128] payload, `wkey` [Q, br] group
+    maxima, `wgid` [Q, br] group ids) are revisited consecutively and stay
+    VMEM-resident (the :func:`_gather_kernel` accumulate pattern). Per
+    step: peel the chunk's top-``bc`` groups (:func:`_topb_ids`), then
+    merge them exactly into the window — peel the window's ``bc`` worst
+    slots, rank the 2*bc union under the strict (value desc, gid asc)
+    total order, overwrite ejected slots with surviving new items via a
+    one-hot MXU blend. The bottom ``bc`` of (window + bc new) always lie
+    inside that union, so the post-merge window is exactly the top-``br``
+    of all groups captured so far.
+
+    Exactness machinery: `lost` tracks, per chunk step, max(best
+    non-captured group max, best EJECTED window key) — if the k-th final
+    window key strictly beats every step's lost value, no group that could
+    hold a true top-k row was ever dropped (see :func:`_merge_body`);
+    ties or adversarial clustering force the exact global fallback.
+    Empty slots carry -inf keys and unique NEGATIVE gids so the total
+    order stays strict; at the last step the window is sorted by gid
+    ascending in-kernel (one-hot permutation matmul) so the tail's stable
+    top-k composes to FAISS lower-row-id tie-breaking. Group ids ride
+    through VPU math as f32: exact below 2**24 groups (= 2.1B rows).
+    """
+    rest = list(rest)
+    lost_ref = rest.pop()
+    wgid_ref = rest.pop()
+    wkey_ref = rest.pop()
+    win_ref = rest.pop()
+    gmax_ref = rest.pop()
+    s_ref = rest.pop() if rest else None
+    scores = _chunk_scores(q_ref[:], c_ref[:],
+                           s_ref[0] if s_ref is not None else None, quant)
+    n_q = scores.shape[0]
+    s3 = scores.reshape(n_q, groups_per_chunk, LANES)
+    i = pl.program_id(1)                                 # chunk axis: MINOR
+    chunk_start = i * chunk_size
+
+    # ---- group maxima (masked only in chunks intersecting the invalid
+    # tail, as the other impls); clamped to FIN_MIN so -inf never enters
+    # the peel/merge order, then read back from the output ref so the merge
+    # below exists once instead of once per mask branch
+    @pl.when(chunk_start + chunk_size > valid_ref[0, 0])
+    def _():
+        row = chunk_start + jax.lax.broadcasted_iota(
+            jnp.int32, scores.shape, 1)
+        masked = jnp.where(row < valid_ref[0, 0], scores, FIN_MIN)
+        gmax_ref[0] = jnp.maximum(
+            jnp.max(masked.reshape(n_q, groups_per_chunk, LANES), axis=-1),
+            FIN_MIN).T
+
+    @pl.when(chunk_start + chunk_size <= valid_ref[0, 0])
+    def _():
+        gmax_ref[0] = jnp.maximum(jnp.max(s3, axis=-1), FIN_MIN).T
+
+    gmax = gmax_ref[0].T                                 # [Q, G] clamped
+    bsel, bvals, resid = _topb_ids(gmax, bc)             # [Q, bc] x2, [Q]
+    ngid = bsel + i * groups_per_chunk                   # [Q, bc] global ids
+    ngid_f = ngid.astype(jnp.float32)
+    gc = jax.lax.broadcasted_iota(jnp.int32, (n_q, bc, groups_per_chunk), 2)
+    onehot = (bsel[:, :, None] == gc).astype(jnp.float32)
+    # HIGHEST: 0/1 x score products must not round through bf16
+    cand = jax.lax.dot_general(
+        onehot, s3, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)             # [Q, bc, LANES]
+
+    @pl.when(i == 0)
+    def _():
+        pad = br - bc
+        wkey_ref[...] = jnp.pad(bvals, ((0, 0), (0, pad)),
+                                constant_values=-jnp.inf)
+        slot = jax.lax.broadcasted_iota(jnp.int32, (n_q, br), 1)
+        wgid_ref[...] = jnp.where(slot < bc,
+                                  jnp.pad(ngid, ((0, 0), (0, pad))),
+                                  -(slot + 1))
+        win_ref[...] = jnp.pad(cand, ((0, 0), (0, pad), (0, 0)))
+        lost_ref[0] = resid[None, :]
+
+    @pl.when(i > 0)
+    def _():
+        wkeys = wkey_ref[...]                            # [Q, br]
+        wgids = wgid_ref[...]                            # [Q, br] int32
+        wpos, wvals = _worstb_ids(wkeys, bc)             # [Q, bc]
+        srange = jax.lax.broadcasted_iota(jnp.int32, (n_q, bc, br), 2)
+        wp1 = (wpos[:, :, None] == srange).astype(jnp.float32)  # [Q, bc, br]
+        wg = jnp.sum(wp1 * wgids[:, None, :].astype(jnp.float32), axis=-1)
+        # strict total order over the 2*bc union: values desc, gid asc on
+        # ties; gids are distinct (window groups unique, new groups from an
+        # unseen chunk, empties negative-unique) so ranks are a permutation
+        v16 = jnp.concatenate([wvals, bvals], axis=-1)   # [Q, 2bc]
+        g16 = jnp.concatenate([wg, ngid_f], axis=-1)
+        beats = (v16[:, :, None] > v16[:, None, :]) | (
+            (v16[:, :, None] == v16[:, None, :])
+            & (g16[:, :, None] < g16[:, None, :]))
+        rank = jnp.sum(beats.astype(jnp.int32), axis=1)  # [Q, 2bc]
+        survive = rank < bc                              # top bc of 2bc
+        ej_old = ~survive[:, :bc]                        # [Q, bc]
+        sv_new = survive[:, bc:]
+        # pair j-th ejected slot with j-th surviving new item (counts are
+        # equal: #ejected_old = bc - #survived_old = #survived_new)
+        tri = (jax.lax.broadcasted_iota(jnp.int32, (bc, bc), 1)
+               <= jax.lax.broadcasted_iota(jnp.int32, (bc, bc), 0))
+        orde = jnp.sum(ej_old[:, None, :].astype(jnp.int32) * tri[None],
+                       axis=-1)                          # [Q, bc] cumsum
+        ords = jnp.sum(sv_new[:, None, :].astype(jnp.int32) * tri[None],
+                       axis=-1)
+        assign = (ej_old[:, :, None] & sv_new[:, None, :]
+                  & (orde[:, :, None] == ords[:, None, :])
+                  ).astype(jnp.float32)                  # [Q, bc(j), bc(new)]
+        m_sn = jax.lax.dot_general(
+            wp1, assign, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)         # [Q, br, bc]
+        rm = jnp.sum(m_sn, axis=-1)                      # [Q, br] 0/1
+        newpay = jax.lax.dot_general(
+            m_sn, cand, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)         # [Q, br, LANES]
+        win_ref[...] = jnp.where(rm[:, :, None] > 0, newpay, win_ref[...])
+        wkey_ref[...] = jnp.where(rm > 0, jnp.sum(m_sn * bvals[:, None, :],
+                                                  axis=-1), wkeys)
+        wgid_ref[...] = jnp.where(
+            rm > 0, jnp.sum(m_sn * ngid_f[:, None, :],
+                            axis=-1).astype(jnp.int32), wgids)
+        # ejected keys can carry real groups — their max joins the chunk's
+        # non-captured residual so the tail check catches ANY window loss
+        ej = jnp.max(jnp.where(survive, -jnp.inf, v16), axis=-1)
+        lost_ref[0] = jnp.maximum(resid, ej)[None, :]
+
+    @pl.when(i == num_chunks - 1)
+    def _():
+        # sort the window by gid ascending (one-hot permutation matmul) so
+        # downstream candidate order is global row order and the stable
+        # final top-k ties to the lower row id. Empty slots get unique
+        # sentinels >= total_groups: they sort last and their rows fall
+        # beyond n_valid, so _final_select masks them.
+        keys = jnp.maximum(wkey_ref[...], FIN_MIN)       # -inf empties: no
+        gids = wgid_ref[...]                             # 0 * -inf NaN risk
+        slot = jax.lax.broadcasted_iota(jnp.int32, (n_q, br), 1)
+        sg = jnp.where(gids < 0, total_groups + slot, gids)
+        sgf = sg.astype(jnp.float32)
+        rank = jnp.sum((sgf[:, :, None] > sgf[:, None, :]).astype(jnp.int32),
+                       axis=-1)                          # ascending, unique
+        perm = (rank[:, None, :] == jax.lax.broadcasted_iota(
+            jnp.int32, (n_q, br, br), 1)).astype(jnp.float32)
+        win_ref[...] = jax.lax.dot_general(
+            perm, win_ref[...],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        wkey_ref[...] = jnp.sum(perm * keys[:, None, :], axis=-1)
+        wgid_ref[...] = jnp.sum(perm * sgf[:, None, :],
+                                axis=-1).astype(jnp.int32)
 
 
 # ------------------------------------------------------------------- pass B
@@ -540,9 +733,9 @@ def _exact_body(queries, corpus, k_eff: int, chunk_size: int, n_valid,
     corpus read, scores materialized to HBM, candidates gathered from the
     score matrix; "twopass" = the round-2 kernel pair that re-scores the
     corpus to gather candidates (never materializes [Q, N] scores)."""
-    if select == "capdom" and impl != "stream":
-        # capture-domain selection only exists in the stream kernel; the
-        # other impls have no capture to select over
+    if select in ("capdom", "merge") and impl != "stream":
+        # capture-domain / running-window selection only exists in the
+        # stream kernels; the other impls have no capture to select over
         select = "hier"
     quant = _quant_kind(corpus, scales)
     n, d_c = corpus.shape
@@ -579,6 +772,10 @@ def _exact_body(queries, corpus, k_eff: int, chunk_size: int, n_valid,
         operands.append(s_op)
 
     if impl == "stream":
+        if select == "merge":
+            return _merge_body(queries, corpus, scales, quant, k_eff,
+                               chunk_size, n_valid, interpret, n_q,
+                               num_chunks, groups, groups_per_chunk)
         return _stream_body(queries, corpus, scales, quant, k_eff, chunk_size,
                             n_valid, interpret, select, n_q, num_chunks,
                             groups, groups_per_chunk, in_specs, operands)
@@ -704,11 +901,13 @@ def _twopass_gather(queries, corpus, gsel, scales, quant, chunk_size,
 
 
 def _final_select(cand, gsel, k_eff, n_valid, n_q, select, interpret):
-    """Shared tail: mask padded/invalid rows, exact top-k over the k*128
-    candidates, map candidate positions back to global row ids."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, (n_q, k_eff, LANES), 2)
-    rows = (gsel[:, :, None] * LANES + lane).reshape(n_q, k_eff * LANES)
-    cand = cand.reshape(n_q, k_eff * LANES)
+    """Shared tail: mask padded/invalid rows, exact top-k over the S*128
+    candidates (S = k_eff for the capture/gather impls, the window width
+    for select="merge"), map candidate positions back to global row ids."""
+    s = gsel.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n_q, s, LANES), 2)
+    rows = (gsel[:, :, None] * LANES + lane).reshape(n_q, s * LANES)
+    cand = cand.reshape(n_q, s * LANES)
     cand = jnp.where(rows < n_valid, cand, -jnp.inf)
 
     if select == "hier":
@@ -917,6 +1116,105 @@ def _capdom_tail(outs, gids, queries, corpus, scales, quant, k_eff,
     return _final_select(cand, gsel, k_eff, n_valid, n_q, "hier", interpret)
 
 
+def _merge_body(queries, corpus, scales, quant, k_eff, chunk_size, n_valid,
+                interpret, n_q, num_chunks, groups, groups_per_chunk):
+    """select="merge": running in-kernel top-``br`` window (round 5).
+
+    One pallas pass emits the final candidate window directly (payload +
+    keys + gids, already gid-sorted) — no capture matrix, no assembly.
+    Exactness: the window is exactly the top-``br`` (>= k) groups among
+    those each chunk captured, under the strict (value desc, gid asc)
+    order. A true top-k group can only be missing if it was (a) never
+    captured by its chunk or (b) ejected from the window; both events
+    record the group's max in ``lost``. If the k-th window key strictly
+    beats every lost value, no such group can rank at or above the k-th
+    selected group, so the window's top-k groups are the global top-k
+    groups and the assembled rows match impl="single" bit-for-bit. At
+    equality the globally-correct selection could prefer a lower-gid lost
+    group (FAISS lower-row-id ties), so ties fall back — identically to
+    select="capdom"'s residual rule, extended with ejections.
+
+    The fallback branch re-selects over the full group maxima (still
+    emitted: ~2% of corpus bytes) and re-scores the corpus — bitwise the
+    ordinary exact path."""
+    bc = _capture_budget(k_eff, num_chunks, groups_per_chunk)
+    br = max(-(-k_eff // 8) * 8, bc)
+    qb = (QUERY_BLOCK if n_q > QUERY_BLOCK and n_q % QUERY_BLOCK == 0
+          else n_q)
+    num_qb = n_q // qb
+    d_q = queries.shape[1]
+    in_specs = [
+        pl.BlockSpec((qb, d_q), lambda j, i: (j, 0)),
+        pl.BlockSpec((chunk_size, corpus.shape[1]), lambda j, i: (i, 0)),
+        (pl.BlockSpec((1, 1), lambda j, i: (0, 0),
+                      memory_space=pltpu.SMEM) if pltpu is not None
+         else pl.BlockSpec((1, 1), lambda j, i: (0, 0))),
+    ]
+    valid_arr = jnp.asarray(n_valid, dtype=jnp.int32).reshape(1, 1)
+    operands = [queries, corpus, valid_arr]
+    if scales is not None:
+        s_op, s_spec = _scale_operand(scales, quant, num_chunks,
+                                      groups_per_chunk, chunk_size,
+                                      chunk_axis=1)
+        in_specs.append(s_spec)
+        operands.append(s_op)
+    out_specs = [
+        pl.BlockSpec((1, groups_per_chunk, qb), lambda j, i: (i, 0, j)),
+        pl.BlockSpec((qb, br, LANES), lambda j, i: (j, 0, 0)),
+        pl.BlockSpec((qb, br), lambda j, i: (j, 0)),
+        pl.BlockSpec((qb, br), lambda j, i: (j, 0)),
+        pl.BlockSpec((1, 1, qb), lambda j, i: (i, 0, j)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((num_chunks, groups_per_chunk, n_q),
+                             jnp.float32),
+        jax.ShapeDtypeStruct((n_q, br, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_q, br), jnp.float32),
+        jax.ShapeDtypeStruct((n_q, br), jnp.int32),
+        jax.ShapeDtypeStruct((num_chunks, 1, n_q), jnp.float32),
+    ]
+    gmax_out, win, wkey, wgid, lost_out = pl.pallas_call(
+        functools.partial(_merge_kernel, groups_per_chunk=groups_per_chunk,
+                          chunk_size=chunk_size, bc=bc, br=br,
+                          num_chunks=num_chunks, total_groups=groups,
+                          quant=quant),
+        grid=(num_qb, num_chunks),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        # chunk axis carries the window dependency: NOT parallel
+        **_compiler_params(interpret),
+    )(*operands)
+
+    lost = jnp.max(lost_out[:, 0, :], axis=0)            # [Q]
+    kth = jax.lax.top_k(wkey, k_eff)[0][:, -1]           # [Q]
+    ok = jnp.all((kth > lost) | (lost <= FIN_MIN))
+
+    def from_window(_):
+        return win, wgid
+
+    def from_global(_):
+        gmax = gmax_out.reshape(groups, n_q).T           # [Q, groups]
+        _, gsel = hier_topk(gmax, k_eff)
+        gsel = jnp.sort(gsel, axis=-1)
+        cand = _twopass_gather(queries, corpus, gsel, scales, quant,
+                               chunk_size, num_chunks, groups_per_chunk,
+                               k_eff, interpret)
+        # pad to the window width so both cond branches agree; sentinel
+        # gids map to rows >= n_valid, masked in _final_select
+        pad = br - k_eff
+        cand = jnp.pad(cand, ((0, 0), (0, pad), (0, 0)))
+        gsel = jnp.pad(gsel, ((0, 0), (0, pad)), constant_values=groups)
+        return cand, gsel
+
+    if _STREAM_ASSERT_CAPTURE:
+        cand, gsel = from_window(None)
+    else:
+        cand, gsel = jax.lax.cond(ok, from_window, from_global, None)
+    return _final_select(cand, gsel, k_eff, n_valid, n_q, "hier", interpret)
+
+
 _STREAM_ASSERT_CAPTURE = False  # see _stream_body; tests only
 
 
@@ -947,10 +1245,13 @@ def _exact_topk_jit(queries, corpus, k, chunk_size, valid_rows, interpret,
         # degrading the whole batch to a smaller chunk / the twopass
         # fallback.
         n_blocks = n_q // QUERY_BLOCK
-        if impl == "stream":
+        if impl == "stream" and select != "merge":
             group = next(g for g in range(min(STREAM_QTILE, n_blocks), 0, -1)
                          if n_blocks % g == 0)
         else:
+            # merge: the window revisit needs the chunk axis minor, which
+            # re-reads the corpus per query block — tile by single blocks
+            # (capdom's one-read tiling wins beyond QUERY_BLOCK queries)
             group = 1
         tile = QUERY_BLOCK * group
         if tile == n_q:
@@ -1014,6 +1315,9 @@ def exact_topk_mips(queries: jnp.ndarray, corpus: jnp.ndarray, k: int,
     chunk_size = max(LANES, (chunk_size // LANES) * LANES)
     chunk_size = min(chunk_size, -(-corpus.shape[0] // LANES) * LANES)
     chunk_size = _clamp_chunk_for_corpus_window(chunk_size, corpus)
+    if select == "merge":
+        chunk_size = _clamp_chunk_for_corpus_window(
+            chunk_size, corpus, budget=32 * 1024 * 1024)
     n_q = queries.shape[0]
     # QUERY_BLOCK-multiple batches run blockwise under lax.map (see
     # _exact_topk_jit), so VMEM sizing follows the block, not the batch
@@ -1051,8 +1355,8 @@ def _clamp_chunk_for_queries(chunk_size: int, n_queries: int) -> int:
     return best
 
 
-def _clamp_chunk_for_corpus_window(chunk_size: int,
-                                   corpus: jnp.ndarray) -> int:
+def _clamp_chunk_for_corpus_window(chunk_size: int, corpus: jnp.ndarray,
+                                   budget: int = 64 * 1024 * 1024) -> int:
     """Bound the kernel's corpus input window, not just the score block.
 
     Every variant streams a ``[chunk, D]`` corpus window into VMEM with 2
@@ -1065,8 +1369,9 @@ def _clamp_chunk_for_corpus_window(chunk_size: int,
 
     Like :func:`_clamp_chunk_for_queries`, the result is a divisor of the
     requested chunk so pre-padded corpus grids (TPUIndexer.to_device) still
-    divide evenly and never re-pad inside jit."""
-    budget = 64 * 1024 * 1024
+    divide evenly and never re-pad inside jit. select="merge" passes a
+    halved ``budget``: its [Q, br, 128] f32 window plus the final-sort
+    permutation scratch add ~25 MB of VMEM next to the corpus window."""
     row_bytes = 2 * corpus.shape[-1] * corpus.dtype.itemsize
     if chunk_size * row_bytes <= budget:
         return chunk_size
@@ -1103,9 +1408,9 @@ def _resolve_impl(impl: str, n_queries: int, rows: int, nbytes: int,
 
 
 def _check_select(select: str) -> None:
-    if select not in ("flat", "hier", "capdom"):
-        raise ValueError(
-            f"select must be 'flat', 'hier' or 'capdom', got {select!r}")
+    if select not in ("flat", "hier", "capdom", "merge"):
+        raise ValueError(f"select must be 'flat', 'hier', 'capdom' or "
+                         f"'merge', got {select!r}")
 
 
 def sharded_exact_topk_mips(queries: jnp.ndarray, corpus_sharded: jnp.ndarray,
@@ -1130,8 +1435,11 @@ def sharded_exact_topk_mips(queries: jnp.ndarray, corpus_sharded: jnp.ndarray,
     local_chunk = max(LANES, (chunk_size // LANES) * LANES)
     local_chunk = min(local_chunk, -(-shard_rows // LANES) * LANES)
     local_chunk = _clamp_chunk_for_corpus_window(local_chunk, corpus_sharded)
-    local_chunk = _clamp_chunk_for_queries(local_chunk, queries.shape[0])
     _check_select(select)
+    if select == "merge":
+        local_chunk = _clamp_chunk_for_corpus_window(
+            local_chunk, corpus_sharded, budget=32 * 1024 * 1024)
+    local_chunk = _clamp_chunk_for_queries(local_chunk, queries.shape[0])
     # per-shard budget: local corpus rows/bytes (same guards as unsharded)
     impl = _resolve_impl(impl, queries.shape[0], shard_rows,
                          corpus_sharded.nbytes // num_shards, local_chunk)

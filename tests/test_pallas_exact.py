@@ -791,6 +791,183 @@ class TestCapdomSelect:
         np.testing.assert_array_equal(np.asarray(idx), oidx)
 
 
+class TestMergeSelect:
+    """select="merge" on impl="stream": the round-5 running in-kernel
+    top-B window — candidates accumulate in the kernel's revisited output
+    refs across chunk steps; no capture matrix, no assembly. Exactness is
+    proven by the lost-max check (non-captured residual + ejected window
+    keys); ties or adversarial clustering flip the lax.cond to the exact
+    global path."""
+
+    @pytest.mark.parametrize("n,k,chunk", [(1024, 5, 256), (4096, 25, 1024),
+                                           (2500, 10, 512), (4096, 1, 512)])
+    def test_matches_oracle(self, rng, n, k, chunk):
+        q = rng.randn(7, 32).astype(np.float32)
+        c = rng.randn(n, 32).astype(np.float32)
+        vals, idx = exact_topk_mips(jnp.asarray(q), jnp.asarray(c), k,
+                                    chunk_size=chunk, interpret=True,
+                                    impl="stream", select="merge")
+        ovals, oidx = numpy_topk(q @ c.T, k)
+        np.testing.assert_allclose(np.asarray(vals), ovals, rtol=1e-4,
+                                   atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(idx), oidx)
+
+    def test_random_data_serves_from_window(self, rng):
+        # the fast path must actually fire on typical data
+        from kirag_tpu.ops import pallas_exact as pe
+
+        jax.clear_caches()
+        pe._STREAM_ASSERT_CAPTURE = True
+        try:
+            q = rng.randn(6, 24).astype(np.float32)
+            c = rng.randn(4224, 24).astype(np.float32)
+            vals, idx = exact_topk_mips(jnp.asarray(q), jnp.asarray(c), 11,
+                                        chunk_size=384, interpret=True,
+                                        impl="stream", select="merge")
+            _, oidx = numpy_topk(q @ c.T, 11)
+            np.testing.assert_array_equal(np.asarray(idx), oidx)
+        finally:
+            pe._STREAM_ASSERT_CAPTURE = False
+            jax.clear_caches()
+
+    def test_cross_chunk_tie_prefers_lower_row(self):
+        # equal scores in different groups AND different chunks: the final
+        # in-kernel gid sort must compose to global FAISS (lowest-row) order
+        d = 8
+        v = np.zeros(d, dtype=np.float32)
+        v[0] = 1.0
+        c = np.zeros((2048, d), dtype=np.float32)
+        c[3] = v
+        c[1800] = v  # different chunk at chunk_size=512
+        c[130] = 2 * v
+        vals, idx = exact_topk_mips(jnp.asarray(v[None]), jnp.asarray(c), 2,
+                                    chunk_size=512, interpret=True,
+                                    impl="stream", select="merge")
+        np.testing.assert_array_equal(np.asarray(idx)[0], [130, 3])
+        np.testing.assert_allclose(np.asarray(vals)[0], [2.0, 1.0])
+
+    def test_adversarial_cluster_falls_back_exactly(self, rng):
+        # every top-k row in ONE chunk: per-chunk capture overflows, the
+        # lost check fails, fallback must still be oracle-exact
+        c = (rng.randn(4096, 16) * 0.01).astype(np.float32)
+        c[100:200] = (rng.randn(100, 16) + 5.0).astype(np.float32)
+        q = np.ones((3, 16), dtype=np.float32)
+        vals, idx = exact_topk_mips(jnp.asarray(q), jnp.asarray(c), 30,
+                                    chunk_size=512, interpret=True,
+                                    impl="stream", select="merge")
+        ovals, oidx = numpy_topk(q @ c.T, 30)
+        np.testing.assert_array_equal(np.asarray(idx), oidx)
+        np.testing.assert_allclose(np.asarray(vals), ovals, rtol=1e-4,
+                                   atol=1e-4)
+
+    def test_all_tie_corpus_falls_back_exactly(self, rng):
+        # every score equal: the strict lost check must fail and the
+        # fallback must reproduce FAISS ascending-row order
+        q = np.ones((4, 16), dtype=np.float32)
+        c = np.ones((2048, 16), dtype=np.float32)
+        _, idx = exact_topk_mips(jnp.asarray(q), jnp.asarray(c), 10,
+                                 chunk_size=256, interpret=True,
+                                 impl="stream", select="merge")
+        np.testing.assert_array_equal(
+            np.asarray(idx), np.tile(np.arange(10), (4, 1)))
+
+    def test_valid_rows_masked(self, rng):
+        q = rng.randn(3, 16).astype(np.float32)
+        c = rng.randn(2048, 16).astype(np.float32)
+        c[1900:] = 100.0
+        vals, idx = exact_topk_mips(jnp.asarray(q), jnp.asarray(c), 7,
+                                    chunk_size=512, valid_rows=1900,
+                                    interpret=True, impl="stream",
+                                    select="merge")
+        assert np.asarray(idx).max() < 1900
+        _, oidx = numpy_topk(q @ c[:1900].T, 7)
+        np.testing.assert_array_equal(np.asarray(idx), oidx)
+
+    def test_int8_scales(self, rng):
+        from kirag_tpu.ops.quantized import quantize_rows_int8
+
+        c = rng.randn(1024, 32).astype(np.float32)
+        c /= np.linalg.norm(c, axis=-1, keepdims=True)
+        q = c[:4]
+        ci8, scales = quantize_rows_int8(c)
+        _, idx = exact_topk_mips(
+            jnp.asarray(q, dtype=jnp.bfloat16), jnp.asarray(ci8), 5,
+            chunk_size=256, interpret=True, scales=jnp.asarray(scales),
+            impl="stream", select="merge")
+        np.testing.assert_array_equal(np.asarray(idx)[:, 0], np.arange(4))
+
+    def test_int4_matches_capdom(self, rng):
+        from kirag_tpu.ops.quantized import quantize_rows_int4
+
+        c = rng.randn(2048, 256).astype(np.float32)
+        q = rng.randn(5, 256).astype(np.float32)
+        packed, scales = quantize_rows_int4(c)
+        out = {}
+        for sel in ("merge", "capdom"):
+            out[sel] = exact_topk_mips(
+                jnp.asarray(q, dtype=jnp.bfloat16), jnp.asarray(packed), 12,
+                chunk_size=512, interpret=True, scales=jnp.asarray(scales),
+                impl="stream", select=sel)
+        np.testing.assert_array_equal(np.asarray(out["merge"][1]),
+                                      np.asarray(out["capdom"][1]))
+        np.testing.assert_array_equal(np.asarray(out["merge"][0]),
+                                      np.asarray(out["capdom"][0]))
+
+    def test_nonstream_impl_degrades_to_hier(self, rng):
+        q = rng.randn(4, 16).astype(np.float32)
+        c = rng.randn(2048, 16).astype(np.float32)
+        _, idx = exact_topk_mips(jnp.asarray(q), jnp.asarray(c), 9,
+                                 chunk_size=512, interpret=True,
+                                 impl="twopass", select="merge")
+        _, oidx = numpy_topk(q @ c.T, 9)
+        np.testing.assert_array_equal(np.asarray(idx), oidx)
+
+    def test_blockwise_query_batches(self, rng):
+        # merge tiles per single QUERY_BLOCK (the window revisit needs the
+        # chunk axis minor), so big batches run block-by-block under lax.map
+        from kirag_tpu.ops import pallas_exact as pe
+
+        old = pe.QUERY_BLOCK
+        pe.QUERY_BLOCK = 4
+        try:
+            q = rng.randn(12, 16).astype(np.float32)
+            c = rng.randn(2048, 16).astype(np.float32)
+            c[100] = c[900] = q[5] * 3  # tie seen by one query block
+            vals, idx = exact_topk_mips(jnp.asarray(q), jnp.asarray(c), 7,
+                                        chunk_size=512, interpret=True,
+                                        impl="stream", select="merge")
+            ovals, oidx = numpy_topk(q @ c.T, 7)
+            np.testing.assert_allclose(np.asarray(vals), ovals,
+                                       rtol=1e-4, atol=1e-4)
+            np.testing.assert_array_equal(np.asarray(idx), oidx)
+        finally:
+            pe.QUERY_BLOCK = old
+
+    def test_single_chunk_corpus(self, rng):
+        # num_chunks == 1: window init and the final gid sort run on the
+        # same grid step
+        q = rng.randn(5, 32).astype(np.float32)
+        c = rng.randn(1024, 32).astype(np.float32)
+        vals, idx = exact_topk_mips(jnp.asarray(q), jnp.asarray(c), 9,
+                                    chunk_size=1024, interpret=True,
+                                    impl="stream", select="merge")
+        _, oidx = numpy_topk(q @ c.T, 9)
+        np.testing.assert_array_equal(np.asarray(idx), oidx)
+
+    def test_sharded_merge(self, rng, mesh8):
+        n, d, k = 4096, 32, 13
+        q = rng.randn(5, d).astype(np.float32)
+        c = rng.randn(n, d).astype(np.float32)
+        vals, idx = sharded_exact_topk_mips(jnp.asarray(q), jnp.asarray(c), k,
+                                            mesh8, chunk_size=256,
+                                            interpret=True, impl="stream",
+                                            select="merge")
+        ovals, oidx = numpy_topk(q @ c.T, k)
+        np.testing.assert_allclose(np.asarray(vals), ovals, rtol=1e-4,
+                                   atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(idx), oidx)
+
+
 class TestInt4Corpus:
     """Packed-int4 corpora (block-128 scales) across all exact impls."""
 
@@ -926,7 +1103,7 @@ class TestFuzzVsOracle:
 
         r = np.random.default_rng(1000 + case)
         impl = r.choice(["stream", "single", "twopass", "auto"])
-        select = r.choice(["capdom", "hier", "flat"])
+        select = r.choice(["capdom", "hier", "flat", "merge"])
         quant = r.choice(["none", "none", "int8", "int4"])
         d = 256 if quant == "int4" else int(r.choice([16, 64, 96]))
         n = int(r.integers(300, 4000))
