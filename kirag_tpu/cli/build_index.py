@@ -38,6 +38,14 @@ def setup_parser():
                              "int4 = 8x (packed nibbles + block-128 scales, "
                              "dim must be a multiple of 256 — fits the 21M "
                              "DPR corpus on one chip at recall@100 ~0.99)")
+    parser.add_argument("--shuffle_rows", action="store_true",
+                        help="apply a seeded global row permutation before "
+                             "indexing (ids move with rows). Recommended "
+                             "when mode=approx searches will run over a "
+                             "corpus whose similar passages sit adjacent "
+                             "(DPR article order): approx samples one "
+                             "winner per 128-row group")
+    parser.add_argument("--shuffle_seed", type=int, default=0)
     parser.add_argument("--save_dir", type=str, required=True)
     parser.add_argument("--delete_shards", action="store_true",
                         help="remove embedding shards after indexing (reference behavior)")
@@ -60,7 +68,9 @@ def main():
     setup_logger(os.path.join(args.save_dir, "build_index.log"))
 
     indexer = TPUIndexer(args.embedding_size, metric=args.metric,
-                         compression=args.compression)
+                         compression=args.compression,
+                         shuffle_rows=args.shuffle_rows,
+                         shuffle_seed=args.shuffle_seed)
     shard_files = discover_shards(args.embeddings_dir)
     if not shard_files:
         raise FileNotFoundError(f"no embedding shards under {args.embeddings_dir}")

@@ -50,7 +50,8 @@ class TPUIndexer:
                  compression: str = "none", n_subquantizers: int = 0, n_bits: int = 8,
                  max_device_rows: Optional[int] = None,
                  exact_impl: str = "auto", pallas_chunk_size: int = 16384,
-                 pallas_select: str = "capdom"):
+                 pallas_select: str = "capdom", shuffle_rows: bool = False,
+                 shuffle_seed: int = 0):
         # drop-in compatibility with the reference ctor (`retriever/index.py:19`):
         # a PQ request maps to our int8/int4 row compression (the TPU
         # equal-memory play); <=4-bit PQ codes pick the 8x-compressed int4
@@ -107,6 +108,18 @@ class TPUIndexer:
                            f"got {pallas_select}")
         self.pallas_select = pallas_select
 
+        # shuffle_rows: apply a seeded global row permutation before
+        # materialization. mode="approx" samples ONE winner per 128-row
+        # group, so corpora whose similar rows sit ADJACENT (consecutive
+        # passages of one article in DPR layout) under-recall; decorrelating
+        # row order from similarity restores the kernel's measured ~0.994
+        # recall@100. The id map permutes alongside, so returned db_ids are
+        # unaffected; only FAISS tie ORDER among exactly-equal scores
+        # follows the shuffled layout instead of insertion order.
+        self.shuffle_rows = shuffle_rows
+        self.shuffle_seed = shuffle_seed
+        self._shuffled = False
+
         self._host_chunks: List[np.ndarray] = []
         self.index_id_to_db_id: np.ndarray = np.empty((0,), dtype=object)
         self._device_corpus: Optional[jnp.ndarray] = None
@@ -135,6 +148,7 @@ class TPUIndexer:
         self.index_id_to_db_id = np.concatenate([self.index_id_to_db_id, new_ids])
         self._device_corpus = None  # invalidate
         self._stream_blocks = None
+        self._shuffled = False  # appended rows join the next shuffle
         logger.info(f"Total data indexed {len(self.index_id_to_db_id)}")
 
     def _host_rows(self, start: int, end: int) -> np.ndarray:
@@ -152,6 +166,35 @@ class TPUIndexer:
             return np.zeros((0, self.vector_sz), dtype=np.float32)
         return parts[0] if len(parts) == 1 else np.concatenate(parts, axis=0)
 
+    def _host_take(self, indices: np.ndarray) -> np.ndarray:
+        """Random-access row gather across the host chunk list (chunks may
+        be mmap'd shard files). Callers pass bounded blocks of indices so no
+        second full-corpus copy ever materializes."""
+        out = np.empty((len(indices), self.vector_sz), dtype=np.float32)
+        ofs = 0
+        for chunk in self._host_chunks:
+            m = (indices >= ofs) & (indices < ofs + len(chunk))
+            if m.any():
+                out[m] = np.asarray(chunk[indices[m] - ofs], dtype=np.float32)
+            ofs += len(chunk)
+        return out
+
+    def _maybe_shuffle(self) -> None:
+        """Apply the ``shuffle_rows`` permutation (see ``__init__``) once per
+        corpus state, host-side and block-wise, before any materialization.
+        Re-applying after an append re-permutes the whole corpus — ids move
+        with their rows, so repeated shuffles stay consistent."""
+        if not self.shuffle_rows or self._shuffled or len(self) == 0:
+            return
+        n = len(self)
+        perm = np.random.default_rng(self.shuffle_seed).permutation(n)
+        block = 1 << 20
+        new_chunks = [self._host_take(perm[start:start + block])
+                      for start in range(0, n, block)]
+        self._host_chunks = new_chunks
+        self.index_id_to_db_id = self.index_id_to_db_id[perm]
+        self._shuffled = True
+
     def _shard_count(self) -> int:
         if self.mesh is None:
             return 1
@@ -164,6 +207,7 @@ class TPUIndexer:
         list, so an mmap'd multi-file index never materializes a second full
         f32 copy — at DPR scale (21M x 1024) that copy alone is 86GB.
         """
+        self._maybe_shuffle()
         n = len(self)
         d = self.vector_sz
         shards = self._shard_count()
@@ -241,6 +285,7 @@ class TPUIndexer:
         shape and pays only the host->HBM copy per block."""
         if self._stream_blocks is not None:
             return
+        self._maybe_shuffle()
         assert self.mesh is None, "streaming mode is single-chip (shard the "\
             "corpus across the mesh instead when chips are available)"
         if self.metric != "inner_product":
@@ -468,6 +513,7 @@ class TPUIndexer:
         id map and config). Multi-file layout keeps writes/loads streamable at
         21M-row scale — no monolithic 86GB ``index.npy`` — and shard files
         mmap independently on load."""
+        self._maybe_shuffle()  # shuffle_rows: persist the permuted layout
         os.makedirs(dir_path, exist_ok=True)
         meta_file = os.path.join(dir_path, "index_meta.pkl")
         config_file = os.path.join(dir_path, "index_config.json")

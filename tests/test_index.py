@@ -285,6 +285,78 @@ class TestApproxMode:
             assert ids_a[0] == str(row)
 
 
+class TestShuffleRows:
+    """shuffle_rows=True: seeded global row permutation at materialization.
+    Closes the documented approx-mode adjacency caveat (one winner per
+    128-row group under-recalls ADJACENT similar rows — consecutive
+    passages of one article in DPR layout)."""
+
+    def test_exact_results_unchanged(self, rng):
+        c = rng.randn(1024, 16).astype(np.float32)
+        c /= np.linalg.norm(c, axis=-1, keepdims=True)
+        q = c[:5] + 0.01 * rng.randn(5, 16).astype(np.float32)
+        plain = TPUIndexer(16, chunk_size=256)
+        plain.index_data(range(1024), c)
+        shuf = TPUIndexer(16, chunk_size=256, shuffle_rows=True,
+                          shuffle_seed=3)
+        shuf.index_data(range(1024), c)
+        for (ids_p, vals_p), (ids_s, vals_s) in zip(
+                plain.search_knn(q, 7), shuf.search_knn(q, 7)):
+            assert ids_p == ids_s  # db ids move with their rows
+            np.testing.assert_allclose(np.asarray(vals_p),
+                                       np.asarray(vals_s), rtol=1e-5)
+
+    def test_approx_recovers_adjacent_cluster(self, rng):
+        # 8 near-duplicate rows ADJACENT inside one 128-row group: the
+        # group-sampling approx kernel can return at most ~1 of them
+        # unshuffled; the shuffle spreads them across groups
+        n, d = 8192, 16  # 64 groups: shuffled cluster rows rarely collide
+        c = rng.randn(n, d).astype(np.float32) * 0.05
+        q = rng.randn(1, d).astype(np.float32)
+        q /= np.linalg.norm(q)
+        cluster = np.arange(256, 264)
+        c[cluster] = q + 0.001 * rng.randn(8, d).astype(np.float32)
+        want = {str(i) for i in cluster}
+
+        plain = TPUIndexer(d, chunk_size=512)
+        plain.index_data(range(n), c)
+        ids_plain, _ = plain.search_knn(q, 8, mode="approx")[0]
+        shuf = TPUIndexer(d, chunk_size=512, shuffle_rows=True,
+                          shuffle_seed=0)
+        shuf.index_data(range(n), c)
+        ids_shuf, _ = shuf.search_knn(q, 8, mode="approx")[0]
+
+        assert len(want & set(ids_plain)) <= 2  # the documented caveat
+        assert len(want & set(ids_shuf)) >= 6   # decorrelated layout
+        # exact mode finds the full cluster either way
+        ids_exact, _ = shuf.search_knn(q, 8)[0]
+        assert set(ids_exact) == want
+
+    def test_serialize_persists_shuffled_layout(self, rng, tmp_path):
+        c = rng.randn(300, 8).astype(np.float32)
+        c /= np.linalg.norm(c, axis=-1, keepdims=True)
+        ix = TPUIndexer(8, shuffle_rows=True, shuffle_seed=1)
+        ix.index_data(range(300), c)
+        ix.serialize(str(tmp_path / "ix"))
+        loaded = TPUIndexer(8)
+        loaded.deserialize_from(str(tmp_path / "ix"))
+        ids, _ = loaded.search_knn(c[17:18], 1)[0]
+        assert ids[0] == "17"
+
+    def test_append_after_shuffle_reshuffles_consistently(self, rng):
+        c = rng.randn(512, 8).astype(np.float32)
+        c /= np.linalg.norm(c, axis=-1, keepdims=True)
+        ix = TPUIndexer(8, chunk_size=128, shuffle_rows=True, shuffle_seed=2)
+        ix.index_data(range(256), c[:256])
+        ids, _ = ix.search_knn(c[10:11], 1)[0]
+        assert ids[0] == "10"
+        ix.index_data(range(256, 512), c[256:])
+        ids2, _ = ix.search_knn(c[300:301], 1)[0]
+        assert ids2[0] == "300"
+        ids3, _ = ix.search_knn(c[10:11], 1)[0]
+        assert ids3[0] == "10"
+
+
 class TestPersistence:
     def test_serialize_roundtrip(self, rng, tmp_path):
         c = rng.randn(40, 8).astype(np.float32)
