@@ -773,9 +773,21 @@ def _exact_body(queries, corpus, k_eff: int, chunk_size: int, n_valid,
 
     if impl == "stream":
         if select == "merge":
-            return _merge_body(queries, corpus, scales, quant, k_eff,
-                               chunk_size, n_valid, interpret, n_q,
-                               num_chunks, groups, groups_per_chunk)
+            # the running window must stay VMEM-resident across chunk
+            # steps: [qb, br, 128] f32 + the final-sort permutation scratch.
+            # Beyond ~24 MB (br ~= 180 at qb=256) degrade to capdom instead
+            # of OOMing at Mosaic lowering — large-k callers lose nothing
+            # (capdom's tail amortizes better as k grows anyway).
+            qb = (QUERY_BLOCK if n_q > QUERY_BLOCK
+                  and n_q % QUERY_BLOCK == 0 else n_q)
+            br = max(-(-k_eff // 8) * 8,
+                     _capture_budget(k_eff, num_chunks, groups_per_chunk))
+            if qb * br * LANES * 4 > 24 * 1024 * 1024:
+                select = "capdom"
+            else:
+                return _merge_body(queries, corpus, scales, quant, k_eff,
+                                   chunk_size, n_valid, interpret, n_q,
+                                   num_chunks, groups, groups_per_chunk)
         return _stream_body(queries, corpus, scales, quant, k_eff, chunk_size,
                             n_valid, interpret, select, n_q, num_chunks,
                             groups, groups_per_chunk, in_specs, operands)

@@ -954,6 +954,18 @@ class TestMergeSelect:
         _, oidx = numpy_topk(q @ c.T, 9)
         np.testing.assert_array_equal(np.asarray(idx), oidx)
 
+    def test_large_k_degrades_to_capdom(self, rng):
+        # qb=256 x br=408 slots x [128] f32 = 53 MB of window: beyond the
+        # ~24 MB VMEM guard the route must silently fall back to capdom
+        # (still oracle-exact) instead of OOMing at Mosaic lowering
+        q = rng.randn(256, 16).astype(np.float32)
+        c = rng.randn(32768, 16).astype(np.float32)
+        vals, idx = exact_topk_mips(jnp.asarray(q), jnp.asarray(c), 400,
+                                    chunk_size=4096, interpret=True,
+                                    impl="stream", select="merge")
+        _, oidx = numpy_topk(q @ c.T, 400)
+        np.testing.assert_array_equal(np.asarray(idx), oidx)
+
     def test_sharded_merge(self, rng, mesh8):
         n, d, k = 4096, 32, 13
         q = rng.randn(5, d).astype(np.float32)
