@@ -274,6 +274,20 @@ def main() -> None:
             lambda qq: exact_topk_mips(qq, c, K, chunk_size=16384, scales=s,
                                        valid_rows=N, interpret=False,
                                        select="capdom", impl="stream")),
+        "merge16k": lambda: guarded(
+            "exact_stream_merge_c16k_int4_21m",
+            lambda qq: exact_topk_mips(qq, c, K, chunk_size=16384, scales=s,
+                                       valid_rows=N, interpret=False,
+                                       select="merge", impl="stream")),
+        # merge needs no [C, B, Q, 128] capture buffer in HBM (its window
+        # lives in VMEM) — the very allocation that OOM'd capdom at chunk
+        # 8192 here (2.7 GB at C=2566 next to the 11.4 GB corpus); only the
+        # [C, G, Q] gmax fallback table (~336 MB at 8k) remains
+        "merge8k": lambda: guarded(
+            "exact_stream_merge_c8k_int4_21m",
+            lambda qq: exact_topk_mips(qq, c, K, chunk_size=8192, scales=s,
+                                       valid_rows=N, interpret=False,
+                                       select="merge", impl="stream")),
         "twopass16k": lambda: guarded(
             "exact_twopass_hier_c16k_int4_21m",
             lambda qq: exact_topk_mips(qq, c, K, chunk_size=16384, scales=s,
