@@ -65,9 +65,6 @@ class TPUIndexer:
         if compression not in ("none", "int8", "int4"):
             raise KeyError(f"compression must be 'none', 'int8' or 'int4', "
                            f"got {compression}")
-        if compression in ("int8", "int4") and metric != "inner_product":
-            raise ValueError(f"{compression} compression currently supports "
-                             "inner_product only")
         if compression == "int4" and vector_sz % 256 != 0:
             raise ValueError("int4 compression needs vector_sz % 256 == 0 "
                              f"(plane packing), got {vector_sz}")
@@ -119,12 +116,21 @@ class TPUIndexer:
         self.shuffle_rows = shuffle_rows
         self.shuffle_seed = shuffle_seed
         self._shuffled = False
+        # l2 metric: the corpus is stored AUGMENTED with a -0.5*||c||^2
+        # column at to_device (argmin ||q-c||^2 == argmax q.c - 0.5||c||^2
+        # with a constant-one query column), so one fused MIPS kernel
+        # serves both metrics and no per-search corpus copy exists. int8
+        # shares ONE scale per row, so the norm column is balanced by a
+        # power-of-2 alpha (exact in bf16/f32, exact inverse on the query
+        # side) to keep it from dominating the row absmax; int4's
+        # block-128 scales give the norm column its own block, where a
+        # block absmax quantizes LOSSLESSLY ((n-7.5)*absmax/7.5 grid).
+        self._l2_alpha = 1.0
 
         self._host_chunks: List[np.ndarray] = []
         self.index_id_to_db_id: np.ndarray = np.empty((0,), dtype=object)
         self._device_corpus: Optional[jnp.ndarray] = None
         self._device_scales: Optional[jnp.ndarray] = None
-        self._device_sq_norms: Optional[jnp.ndarray] = None
         self._device_rows: int = 0
         self._stream_blocks: Optional[List[dict]] = None
 
@@ -200,16 +206,55 @@ class TPUIndexer:
             return 1
         return self.mesh.shape[self.mesh_axis]
 
+    def _l2_aug_width(self) -> int:
+        """Width of the augmented corpus for metric="l2": +1 norm column,
+        +256 for int4 (packing needs dim % 256 == 0; the norm lands at the
+        head of its own 128-dim scale block and quantizes losslessly)."""
+        if self.metric != "l2":
+            return self.vector_sz
+        return self.vector_sz + (256 if self.compression == "int4" else 1)
+
+    def _l2_augment(self, rows: np.ndarray) -> np.ndarray:
+        """Append the alpha * -0.5*||c||^2 column (+ int4 zero padding)."""
+        nc = -0.5 * np.sum(rows.astype(np.float32) ** 2, axis=1,
+                           dtype=np.float32)[:, None]
+        cols = [np.asarray(rows, dtype=np.float32),
+                np.float32(self._l2_alpha) * nc]
+        if self.compression == "int4":
+            cols.append(np.zeros((len(rows), 255), dtype=np.float32))
+        return np.concatenate(cols, axis=1)
+
+    def _fit_l2_alpha(self) -> None:
+        """int8 + l2: pick the power-of-2 alpha that brings the norm column
+        to the typical row absmax, so the shared per-row int8 scale keeps
+        quantizing the data columns finely (unnormalized corpora otherwise
+        let ||c||^2/2 >> max|c_j| crush them). Power of 2 => alpha and its
+        query-side inverse are exact in f32 AND bf16."""
+        if self.metric != "l2" or self.compression != "int8":
+            self._l2_alpha = 1.0
+            return
+        sample = self._host_rows(0, min(len(self), 4096))
+        m_el = float(np.median(np.abs(sample).max(axis=1)))
+        m_nc = float(np.median(0.5 * np.sum(sample ** 2, axis=1)))
+        if m_el <= 0 or m_nc <= 0:
+            self._l2_alpha = 1.0
+            return
+        self._l2_alpha = float(2.0 ** round(np.log2(m_el / m_nc)))
+
     def to_device(self) -> None:
         """Pad rows to the shard grid and place the corpus into HBM.
 
         Assembly (and int8 quantization) run CHUNK-WISE over the host chunk
         list, so an mmap'd multi-file index never materializes a second full
-        f32 copy — at DPR scale (21M x 1024) that copy alone is 86GB.
+        f32 copy — at DPR scale (21M x 1024) that copy alone is 86GB. For
+        metric="l2" each chunk is augmented with its norm column on the way
+        (see ``__init__``): the former per-search ``jnp.concatenate`` of the
+        whole corpus (a full device copy per call) is gone.
         """
         self._maybe_shuffle()
+        self._fit_l2_alpha()
         n = len(self)
-        d = self.vector_sz
+        d = self._l2_aug_width()
         shards = self._shard_count()
         # rows must divide both the shard count and the tile sublane (8)
         unit = 8 * shards
@@ -236,6 +281,8 @@ class TPUIndexer:
             scales = np.zeros((n_pad,), dtype=np.float32)
             for start in range(0, n, block):
                 rows = self._host_rows(start, min(start + block, n))
+                if self.metric == "l2":
+                    rows = self._l2_augment(rows)
                 q[start:start + len(rows)], scales[start:start + len(rows)] = (
                     quantize_rows_int8(rows))
             self._device_corpus = shard_put(q)
@@ -250,6 +297,8 @@ class TPUIndexer:
             scales = np.zeros((n_pad, d // INT4_BLOCK), dtype=np.float32)
             for start in range(0, n, block):
                 rows = self._host_rows(start, min(start + block, n))
+                if self.metric == "l2":
+                    rows = self._l2_augment(rows)
                 q[start:start + len(rows)], scales[start:start + len(rows)] = (
                     quantize_rows_int4(rows))
             self._device_corpus = shard_put(q)
@@ -262,16 +311,13 @@ class TPUIndexer:
         np_dtype = np.dtype(jnp.dtype(self.device_dtype).name) \
             if self.device_dtype != jnp.bfloat16 else np.dtype(ml_dtypes.bfloat16)
         mat = np.zeros((n_pad, d), dtype=np_dtype)
-        sq = np.zeros((n_pad,), dtype=np.float32) if self.metric == "l2" else None
         for start in range(0, n, block):
             rows = self._host_rows(start, min(start + block, n))
+            if self.metric == "l2":
+                rows = self._l2_augment(rows)
             mat[start:start + len(rows)] = rows.astype(np_dtype)
-            if sq is not None:
-                sq[start:start + len(rows)] = np.sum(rows ** 2, axis=1)
         self._device_corpus = shard_put(mat)
         self._device_rows = n
-        if sq is not None:
-            self._device_sq_norms = shard_put(sq)
 
     # -- streaming (beyond-HBM corpora) ----------------------------------------
 
@@ -387,14 +433,18 @@ class TPUIndexer:
             self.to_device()
         corpus = self._device_corpus
         if self.metric == "l2":
-            # argmin ||q-c||^2 == argmax (q.c - 0.5 ||c||^2); fold the corpus
-            # norm in by appending a constant-one query column against
-            # -0.5||c||^2 so the same fused MIPS kernel serves both metrics.
-            ones = jnp.ones((queries.shape[0], 1), dtype=queries.dtype)
-            q_aug = jnp.concatenate([queries, ones], axis=1)
-            c_aug = jnp.concatenate(
-                [corpus, (-0.5 * self._device_sq_norms)[:, None].astype(corpus.dtype)], axis=1)
-            vals, idx = self._run_mips(q_aug, c_aug, k, mode=mode)
+            # argmin ||q-c||^2 == argmax (q.c - 0.5 ||c||^2): the corpus is
+            # stored with the alpha * -0.5||c||^2 column baked in
+            # (to_device), so only the tiny query side is augmented here —
+            # a constant 1/alpha column (+ zeros to the int4 pack width).
+            cols = [queries,
+                    jnp.full((queries.shape[0], 1), 1.0 / self._l2_alpha,
+                             dtype=queries.dtype)]
+            if self.compression == "int4":
+                cols.append(jnp.zeros((queries.shape[0], 255),
+                                      dtype=queries.dtype))
+            q_aug = jnp.concatenate(cols, axis=1)
+            vals, idx = self._run_mips(q_aug, corpus, k, mode=mode)
             q_sq = jnp.sum(queries.astype(jnp.float32) ** 2, axis=1, keepdims=True)
             dist = q_sq - 2.0 * vals  # ||q||^2 - 2(q.c - 0.5||c||^2)
             return np.asarray(dist), np.asarray(idx)

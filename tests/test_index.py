@@ -134,8 +134,6 @@ class TestInt8Compression:
             assert ids_q[0] == str(row)
 
     def test_int8_guards(self):
-        with pytest.raises(ValueError):
-            TPUIndexer(8, metric="l2", compression="int8")
         with pytest.raises(KeyError):
             TPUIndexer(8, compression="pq")
 
@@ -283,6 +281,90 @@ class TestApproxMode:
         approx = indexer.search_knn(c[:4], top_docs=5, mode="approx")
         for row, (ids_a, _) in enumerate(approx):
             assert ids_a[0] == str(row)
+
+
+class TestL2Compression:
+    """metric="l2" composed with int8/int4: the corpus is stored augmented
+    with its (alpha-balanced) norm column at to_device and quantized as a
+    whole — one fused MIPS kernel serves both metrics at every
+    compression level (the reference's IndexPQ supports l2 too)."""
+
+    def test_l2_int8_self_hit_and_order(self, rng):
+        c = rng.randn(1024, 32).astype(np.float32)
+        q = c[:6] + 0.01 * rng.randn(6, 32).astype(np.float32)
+        ix = TPUIndexer(32, metric="l2", compression="int8")
+        ix.index_data(range(1024), c)
+        res = ix.search_knn(q, 5)
+        oracle = np.argsort(
+            ((q[:, None, :] - c[None]) ** 2).sum(-1), axis=1)[:, :5]
+        for row, (ids, dists) in enumerate(res):
+            assert ids[0] == str(row)  # nearest = the perturbed source row
+            assert np.all(np.diff(np.asarray(dists)) >= -1e-4)  # ascending
+            assert len(set(ids) & {str(i) for i in oracle[row]}) >= 4
+
+    def test_l2_int8_unnormalized_alpha_balancing(self, rng):
+        # norms ~100x the element scale: without the power-of-2 alpha the
+        # shared int8 row scale would crush the data columns
+        c = (rng.randn(512, 16) * 10.0).astype(np.float32)
+        q = c[:5] + 0.1 * rng.randn(5, 16).astype(np.float32)
+        ix = TPUIndexer(16, metric="l2", compression="int8")
+        ix.index_data(range(512), c)
+        ix.to_device()
+        alpha = ix._l2_alpha
+        assert alpha == 2.0 ** round(np.log2(alpha))  # exact power of two
+        for row, (ids, _) in enumerate(ix.search_knn(q, 3)):
+            assert ids[0] == str(row)
+
+    def test_l2_int4_self_hit_and_order(self, rng):
+        c = rng.randn(768, 256).astype(np.float32)
+        q = c[:5] + 0.01 * rng.randn(5, 256).astype(np.float32)
+        ix = TPUIndexer(256, metric="l2", compression="int4")
+        ix.index_data(range(768), c)
+        res = ix.search_knn(q, 5)
+        oracle = np.argsort(
+            ((q[:, None, :] - c[None]) ** 2).sum(-1), axis=1)[:, :5]
+        for row, (ids, dists) in enumerate(res):
+            assert ids[0] == str(row)
+            assert np.all(np.diff(np.asarray(dists)) >= -1e-4)
+            assert len(set(ids) & {str(i) for i in oracle[row]}) >= 4
+
+    def test_l2_int4_norm_column_lossless(self, rng):
+        # the norm column heads its own 128-dim scale block, where a block
+        # absmax sits exactly on the (n-7.5)*absmax/7.5 grid
+        from kirag_tpu.ops.quantized import (dequantize_rows_int4,
+                                             quantize_rows_int4)
+
+        rows = rng.randn(32, 256).astype(np.float32)
+        ix = TPUIndexer(256, metric="l2", compression="int4")
+        aug = ix._l2_augment(rows)
+        packed, scales = quantize_rows_int4(aug)
+        deq = dequantize_rows_int4(packed, scales)
+        np.testing.assert_allclose(
+            deq[:, 256], -0.5 * np.sum(rows ** 2, axis=1), rtol=1e-6)
+
+    def test_l2_int8_sharded(self, rng, mesh8):
+        c = rng.randn(1024, 16).astype(np.float32)
+        q = c[:4] + 0.01 * rng.randn(4, 16).astype(np.float32)
+        ix = TPUIndexer(16, metric="l2", compression="int8", mesh=mesh8)
+        ix.index_data(range(1024), c)
+        for row, (ids, _) in enumerate(ix.search_knn(q, 3)):
+            assert ids[0] == str(row)
+
+    def test_l2_uncompressed_unchanged(self, rng):
+        # the refactor (augment at to_device, not per search) must keep the
+        # plain-f32 l2 contract: ascending squared distances, oracle order
+        c = rng.randn(600, 24).astype(np.float32)
+        q = rng.randn(3, 24).astype(np.float32)
+        ix = TPUIndexer(24, metric="l2")
+        ix.index_data(range(600), c)
+        res = ix.search_knn(q, 7)
+        d2 = ((q[:, None, :] - c[None]) ** 2).sum(-1)
+        oidx = np.argsort(d2, axis=1)[:, :7]
+        for row, (ids, dists) in enumerate(res):
+            np.testing.assert_array_equal([int(s) for s in ids], oidx[row])
+            np.testing.assert_allclose(np.asarray(dists),
+                                       np.sort(d2[row])[:7], rtol=2e-4,
+                                       atol=2e-4)
 
 
 class TestShuffleRows:
