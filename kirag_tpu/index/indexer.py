@@ -332,17 +332,18 @@ class TPUIndexer:
         if self._stream_blocks is not None:
             return
         self._maybe_shuffle()
+        self._fit_l2_alpha()
         assert self.mesh is None, "streaming mode is single-chip (shard the "\
             "corpus across the mesh instead when chips are available)"
-        if self.metric != "inner_product":
-            raise NotImplementedError("streaming mode supports inner_product only")
         import ml_dtypes
 
-        n, d = len(self), self.vector_sz
+        n, d = len(self), self._l2_aug_width()
         rows_per_block = max(8, (self.max_device_rows // 8) * 8)
         blocks = []
         for start in range(0, n, rows_per_block):
             rows = self._host_rows(start, min(start + rows_per_block, n))
+            if self.metric == "l2":
+                rows = self._l2_augment(rows)
             valid = len(rows)
             if valid < rows_per_block:
                 rows = np.concatenate(
@@ -427,28 +428,34 @@ class TPUIndexer:
 
     def _device_search(self, queries: jnp.ndarray, k: int, mode: str = "exact"
                        ) -> Tuple[np.ndarray, np.ndarray]:
-        if self._use_streaming():
-            return self._streaming_search(queries, k, mode)
-        if self._device_corpus is None:
+        streaming = self._use_streaming()
+        if streaming:
+            self._prepare_stream_blocks()   # sets _l2_alpha before q_aug
+        elif self._device_corpus is None:
             self.to_device()
-        corpus = self._device_corpus
+        q_search = queries
         if self.metric == "l2":
-            # argmin ||q-c||^2 == argmax (q.c - 0.5 ||c||^2): the corpus is
-            # stored with the alpha * -0.5||c||^2 column baked in
-            # (to_device), so only the tiny query side is augmented here —
-            # a constant 1/alpha column (+ zeros to the int4 pack width).
+            # argmin ||q-c||^2 == argmax (q.c - 0.5 ||c||^2): the corpus
+            # (resident matrix or streaming blocks) carries the
+            # alpha * -0.5||c||^2 column baked in, so only the tiny query
+            # side is augmented here — a constant 1/alpha column (+ zeros
+            # to the int4 pack width).
             cols = [queries,
                     jnp.full((queries.shape[0], 1), 1.0 / self._l2_alpha,
                              dtype=queries.dtype)]
             if self.compression == "int4":
                 cols.append(jnp.zeros((queries.shape[0], 255),
                                       dtype=queries.dtype))
-            q_aug = jnp.concatenate(cols, axis=1)
-            vals, idx = self._run_mips(q_aug, corpus, k, mode=mode)
-            q_sq = jnp.sum(queries.astype(jnp.float32) ** 2, axis=1, keepdims=True)
-            dist = q_sq - 2.0 * vals  # ||q||^2 - 2(q.c - 0.5||c||^2)
-            return np.asarray(dist), np.asarray(idx)
-        vals, idx = self._run_mips(queries, corpus, k, mode=mode)
+            q_search = jnp.concatenate(cols, axis=1)
+        if streaming:
+            vals, idx = self._streaming_search(q_search, k, mode)
+        else:
+            vals, idx = self._run_mips(q_search, self._device_corpus, k,
+                                       mode=mode)
+        if self.metric == "l2":
+            q_sq = jnp.sum(queries.astype(jnp.float32) ** 2, axis=1,
+                           keepdims=True)
+            vals = q_sq - 2.0 * vals  # ||q||^2 - 2(q.c - 0.5||c||^2)
         return np.asarray(vals), np.asarray(idx)
 
     def _use_pallas_exact(self) -> bool:

@@ -350,6 +350,32 @@ class TestL2Compression:
         for row, (ids, _) in enumerate(ix.search_knn(q, 3)):
             assert ids[0] == str(row)
 
+    def test_l2_streaming(self, rng):
+        # beyond-HBM blocks carry the same baked norm column; the host
+        # merge runs in the (monotone) IP domain before the dist transform
+        c = rng.randn(2000, 16).astype(np.float32)
+        q = rng.randn(3, 16).astype(np.float32)
+        ix = TPUIndexer(16, metric="l2", max_device_rows=512)
+        ix.index_data(range(2000), c)
+        res = ix.search_knn(q, 6)
+        d2 = ((q[:, None, :] - c[None]) ** 2).sum(-1)
+        oidx = np.argsort(d2, axis=1)[:, :6]
+        for row, (ids, dists) in enumerate(res):
+            np.testing.assert_array_equal([int(s) for s in ids], oidx[row])
+            np.testing.assert_allclose(np.asarray(dists),
+                                       np.sort(d2[row])[:6], rtol=2e-4,
+                                       atol=2e-4)
+
+    def test_l2_streaming_int8(self, rng):
+        c = rng.randn(1500, 32).astype(np.float32)
+        q = c[:4] + 0.01 * rng.randn(4, 32).astype(np.float32)
+        ix = TPUIndexer(32, metric="l2", compression="int8",
+                        max_device_rows=512)
+        ix.index_data(range(1500), c)
+        for row, (ids, dists) in enumerate(ix.search_knn(q, 3)):
+            assert ids[0] == str(row)
+            assert np.all(np.diff(np.asarray(dists)) >= -1e-4)
+
     def test_l2_uncompressed_unchanged(self, rng):
         # the refactor (augment at to_device, not per search) must keep the
         # plain-f32 l2 contract: ascending squared distances, oracle order
