@@ -561,7 +561,7 @@ def probe_ch_gmax_only_c8192(iters):
     c_pad = jnp.pad(c, ((0, n_pad - N), (0, 0)))
 
     def val(o):
-        gmax = o[0]
+        gmax = o[0][:, 0]  # [Q, W, G] since the winners-per-group knob
         own_group = rows // 128
         assert float(np.mean(
             gmax[np.arange(Q), own_group] > 0.97)) > 0.99

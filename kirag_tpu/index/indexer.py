@@ -51,7 +51,7 @@ class TPUIndexer:
                  max_device_rows: Optional[int] = None,
                  exact_impl: str = "auto", pallas_chunk_size: int = 16384,
                  pallas_select: str = "capdom", shuffle_rows: bool = False,
-                 shuffle_seed: int = 0):
+                 shuffle_seed: int = 0, approx_winners: int = 1):
         # drop-in compatibility with the reference ctor (`retriever/index.py:19`):
         # a PQ request maps to our int8/int4 row compression (the TPU
         # equal-memory play); <=4-bit PQ codes pick the 8x-compressed int4
@@ -126,6 +126,14 @@ class TPUIndexer:
         # block-128 scales give the norm column its own block, where a
         # block absmax quantizes LOSSLESSLY ((n-7.5)*absmax/7.5 grid).
         self._l2_alpha = 1.0
+        # mode="approx" recall/speed dial: candidates surfaced per 128-row
+        # group (the FAISS-nprobe role). 1 = the classic one-winner
+        # sampling (~0.994 recall@100 at 1M); 2 squares the dominant
+        # same-group miss term away; 128 degenerates to exact
+        if not 1 <= approx_winners <= 128:
+            raise ValueError(f"approx_winners must be in [1, 128], got "
+                             f"{approx_winners}")
+        self.approx_winners = approx_winners
 
         self._host_chunks: List[np.ndarray] = []
         self.index_id_to_db_id: np.ndarray = np.empty((0,), dtype=object)
@@ -385,7 +393,8 @@ class TPUIndexer:
                     queries, corpus, k_eff, valid_rows=blk["valid"],
                     scales=(jnp.asarray(blk["scales"])
                             if self.compression in ("int8", "int4")
-                            else None))
+                            else None),
+                    winners_per_group=self.approx_winners)
             elif self._use_pallas_exact():
                 from kirag_tpu.ops.pallas_exact import exact_topk_mips
 
@@ -495,11 +504,13 @@ class TPUIndexer:
 
                 return sharded_approx_topk_mips(
                     queries, corpus, k, self.mesh, axis=self.mesh_axis,
-                    valid_rows=self._device_rows, scales=scales)
+                    valid_rows=self._device_rows, scales=scales,
+                    winners_per_group=self.approx_winners)
             from kirag_tpu.ops.pallas_mips import approx_topk_mips
 
             return approx_topk_mips(queries, corpus, k,
-                                    valid_rows=self._device_rows, scales=scales)
+                                    valid_rows=self._device_rows, scales=scales,
+                                    winners_per_group=self.approx_winners)
         if self.compression == "int8":
             if sharded:
                 from kirag_tpu.ops.quantized import sharded_topk_mips_int8

@@ -40,9 +40,10 @@ LANES = 128
 
 
 def _group_max_kernel(q_ref, c_ref, *rest, groups_per_chunk: int,
-                      quant: str = "none"):
+                      quant: str = "none", winners: int = 1):
     """One grid step: score a [CHUNK, D] corpus block against all queries and
-    emit per-group (max, argmax-lane).
+    emit, per group, the top-``winners`` (value, lane) pairs by iterated
+    masked-max peeling (ties -> lowest lane, like the exact kernels).
 
     Refs:
       q_ref:    [Q, D]               (VMEM, same block every step)
@@ -50,8 +51,8 @@ def _group_max_kernel(q_ref, c_ref, *rest, groups_per_chunk: int,
                                       or packed-nibble uint8 [CHUNK, D/2])
       s_ref:    [1, G, LANES] f32    (int8: per-row dequant scales) or
                 [1, NB, CHUNK] f32   (int4: per-block scales)
-      gmax_ref: [1, groups, Q] f32   (output block for this chunk)
-      gidx_ref: [1, groups, Q] int32 (lane index of the max, ties -> lowest)
+      gmax_ref: [1, W, groups, Q] f32   (output block for this chunk)
+      gidx_ref: [1, W, groups, Q] int32 (peeled lane indices)
 
     Scoring (incl. in-VMEM int8/int4 dequantization) is shared with the
     exact kernels — :func:`kirag_tpu.ops.pallas_exact._chunk_scores` — so
@@ -68,11 +69,15 @@ def _group_max_kernel(q_ref, c_ref, *rest, groups_per_chunk: int,
                            s_ref[0] if s_ref is not None else None, quant)
     n_q = scores.shape[0]
     s3 = scores.reshape(n_q, groups_per_chunk, LANES)
-    m = jnp.max(s3, axis=-1)  # [Q, G]
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 2)
-    idx = jnp.min(jnp.where(s3 == m[..., None], lane_ids, LANES), axis=-1)
-    gmax_ref[0] = m.T
-    gidx_ref[0] = idx.astype(jnp.int32).T
+    for t in range(winners):
+        m = jnp.max(s3, axis=-1)  # [Q, G]
+        idx = jnp.min(jnp.where(s3 == m[..., None], lane_ids, LANES),
+                      axis=-1)
+        gmax_ref[0, t] = m.T
+        gidx_ref[0, t] = idx.astype(jnp.int32).T
+        if t + 1 < winners:
+            s3 = jnp.where(lane_ids == idx[..., None], -jnp.inf, s3)
 
 
 def _resolve_interpret(interpret: Optional[bool]) -> bool:
@@ -83,14 +88,17 @@ def _resolve_interpret(interpret: Optional[bool]) -> bool:
     return jax.default_backend() not in ("tpu",)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk_size", "interpret"))
+@functools.partial(jax.jit, static_argnames=("chunk_size", "interpret",
+                                              "winners"))
 def grouped_max_scores(queries: jnp.ndarray, corpus: jnp.ndarray,
                        chunk_size: int = 2048, interpret: bool = False,
-                       scales: Optional[jnp.ndarray] = None
+                       scales: Optional[jnp.ndarray] = None,
+                       winners: int = 1
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Fused scores + per-128-row-group (max, argmax) over the whole corpus.
+    """Fused scores + per-128-row-group top-``winners`` over the corpus.
 
-    Returns (gmax [Q, N/128] f32, gidx [Q, N/128] int32 lane-in-group).
+    Returns (gmax [Q, W, N/128] f32, gidx [Q, W, N/128] int32
+    lane-in-group), W = ``winners``; the W axis is descending per group.
     ``corpus`` rows must be divisible by ``chunk_size`` and ``chunk_size`` by
     128 (pad upstream). ``scales`` enables quantized corpora (same contract
     as the exact kernels): 1-D [N] f32 per-row factors for int8 rows, or
@@ -103,12 +111,14 @@ def grouped_max_scores(queries: jnp.ndarray, corpus: jnp.ndarray,
     n_q = queries.shape[0]
     d_q = queries.shape[1]  # = 2*d for packed int4 corpora
     assert n % chunk_size == 0 and chunk_size % LANES == 0
+    assert 1 <= winners <= LANES
     num_chunks = n // chunk_size
     groups_per_chunk = chunk_size // LANES
     quant = _quant_kind(corpus, scales)
 
     kernel = functools.partial(_group_max_kernel,
-                               groups_per_chunk=groups_per_chunk, quant=quant)
+                               groups_per_chunk=groups_per_chunk, quant=quant,
+                               winners=winners)
     kwargs = {}
     if pltpu is not None and not interpret:
         # grid steps write disjoint output blocks -> dependency-free grid dim
@@ -130,20 +140,24 @@ def grouped_max_scores(queries: jnp.ndarray, corpus: jnp.ndarray,
         grid=(num_chunks,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, groups_per_chunk, n_q), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, groups_per_chunk, n_q), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, winners, groups_per_chunk, n_q),
+                         lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, winners, groups_per_chunk, n_q),
+                         lambda i: (i, 0, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((num_chunks, groups_per_chunk, n_q), jnp.float32),
-            jax.ShapeDtypeStruct((num_chunks, groups_per_chunk, n_q), jnp.int32),
+            jax.ShapeDtypeStruct((num_chunks, winners, groups_per_chunk, n_q),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((num_chunks, winners, groups_per_chunk, n_q),
+                                 jnp.int32),
         ],
         interpret=interpret,
         **kwargs,
     )(*operands)
-    # [num_chunks, groups, Q] -> [Q, total_groups]
+    # [num_chunks, W, groups, Q] -> [Q, W, total_groups]
     total_groups = num_chunks * groups_per_chunk
-    gmax = gmax.reshape(total_groups, n_q).T
-    gidx = gidx.reshape(total_groups, n_q).T
+    gmax = gmax.transpose(3, 1, 0, 2).reshape(n_q, winners, total_groups)
+    gidx = gidx.transpose(3, 1, 0, 2).reshape(n_q, winners, total_groups)
     return gmax, gidx
 
 
@@ -151,17 +165,23 @@ def approx_topk_mips(queries: jnp.ndarray, corpus: jnp.ndarray, k: int,
                      chunk_size: int = 2048, valid_rows: Optional[int] = None,
                      interpret: Optional[bool] = None,
                      scales: Optional[jnp.ndarray] = None,
-                     row_offset=0) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Group-sampled top-k: one candidate (the argmax row) per 128-row group.
+                     row_offset=0,
+                     winners_per_group: int = 1
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Group-sampled top-k: ``winners_per_group`` candidates per 128-row
+    group (the recall/speed dial, the FAISS-nprobe role).
 
-    Exact for k=1; recall@k ~ 1 - k(k-1)*64/N for random row order. Row
-    order correlated with similarity (e.g. an article's passages in
-    consecutive rows) degrades recall — at most one row per 128-row group
-    can surface; shuffle rows upstream or use exact mode for such corpora.
-    Pads the corpus to the chunk grid; padded rows are masked via ``valid_rows``
-    (a traced scalar is accepted, for shard-local calls). ``scales`` enables
-    int8 ([N] f32) and packed-int4 ([N, D/128] f32) corpora; ``row_offset``
-    shifts returned row ids (sharded search).
+    Exact for k=1; at W=1, recall@k ~ 1 - k(k-1)*64/N for random row
+    order. The dominant miss mode is >W true top-k rows landing in one
+    group, so W=2 squares the miss term away (and W=128 IS exact search).
+    Row order correlated with similarity (an article's passages in
+    consecutive rows) degrades recall — at most W rows per group can
+    surface; shuffle rows upstream (``TPUIndexer(shuffle_rows=True)``) or
+    use exact mode for such corpora. Pads the corpus to the chunk grid;
+    padded rows are masked via ``valid_rows`` (a traced scalar is
+    accepted, for shard-local calls). ``scales`` enables int8 ([N] f32)
+    and packed-int4 ([N, D/128] f32) corpora; ``row_offset`` shifts
+    returned row ids (sharded search).
     """
     interpret = _resolve_interpret(interpret)
     n, d = corpus.shape
@@ -173,14 +193,19 @@ def approx_topk_mips(queries: jnp.ndarray, corpus: jnp.ndarray, k: int,
             scales = jnp.pad(scales, ((0, pad_to - n),) +
                              ((0, 0),) * (scales.ndim - 1))
     gmax, gidx = grouped_max_scores(queries, corpus, chunk_size=chunk_size,
-                                    interpret=interpret, scales=scales)
-    total_groups = gmax.shape[1]
+                                    interpret=interpret, scales=scales,
+                                    winners=winners_per_group)
+    n_q, w, total_groups = gmax.shape
     group_base = jnp.arange(total_groups, dtype=jnp.int32) * LANES
-    rows = group_base[None, :] + gidx  # [Q, groups] local row of each group max
+    rows = group_base[None, None, :] + gidx  # [Q, W, G] local candidate rows
     gmax = jnp.where(rows < n_valid, gmax, -jnp.inf)
-    k_eff = min(k, total_groups)
-    vals, pos = jax.lax.top_k(gmax, k_eff)
-    idx = jnp.take_along_axis(rows, pos, axis=-1) + row_offset
+    # group-major flatten: equal values tie toward the lower group id, and
+    # within a group toward the better-peeled winner
+    cand = gmax.transpose(0, 2, 1).reshape(n_q, total_groups * w)
+    crow = rows.transpose(0, 2, 1).reshape(n_q, total_groups * w)
+    k_eff = min(k, total_groups * w)
+    vals, pos = jax.lax.top_k(cand, k_eff)
+    idx = jnp.take_along_axis(crow, pos, axis=-1) + row_offset
     idx = jnp.where(jnp.isfinite(vals), idx, 0)  # masked-out slots carry no row
     if k_eff < k:
         vals = jnp.pad(vals, ((0, 0), (0, k - k_eff)), constant_values=-jnp.inf)
@@ -193,7 +218,8 @@ def sharded_approx_topk_mips(queries: jnp.ndarray, corpus_sharded: jnp.ndarray,
                              chunk_size: int = 2048,
                              valid_rows: Optional[int] = None,
                              interpret: Optional[bool] = None,
-                             scales: Optional[jnp.ndarray] = None
+                             scales: Optional[jnp.ndarray] = None,
+                             winners_per_group: int = 1
                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Group-sampled top-k over a corpus row-sharded across ``mesh[axis]``.
 
@@ -217,7 +243,7 @@ def sharded_approx_topk_mips(queries: jnp.ndarray, corpus_sharded: jnp.ndarray,
         vals, idx = approx_topk_mips(
             q_local, corpus_local, k, chunk_size=min(chunk_size, shard_rows),
             valid_rows=local_valid, interpret=interpret, scales=local_scales,
-            row_offset=offset)
+            row_offset=offset, winners_per_group=winners_per_group)
         all_vals = jax.lax.all_gather(vals, axis, axis=1, tiled=True)
         all_idx = jax.lax.all_gather(idx, axis, axis=1, tiled=True)
         top_vals, pos = jax.lax.top_k(all_vals, k)

@@ -20,8 +20,9 @@ class TestGroupedMaxScores:
                                         chunk_size=256, interpret=True)
         scores = q @ c.T
         ref = scores.reshape(8, 1024 // LANES, LANES)
-        np.testing.assert_allclose(np.asarray(gmax), ref.max(-1), rtol=1e-5, atol=1e-5)
-        np.testing.assert_array_equal(np.asarray(gidx), ref.argmax(-1))
+        np.testing.assert_allclose(np.asarray(gmax)[:, 0], ref.max(-1),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(gidx)[:, 0], ref.argmax(-1))
 
     def test_tie_prefers_lowest_lane(self):
         q = np.ones((1, 8), dtype=np.float32)
@@ -29,6 +30,21 @@ class TestGroupedMaxScores:
         _, gidx = grouped_max_scores(jnp.asarray(q), jnp.asarray(c),
                                      chunk_size=256, interpret=True)
         assert np.all(np.asarray(gidx) == 0)
+
+    def test_winners_peel_matches_numpy_topw(self, rng):
+        q = rng.randn(4, 16).astype(np.float32)
+        c = rng.randn(512, 16).astype(np.float32)
+        w = 3
+        gmax, gidx = grouped_max_scores(jnp.asarray(q), jnp.asarray(c),
+                                        chunk_size=256, interpret=True,
+                                        winners=w)
+        s3 = (q @ c.T).reshape(4, 512 // LANES, LANES)
+        ref_vals = -np.sort(-s3, axis=-1)[..., :w]          # [Q, G, w]
+        ref_idx = np.argsort(-s3, kind="stable", axis=-1)[..., :w]
+        np.testing.assert_allclose(np.asarray(gmax).transpose(0, 2, 1),
+                                   ref_vals, rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(gidx).transpose(0, 2, 1),
+                                      ref_idx)
 
 
 class TestApproxTopk:
@@ -83,6 +99,66 @@ class TestApproxTopk:
         assert recall >= 0.99, f"approx recall@{k} regressed: {recall}"
 
 
+class TestWinnersPerGroup:
+    """winners_per_group: the recall/speed dial (the FAISS-nprobe role)."""
+
+    def test_w2_recovers_same_group_pair(self, rng):
+        # two near-duplicate rows in the SAME 128-row group: W=1 can
+        # surface only one; W=2 must return both
+        c = (rng.randn(2048, 16) * 0.05).astype(np.float32)
+        q = rng.randn(1, 16).astype(np.float32)
+        q /= np.linalg.norm(q)
+        c[200] = q[0] * 2
+        c[201] = q[0] * 1.9
+        v1, i1 = approx_topk_mips(jnp.asarray(q), jnp.asarray(c), k=4,
+                                  chunk_size=512, interpret=True,
+                                  winners_per_group=1)
+        v2, i2 = approx_topk_mips(jnp.asarray(q), jnp.asarray(c), k=4,
+                                  chunk_size=512, interpret=True,
+                                  winners_per_group=2)
+        assert 200 in np.asarray(i1)[0] and 201 not in np.asarray(i1)[0]
+        assert {200, 201} <= set(np.asarray(i2)[0])
+        assert np.asarray(i2)[0, 0] == 200 and np.asarray(i2)[0, 1] == 201
+
+    def test_w128_equals_exact(self, rng):
+        from kirag_tpu.ops.mips import topk_mips
+
+        q = rng.randn(5, 16).astype(np.float32)
+        c = rng.randn(1024, 16).astype(np.float32)
+        va, ia = approx_topk_mips(jnp.asarray(q), jnp.asarray(c), k=9,
+                                  chunk_size=256, interpret=True,
+                                  winners_per_group=LANES)
+        ve, ie = topk_mips(jnp.asarray(q), jnp.asarray(c), 9, chunk_size=256)
+        np.testing.assert_allclose(np.asarray(va), np.asarray(ve),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(ia), np.asarray(ie))
+
+    def test_w2_sharded(self, rng, mesh8):
+        c = (rng.randn(2048, 16) * 0.05).astype(np.float32)
+        q = rng.randn(1, 16).astype(np.float32)
+        c[300] = q[0] * 2
+        c[301] = q[0] * 1.9
+        _, idx = sharded_approx_topk_mips(jnp.asarray(q), jnp.asarray(c), 4,
+                                          mesh8, chunk_size=256,
+                                          interpret=True,
+                                          winners_per_group=2)
+        assert {300, 301} <= set(np.asarray(idx)[0])
+
+    def test_indexer_approx_winners(self, rng):
+        from kirag_tpu.index import TPUIndexer
+
+        c = (rng.randn(2048, 16) * 0.05).astype(np.float32)
+        q = rng.randn(1, 16).astype(np.float32)
+        c[500] = q[0] * 2
+        c[501] = q[0] * 1.9
+        ix = TPUIndexer(16, approx_winners=2)
+        ix.index_data(range(2048), c)
+        ids, _ = ix.search_knn(q, 4, mode="approx")[0]
+        assert {"500", "501"} <= set(ids)
+        with pytest.raises(ValueError):
+            TPUIndexer(16, approx_winners=0)
+
+
 class TestInt8Scales:
     def test_scaled_kernel_matches_numpy(self, rng):
         from kirag_tpu.ops.quantized import quantize_rows_int8
@@ -96,7 +172,8 @@ class TestInt8Scales:
         deq = ci8.astype(np.float32) * scales[:, None]
         ref = (q @ deq.T).reshape(4, 512 // LANES, LANES)
         # bf16 queries + bf16 int8-cast matmul: loose tolerance
-        np.testing.assert_allclose(np.asarray(gmax), ref.max(-1), rtol=2e-2, atol=2e-2)
+        np.testing.assert_allclose(np.asarray(gmax)[:, 0], ref.max(-1),
+                                   rtol=2e-2, atol=2e-2)
 
     def test_approx_int8_selects_real_rows(self, rng):
         from kirag_tpu.ops.quantized import quantize_rows_int8
