@@ -54,6 +54,11 @@ def setup_parser():
                         choices=["exact", "approx"],
                         help="approx = fused Pallas group-sampled top-k "
                              "(recall@100 ~0.994, composes with int8 indexes)")
+    parser.add_argument("--approx_winners", type=int, default=1,
+                        help="approx recall/speed dial: candidates per "
+                             "128-row group (1 = classic sampling, 2 kills "
+                             "the dominant same-group miss mode, 128 = "
+                             "exact)")
 
     parser.add_argument("--llm", type=str, required=True,
                         help="LOCAL path to a Llama-architecture chat model, or 'stub'")
@@ -97,7 +102,8 @@ def setup_retriever_model(args):
     encoder = build_encoder(args)
     mesh = build_mesh(args)
     corpus = build_corpus(args)
-    indexer = TPUIndexer(args.embedding_size, metric="inner_product", mesh=mesh)
+    indexer = TPUIndexer(args.embedding_size, metric="inner_product", mesh=mesh,
+                         approx_winners=getattr(args, "approx_winners", 1))
     indexer.deserialize_from(args.index_folder)
     retriever = DenseRetriever(encoder, collator, indexer=indexer, corpus=corpus,
                                batch_size=args.per_device_batch_size,
