@@ -1105,7 +1105,7 @@ class TestFuzzVsOracle:
     indices (FAISS lower-index tie-break included). Deterministic seeds:
     failures reproduce by case number."""
 
-    CASES = 14
+    CASES = 18
 
     @pytest.mark.parametrize("case", range(CASES))
     def test_random_config_matches_oracle(self, case):
