@@ -1,0 +1,148 @@
+"""Speculative decoding vs the greedy oracle: the token stream must be
+BIT-IDENTICAL to target-only greedy decode for any draft model — the whole
+point of greedy draft-and-verify (kirag_tpu/models/speculative.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kirag_tpu.models.llm import (
+    LlamaConfig,
+    greedy_decode,
+    init_llama_params,
+)
+from kirag_tpu.models.speculative import (
+    speculative_decode,
+    speculative_resume,
+    speculative_start,
+)
+
+TARGET_CFG = LlamaConfig(vocab_size=128, hidden_size=64,
+                         num_hidden_layers=2, num_attention_heads=4,
+                         num_key_value_heads=2, intermediate_size=128,
+                         max_position_embeddings=256, rope_theta=10000.0)
+DRAFT_CFG = LlamaConfig(vocab_size=128, hidden_size=32,
+                        num_hidden_layers=1, num_attention_heads=2,
+                        num_key_value_heads=1, intermediate_size=64,
+                        max_position_embeddings=256, rope_theta=10000.0)
+
+
+@pytest.fixture(scope="module")
+def models():
+    t = init_llama_params(jax.random.PRNGKey(0), TARGET_CFG)
+    d = init_llama_params(jax.random.PRNGKey(7), DRAFT_CFG)
+    return t, d
+
+
+def _prompts(rng, b=3, t=12):
+    ids = rng.randint(1, 128, size=(b, t)).astype(np.int32)
+    mask = np.ones((b, t), dtype=np.int32)
+    # left padding, different lengths per row
+    for row, pad in enumerate(range(b)):
+        ids[row, :pad] = 0
+        mask[row, :pad] = 0
+    return jnp.asarray(ids), jnp.asarray(mask)
+
+
+class TestGreedyParity:
+    def test_self_draft_identical(self, models, rng):
+        # draft == target: everything accepted, stream still must be exact
+        t, _ = models
+        ids, mask = _prompts(rng)
+        g_ids, g_lg = greedy_decode(t, ids, mask, TARGET_CFG, 16)
+        s_ids, s_lg = speculative_decode(t, TARGET_CFG, t, TARGET_CFG,
+                                         ids, mask, 16, gamma=4)
+        np.testing.assert_array_equal(np.asarray(s_ids), np.asarray(g_ids))
+        np.testing.assert_allclose(np.asarray(s_lg), np.asarray(g_lg),
+                                   rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.parametrize("gamma", [1, 2, 4, 7])
+    def test_adversarial_draft_identical(self, models, rng, gamma):
+        # an unrelated random draft mostly mispredicts; output must STILL
+        # equal target greedy, at every gamma
+        t, d = models
+        ids, mask = _prompts(rng)
+        g_ids, g_lg = greedy_decode(t, ids, mask, TARGET_CFG, 14)
+        s_ids, s_lg = speculative_decode(t, TARGET_CFG, d, DRAFT_CFG,
+                                         ids, mask, 14, gamma=gamma)
+        np.testing.assert_array_equal(np.asarray(s_ids), np.asarray(g_ids))
+        np.testing.assert_allclose(np.asarray(s_lg), np.asarray(g_lg),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_eos_pad_after_finish(self, models, rng):
+        # pick the first greedy token of row 0 as "eos": that row finishes
+        # immediately and must pad with eos; other rows keep decoding
+        t, d = models
+        ids, mask = _prompts(rng)
+        g_free, _ = greedy_decode(t, ids, mask, TARGET_CFG, 12,
+                                  return_logits=False)
+        eos = int(np.asarray(g_free)[0, 2])  # token row 0 emits at step 2
+        g_ids, _ = greedy_decode(t, ids, mask, TARGET_CFG, 12,
+                                 eos_token_id=eos, return_logits=False)
+        s_ids, _ = speculative_decode(t, TARGET_CFG, d, DRAFT_CFG, ids, mask,
+                                      12, gamma=3, eos_token_id=eos,
+                                      return_logits=False)
+        np.testing.assert_array_equal(np.asarray(s_ids), np.asarray(g_ids))
+        # the eos row really is padded after its stop
+        row = np.asarray(g_ids)[0]
+        stop = int(np.argmax(row == eos))
+        assert (row[stop:] == eos).all()
+
+    def test_no_logits_path(self, models, rng):
+        t, d = models
+        ids, mask = _prompts(rng, b=2, t=8)
+        s_ids, s_lg = speculative_decode(t, TARGET_CFG, d, DRAFT_CFG,
+                                         ids, mask, 9, gamma=4,
+                                         return_logits=False)
+        g_ids, _ = greedy_decode(t, ids, mask, TARGET_CFG, 9,
+                                 return_logits=False)
+        assert s_lg is None
+        np.testing.assert_array_equal(np.asarray(s_ids), np.asarray(g_ids))
+
+    def test_segmented_resume_matches_greedy(self, models, rng):
+        # start + uneven resumes reproduce the greedy stream exactly; rounds
+        # overshooting a segment must buffer surplus tokens, not drop them
+        t, d = models
+        ids, mask = _prompts(rng)
+        total = 16
+        g_ids, _ = greedy_decode(t, ids, mask, TARGET_CFG, total,
+                                 return_logits=False)
+        first, st = speculative_start(t, TARGET_CFG, d, DRAFT_CFG, ids, mask,
+                                      total, gamma=4)
+        got = [np.asarray(first)]
+        for n in (3, 5, 7):  # 1 + 3 + 5 + 7 == total
+            seg, st = speculative_resume(t, TARGET_CFG, d, DRAFT_CFG, st, n,
+                                         total, gamma=4)
+            got.append(np.asarray(seg))
+        np.testing.assert_array_equal(np.concatenate(got, axis=1),
+                                      np.asarray(g_ids))
+
+    def test_segmented_resume_with_eos(self, models, rng):
+        t, d = models
+        ids, mask = _prompts(rng)
+        total = 12
+        g_free, _ = greedy_decode(t, ids, mask, TARGET_CFG, total,
+                                  return_logits=False)
+        eos = int(np.asarray(g_free)[1, 3])
+        g_ids, _ = greedy_decode(t, ids, mask, TARGET_CFG, total,
+                                 eos_token_id=eos, return_logits=False)
+        first, st = speculative_start(t, TARGET_CFG, d, DRAFT_CFG, ids, mask,
+                                      total, gamma=3, eos_token_id=eos)
+        got = [np.asarray(first)]
+        for n in (4, 4, 3):
+            seg, st = speculative_resume(t, TARGET_CFG, d, DRAFT_CFG, st, n,
+                                         total, gamma=3, eos_token_id=eos)
+            got.append(np.asarray(seg))
+        np.testing.assert_array_equal(np.concatenate(got, axis=1),
+                                      np.asarray(g_ids))
+
+    def test_max_new_one(self, models, rng):
+        t, d = models
+        ids, mask = _prompts(rng, b=2, t=8)
+        s_ids, _ = speculative_decode(t, TARGET_CFG, d, DRAFT_CFG,
+                                      ids, mask, 1, gamma=4,
+                                      return_logits=False)
+        g_ids, _ = greedy_decode(t, ids, mask, TARGET_CFG, 1,
+                                 return_logits=False)
+        np.testing.assert_array_equal(np.asarray(s_ids), np.asarray(g_ids))
