@@ -70,6 +70,15 @@ def setup_parser():
                         help="weight-only LLM quantization: 8 (per-channel "
                              "int8) or 4 (block-64 int4, the reference's NF4 "
                              "memory point)")
+    parser.add_argument("--draft_llm", type=str, default=None,
+                        help="optional DRAFT model path: enables greedy "
+                             "speculative decoding (same tokenizer as "
+                             "--llm; output stream is bit-identical to "
+                             "plain greedy, typically 2-3x faster when "
+                             "decode-bound)")
+    parser.add_argument("--spec_gamma", type=int, default=4,
+                        help="speculative fed-window length per round "
+                             "(gamma-1 draft proposals + 1 correction)")
     parser.add_argument("--llm_int8", action="store_true",
                         help="weight-only int8 LLM (the 4-bit-loading analogue; ~2x decode)")
     parser.add_argument("--aligner_model", type=str, default="e5", choices=["e5", "bge"])
@@ -132,7 +141,15 @@ def setup_llm_generator(args):
     params, config = load_llama(args.llm, compute_dtype=jnp.bfloat16,
                                 int8_weights=getattr(args, 'llm_int8', False),
                                 quant_bits=getattr(args, 'llm_quant_bits', None))
-    backend = JaxLlamaBackend(params, config, eos_token_id=tokenizer.eos_token_id)
+    draft_params = draft_config = None
+    if getattr(args, "draft_llm", None):
+        # the quantized-target + small-bf16-draft pairing: the draft's extra
+        # weight reads are amortized by multi-token target verification
+        draft_params, draft_config = load_llama(args.draft_llm,
+                                                compute_dtype=jnp.bfloat16)
+    backend = JaxLlamaBackend(params, config, eos_token_id=tokenizer.eos_token_id,
+                              draft_params=draft_params, draft_config=draft_config,
+                              spec_gamma=getattr(args, "spec_gamma", 4))
     constructor = Generator(tokenizer, backend, model_name=args.llm,
                             max_length=4096, max_new_tokens=64, batch_size=4)
     kg_llm = Generator(tokenizer, backend, model_name=args.llm,

@@ -621,15 +621,34 @@ def resume_decode(params: Params, state, config: LlamaConfig, n_steps: int,
 # -----------------------------------------------------------------------------
 
 class JaxLlamaBackend:
-    """Token-level greedy backend with shape-bucketed jit programs."""
+    """Token-level greedy backend with shape-bucketed jit programs.
+
+    ``draft_params``/``draft_config`` (optional) switch decoding to greedy
+    SPECULATIVE mode (:mod:`kirag_tpu.models.speculative`): the draft
+    proposes ``spec_gamma - 1`` tokens per round, the target verifies them
+    in one forward, and the emitted stream is bit-identical to plain
+    greedy. Both models must share the tokenizer/vocab. Logits-returning
+    segmented decode falls back to the plain path (the speculative resume
+    carries no logits buffer); `greedy()` supports logits either way.
+    """
 
     def __init__(self, params: Params, config: LlamaConfig, eos_token_id: int,
-                 compute_dtype=jnp.bfloat16, prompt_buckets=(128, 256, 512, 1024, 2048, 4096)):
+                 compute_dtype=jnp.bfloat16, prompt_buckets=(128, 256, 512, 1024, 2048, 4096),
+                 draft_params: Optional[Params] = None,
+                 draft_config: Optional[LlamaConfig] = None,
+                 spec_gamma: int = 4):
         self.params = params
         self.config = config
         self.eos_token_id = eos_token_id
         self.compute_dtype = compute_dtype
         self.prompt_buckets = prompt_buckets
+        if draft_params is not None:
+            assert draft_config is not None
+            assert draft_config.vocab_size == config.vocab_size, \
+                "draft and target must share the tokenizer/vocab"
+        self.draft_params = draft_params
+        self.draft_config = draft_config
+        self.spec_gamma = spec_gamma
 
     def _bucket(self, t: int) -> int:
         for b in self.prompt_buckets:
@@ -653,10 +672,20 @@ class JaxLlamaBackend:
                max_new_tokens: int, return_logits: bool = True
                ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
         input_ids, attention_mask = self._bucket_inputs(input_ids, attention_mask)
-        ids, logits = greedy_decode(
-            self.params, jnp.asarray(input_ids), jnp.asarray(attention_mask),
-            self.config, max_new_tokens, self.compute_dtype,
-            eos_token_id=self.eos_token_id, return_logits=return_logits)
+        if self.draft_params is not None:
+            from kirag_tpu.models.speculative import speculative_decode
+
+            ids, logits = speculative_decode(
+                self.params, self.config, self.draft_params,
+                self.draft_config, jnp.asarray(input_ids),
+                jnp.asarray(attention_mask), max_new_tokens,
+                gamma=self.spec_gamma, compute_dtype=self.compute_dtype,
+                eos_token_id=self.eos_token_id, return_logits=return_logits)
+        else:
+            ids, logits = greedy_decode(
+                self.params, jnp.asarray(input_ids), jnp.asarray(attention_mask),
+                self.config, max_new_tokens, self.compute_dtype,
+                eos_token_id=self.eos_token_id, return_logits=return_logits)
         return np.asarray(ids), (np.asarray(logits) if return_logits else None)
 
     # -- KV-cache-resumable segmented decode ----------------------------------
@@ -666,6 +695,17 @@ class JaxLlamaBackend:
         """Prefill + first token; reserves cache room for ``total_new_tokens``.
         Returns (ids [B,1], logits [B,1,V]|None, device-resident state)."""
         input_ids, attention_mask = self._bucket_inputs(input_ids, attention_mask)
+        if self.draft_params is not None and not return_logits:
+            from kirag_tpu.models.speculative import speculative_start
+
+            ids, st = speculative_start(
+                self.params, self.config, self.draft_params,
+                self.draft_config, jnp.asarray(input_ids),
+                jnp.asarray(attention_mask), total_new_tokens,
+                gamma=self.spec_gamma, compute_dtype=self.compute_dtype,
+                eos_token_id=self.eos_token_id)
+            # host-side total rides with the state (static arg of resume)
+            return np.asarray(ids), None, (st, total_new_tokens)
         ids, logits, state = prefill_decode(
             self.params, jnp.asarray(input_ids), jnp.asarray(attention_mask),
             self.config, total_new_tokens, self.compute_dtype,
@@ -675,6 +715,17 @@ class JaxLlamaBackend:
     def greedy_resume(self, state, n_steps: int, return_logits: bool = True):
         """Decode ``n_steps`` more tokens from a greedy_start/resume state —
         no re-prefill; the KV cache never leaves the device."""
+        if isinstance(state, tuple) and len(state) == 2 \
+                and isinstance(state[0], dict) and "served" in state[0]:
+            from kirag_tpu.models.speculative import speculative_resume
+
+            st, total = state
+            ids, st = speculative_resume(
+                self.params, self.config, self.draft_params,
+                self.draft_config, st, n_steps, total,
+                gamma=self.spec_gamma, compute_dtype=self.compute_dtype,
+                eos_token_id=self.eos_token_id)
+            return np.asarray(ids), None, (st, total)
         ids, logits, state = resume_decode(
             self.params, state, self.config, n_steps, self.compute_dtype,
             eos_token_id=self.eos_token_id, return_logits=return_logits)
@@ -688,6 +739,12 @@ class JaxLlamaBackend:
         specs = llama_param_shardings_like(self.params, self.config, model_axis)
         self.params = jax.tree.map(
             lambda p, s: jax.device_put(p, NamedSharding(mesh, s)), self.params, specs)
+        if self.draft_params is not None:
+            dspecs = llama_param_shardings_like(self.draft_params,
+                                                self.draft_config, model_axis)
+            self.draft_params = jax.tree.map(
+                lambda p, s: jax.device_put(p, NamedSharding(mesh, s)),
+                self.draft_params, dspecs)
         return self
 
 

@@ -146,3 +146,53 @@ class TestGreedyParity:
         g_ids, _ = greedy_decode(t, ids, mask, TARGET_CFG, 1,
                                  return_logits=False)
         np.testing.assert_array_equal(np.asarray(s_ids), np.asarray(g_ids))
+
+
+class TestBackendIntegration:
+    """JaxLlamaBackend with a draft dispatches greedy/start/resume to the
+    speculative path and keeps the plain-backend stream."""
+
+    def _backends(self, models):
+        from kirag_tpu.models.llm import JaxLlamaBackend
+
+        t, d = models
+        plain = JaxLlamaBackend(t, TARGET_CFG, eos_token_id=999,
+                                compute_dtype=jnp.float32,
+                                prompt_buckets=(16,))
+        spec = JaxLlamaBackend(t, TARGET_CFG, eos_token_id=999,
+                               compute_dtype=jnp.float32,
+                               prompt_buckets=(16,),
+                               draft_params=d, draft_config=DRAFT_CFG,
+                               spec_gamma=3)
+        return plain, spec
+
+    def test_greedy_dispatch(self, models, rng):
+        plain, spec = self._backends(models)
+        ids, mask = _prompts(rng)
+        p_ids, p_lg = plain.greedy(np.asarray(ids), np.asarray(mask), 10)
+        s_ids, s_lg = spec.greedy(np.asarray(ids), np.asarray(mask), 10)
+        np.testing.assert_array_equal(s_ids, p_ids)
+        np.testing.assert_allclose(s_lg, p_lg, rtol=1e-4, atol=1e-4)
+
+    def test_segmented_dispatch(self, models, rng):
+        plain, spec = self._backends(models)
+        ids, mask = _prompts(rng)
+        p1, _, pst = plain.greedy_start(np.asarray(ids), np.asarray(mask),
+                                        9, return_logits=False)
+        s1, _, sst = spec.greedy_start(np.asarray(ids), np.asarray(mask),
+                                       9, return_logits=False)
+        assert isinstance(sst, tuple) and "served" in sst[0]  # spec state
+        np.testing.assert_array_equal(s1, p1)
+        for n in (4, 4):
+            pseg, _, pst = plain.greedy_resume(pst, n, return_logits=False)
+            sseg, _, sst = spec.greedy_resume(sst, n, return_logits=False)
+            np.testing.assert_array_equal(sseg, pseg)
+
+    def test_logits_segmented_falls_back_to_plain(self, models, rng):
+        _, spec = self._backends(models)
+        ids, mask = _prompts(rng)
+        s1, lg, st = spec.greedy_start(np.asarray(ids), np.asarray(mask),
+                                       5, return_logits=True)
+        assert lg is not None and not isinstance(st, tuple)
+        seg, lg2, _ = spec.greedy_resume(st, 4, return_logits=True)
+        assert lg2.shape[:2] == seg.shape
