@@ -70,6 +70,38 @@ def _per_row_state(state, bsz):
     return state
 
 
+def _init_spec_state(t_params, t_config, d_params, d_config, input_ids,
+                     attention_mask, budget, gamma, compute_dtype,
+                     eos_token_id):
+    """Prefill BOTH models and build the round-loop state (shared by
+    :func:`speculative_decode` and :func:`speculative_start`; only the
+    logits buffer and the ``served`` pointer differ per caller). Returns
+    ``(first_token, first_logits, state)``; ``budget`` is the stream
+    length the output buffer must hold (+gamma round overshoot, +1 trash
+    column for the bounded scatter)."""
+    bsz = input_ids.shape[0]
+    reserve = budget + gamma
+    first, first_lg, t_state = _prefill_state(
+        t_params, input_ids, attention_mask, t_config, reserve,
+        compute_dtype, eos_token_id)
+    _, _, d_state = _prefill_state(
+        d_params, input_ids, attention_mask, d_config, reserve,
+        compute_dtype, eos_token_id)
+    width = budget + gamma + 1
+    sub_keys = ("k", "v", "cache_mask", "cache_pos", "write_at")
+    st = {
+        "t": _per_row_state({k: t_state[k] for k in sub_keys}, bsz),
+        "d": _per_row_state({k: d_state[k] for k in sub_keys}, bsz),
+        "pending": t_state["pending"],
+        "pos": t_state["pos"],
+        "done": t_state["done"],
+        "n_out": jnp.ones((bsz,), jnp.int32),
+        "out_ids": jnp.zeros((bsz, width), jnp.int32).at[:, 0].set(first),
+        "out_lg": jnp.zeros((bsz, 1, 1), jnp.float32),
+    }
+    return first, first_lg, st
+
+
 def _chain_step(params, config, sub, token, pos1, compute_dtype):
     """One single-token draft step with PER-ROW cache write (mask set
     immediately so the next chain step attends this token)."""
@@ -219,33 +251,13 @@ def speculative_decode(t_params: Params, t_config: LlamaConfig,
     """
     assert gamma >= 1
     bsz = input_ids.shape[0]
-    vocab = t_config.vocab_size
-    reserve = max_new_tokens + gamma
-    first, first_lg, t_state = _prefill_state(
-        t_params, input_ids, attention_mask, t_config, reserve,
-        compute_dtype, eos_token_id)
-    _, _, d_state = _prefill_state(
-        d_params, input_ids, attention_mask, d_config, reserve,
-        compute_dtype, eos_token_id)
-    width = max_new_tokens + gamma + 1                     # +1 trash column
-    out_ids = jnp.zeros((bsz, width), jnp.int32).at[:, 0].set(first)
-    out_lg = (jnp.zeros((bsz, width, vocab), jnp.float32)
-              .at[:, 0].set(first_lg) if return_logits
-              else jnp.zeros((bsz, 1, 1), jnp.float32))
-    st = {
-        "t": _per_row_state(
-            {k: t_state[k] for k in
-             ("k", "v", "cache_mask", "cache_pos", "write_at")}, bsz),
-        "d": _per_row_state(
-            {k: d_state[k] for k in
-             ("k", "v", "cache_mask", "cache_pos", "write_at")}, bsz),
-        "pending": t_state["pending"],
-        "pos": t_state["pos"],
-        "done": t_state["done"],
-        "n_out": jnp.ones((bsz,), jnp.int32),
-        "out_ids": out_ids,
-        "out_lg": out_lg,
-    }
+    first, first_lg, st = _init_spec_state(
+        t_params, t_config, d_params, d_config, input_ids, attention_mask,
+        max_new_tokens, gamma, compute_dtype, eos_token_id)
+    if return_logits:
+        width = st["out_ids"].shape[1]
+        st["out_lg"] = (jnp.zeros((bsz, width, t_config.vocab_size),
+                                  jnp.float32).at[:, 0].set(first_lg))
 
     def cond(st):
         return jnp.any((~st["done"]) & (st["n_out"] < max_new_tokens))
@@ -288,30 +300,10 @@ def speculative_start(t_params: Params, t_config: LlamaConfig,
     constructor loop runs ``return_logits=False``; use
     :func:`speculative_decode` when per-token logits are needed).
     """
-    bsz = input_ids.shape[0]
-    reserve = total_new_tokens + gamma
-    first, _, t_state = _prefill_state(
-        t_params, input_ids, attention_mask, t_config, reserve,
-        compute_dtype, eos_token_id)
-    _, _, d_state = _prefill_state(
-        d_params, input_ids, attention_mask, d_config, reserve,
-        compute_dtype, eos_token_id)
-    width = total_new_tokens + gamma + 1                   # +1 trash column
-    st = {
-        "t": _per_row_state(
-            {k: t_state[k] for k in
-             ("k", "v", "cache_mask", "cache_pos", "write_at")}, bsz),
-        "d": _per_row_state(
-            {k: d_state[k] for k in
-             ("k", "v", "cache_mask", "cache_pos", "write_at")}, bsz),
-        "pending": t_state["pending"],
-        "pos": t_state["pos"],
-        "done": t_state["done"],
-        "n_out": jnp.ones((bsz,), jnp.int32),
-        "out_ids": jnp.zeros((bsz, width), jnp.int32).at[:, 0].set(first),
-        "out_lg": jnp.zeros((bsz, 1, 1), jnp.float32),
-        "served": jnp.ones((), jnp.int32),                 # first token below
-    }
+    first, _, st = _init_spec_state(
+        t_params, t_config, d_params, d_config, input_ids, attention_mask,
+        total_new_tokens, gamma, compute_dtype, eos_token_id)
+    st["served"] = jnp.ones((), jnp.int32)                 # first token below
     return first[:, None], st
 
 
@@ -339,10 +331,16 @@ def speculative_resume(t_params: Params, t_config: LlamaConfig,
 
     st = jax.lax.while_loop(cond, body, state)
     bsz = st["pending"].shape[0]
-    ids = jax.lax.dynamic_slice(
-        st["out_ids"], (0, state["served"]), (bsz, n_steps))
-    col = state["served"] + jnp.arange(n_steps)[None, :]
-    if eos_token_id is not None:
-        ids = jnp.where(col < st["n_out"][:, None], ids, eos_token_id)
+    # clamped GATHER, not dynamic_slice: a caller overrunning the
+    # total_new_tokens budget must get pad tokens, not a silently shifted
+    # re-serve of old stream positions (dynamic_slice clamps its start)
+    col = state["served"] + jnp.arange(n_steps)[None, :]            # [1, S]
+    width = st["out_ids"].shape[1]
+    gcol = jnp.clip(col, 0, width - 1)
+    ids = jnp.take_along_axis(st["out_ids"],
+                              jnp.broadcast_to(gcol, (bsz, n_steps)), axis=1)
+    pad = eos_token_id if eos_token_id is not None else 0
+    ids = jnp.where((col < st["n_out"][:, None]) & (col < width - 1),
+                    ids, pad)
     st = {**st, "served": state["served"] + n_steps}
     return ids, st

@@ -751,9 +751,35 @@ def _exact_body(queries, corpus, k_eff: int, chunk_size: int, n_valid,
         # tiny corpus: one matmul + direct sort is optimal and the grouped
         # exactness argument needs k < groups
         scores = _dense_scores(queries, corpus, scales, quant, n_valid)
-        return jax.lax.top_k(scores, k_eff)
+        vals, idx = jax.lax.top_k(scores, k_eff)
+        # invalid (-inf masked) slots report row 0 like _final_select and
+        # the numpy/scan oracles — never an out-of-range padded row id
+        return vals, jnp.where(jnp.isfinite(vals), idx, 0)
 
     valid_arr = jnp.asarray(n_valid, dtype=jnp.int32).reshape(1, 1)
+    operands = [queries, corpus, valid_arr]
+
+    if impl == "stream":
+        if select == "merge":
+            # the running window must stay VMEM-resident across chunk
+            # steps: [qb, br, 128] f32 + the final-sort permutation scratch.
+            # Beyond ~24 MB (br ~= 180 at qb=256) degrade to capdom instead
+            # of OOMing at Mosaic lowering — large-k callers lose nothing
+            # (capdom's tail amortizes better as k grows anyway).
+            bc, br, qb = _merge_geometry(k_eff, num_chunks,
+                                         groups_per_chunk, n_q)
+            if qb * br * LANES * 4 > 24 * 1024 * 1024:
+                select = "capdom"
+            else:
+                return _merge_body(queries, corpus, scales, quant, k_eff,
+                                   chunk_size, n_valid, interpret, n_q,
+                                   num_chunks, groups, groups_per_chunk)
+        return _stream_body(queries, corpus, scales, quant, k_eff, chunk_size,
+                            n_valid, interpret, select, n_q, num_chunks,
+                            groups, groups_per_chunk, operands)
+
+    # ---- specs for the 1-D-grid fused scoring pass (the stream/merge
+    # bodies above build their own 2-D-grid specs)
     if pltpu is not None:
         valid_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
                                   memory_space=pltpu.SMEM)
@@ -764,33 +790,11 @@ def _exact_body(queries, corpus, k_eff: int, chunk_size: int, n_valid,
         pl.BlockSpec((chunk_size, d_c), lambda i: (i, 0)),
         valid_spec,
     ]
-    operands = [queries, corpus, valid_arr]
     if scales is not None:
         s_op, s_spec = _scale_operand(scales, quant, num_chunks,
                                       groups_per_chunk, chunk_size)
         in_specs.append(s_spec)
         operands.append(s_op)
-
-    if impl == "stream":
-        if select == "merge":
-            # the running window must stay VMEM-resident across chunk
-            # steps: [qb, br, 128] f32 + the final-sort permutation scratch.
-            # Beyond ~24 MB (br ~= 180 at qb=256) degrade to capdom instead
-            # of OOMing at Mosaic lowering — large-k callers lose nothing
-            # (capdom's tail amortizes better as k grows anyway).
-            qb = (QUERY_BLOCK if n_q > QUERY_BLOCK
-                  and n_q % QUERY_BLOCK == 0 else n_q)
-            br = max(-(-k_eff // 8) * 8,
-                     _capture_budget(k_eff, num_chunks, groups_per_chunk))
-            if qb * br * LANES * 4 > 24 * 1024 * 1024:
-                select = "capdom"
-            else:
-                return _merge_body(queries, corpus, scales, quant, k_eff,
-                                   chunk_size, n_valid, interpret, n_q,
-                                   num_chunks, groups, groups_per_chunk)
-        return _stream_body(queries, corpus, scales, quant, k_eff, chunk_size,
-                            n_valid, interpret, select, n_q, num_chunks,
-                            groups, groups_per_chunk, in_specs, operands)
 
     # ---- fused scoring pass: matmul + masked group max, plus the f32
     # scores in HBM for the single-read impls. Default score layout is
@@ -933,7 +937,7 @@ def _final_select(cand, gsel, k_eff, n_valid, n_q, select, interpret):
 
 def _stream_body(queries, corpus, scales, quant, k_eff, chunk_size, n_valid,
                  interpret, select, n_q, num_chunks, groups,
-                 groups_per_chunk, in_specs, operands):
+                 groups_per_chunk, operands):
     """impl="stream": one pallas pass emits gmax + per-chunk top-B capture;
     candidates are assembled from the capture when the on-device membership
     check passes, else a lax.cond re-scores the corpus (exact either way).
@@ -959,7 +963,6 @@ def _stream_body(queries, corpus, scales, quant, k_eff, chunk_size, n_valid,
           else n_q)
     num_qb = n_q // qb
     d_q = queries.shape[1]
-    del in_specs  # rebuilt below with 2-D index maps (qb-blocked queries)
     in_specs = [
         pl.BlockSpec((qb, d_q), lambda i, j: (j, 0)),
         pl.BlockSpec((chunk_size, corpus.shape[1]), lambda i, j: (i, 0)),
@@ -1128,6 +1131,19 @@ def _capdom_tail(outs, gids, queries, corpus, scales, quant, k_eff,
     return _final_select(cand, gsel, k_eff, n_valid, n_q, "hier", interpret)
 
 
+def _merge_geometry(k_eff: int, num_chunks: int, groups_per_chunk: int,
+                    n_q: int):
+    """(bc, br, qb) for select="merge" — ONE definition shared by the
+    window-VMEM degrade guard in :func:`_exact_body` and the kernel setup
+    in :func:`_merge_body`, so the guard can never drift from what the
+    kernel actually allocates."""
+    bc = _capture_budget(k_eff, num_chunks, groups_per_chunk)
+    br = max(-(-k_eff // 8) * 8, bc)
+    qb = (QUERY_BLOCK if n_q > QUERY_BLOCK and n_q % QUERY_BLOCK == 0
+          else n_q)
+    return bc, br, qb
+
+
 def _merge_body(queries, corpus, scales, quant, k_eff, chunk_size, n_valid,
                 interpret, n_q, num_chunks, groups, groups_per_chunk):
     """select="merge": running in-kernel top-``br`` window (round 5).
@@ -1149,10 +1165,7 @@ def _merge_body(queries, corpus, scales, quant, k_eff, chunk_size, n_valid,
     The fallback branch re-selects over the full group maxima (still
     emitted: ~2% of corpus bytes) and re-scores the corpus — bitwise the
     ordinary exact path."""
-    bc = _capture_budget(k_eff, num_chunks, groups_per_chunk)
-    br = max(-(-k_eff // 8) * 8, bc)
-    qb = (QUERY_BLOCK if n_q > QUERY_BLOCK and n_q % QUERY_BLOCK == 0
-          else n_q)
+    bc, br, qb = _merge_geometry(k_eff, num_chunks, groups_per_chunk, n_q)
     num_qb = n_q // qb
     d_q = queries.shape[1]
     in_specs = [
