@@ -559,19 +559,24 @@ def _merge_kernel(q_ref, c_ref, valid_ref, *rest, groups_per_chunk: int,
             & (g16[:, :, None] < g16[:, None, :]))
         rank = jnp.sum(beats.astype(jnp.int32), axis=1)  # [Q, 2bc]
         survive = rank < bc                              # top bc of 2bc
-        ej_old = ~survive[:, :bc]                        # [Q, bc]
-        sv_new = survive[:, bc:]
+        # Mosaic lowers [:, :, None] minor-dim insertion only for 32-bit
+        # lane types — i1 masks must widen BEFORE broadcasting (TPU-only
+        # failure; interpret mode accepts the i1 form)
+        surv_i = survive.astype(jnp.int32)               # [Q, 2bc]
+        ej_old = 1 - surv_i[:, :bc]                      # [Q, bc] int32 0/1
+        sv_new = surv_i[:, bc:]
         # pair j-th ejected slot with j-th surviving new item (counts are
         # equal: #ejected_old = bc - #survived_old = #survived_new)
         tri = (jax.lax.broadcasted_iota(jnp.int32, (bc, bc), 1)
-               <= jax.lax.broadcasted_iota(jnp.int32, (bc, bc), 0))
-        orde = jnp.sum(ej_old[:, None, :].astype(jnp.int32) * tri[None],
+               <= jax.lax.broadcasted_iota(jnp.int32, (bc, bc), 0)
+               ).astype(jnp.int32)
+        orde = jnp.sum(ej_old[:, None, :] * tri[None],
                        axis=-1)                          # [Q, bc] cumsum
-        ords = jnp.sum(sv_new[:, None, :].astype(jnp.int32) * tri[None],
+        ords = jnp.sum(sv_new[:, None, :] * tri[None],
                        axis=-1)
-        assign = (ej_old[:, :, None] & sv_new[:, None, :]
-                  & (orde[:, :, None] == ords[:, None, :])
-                  ).astype(jnp.float32)                  # [Q, bc(j), bc(new)]
+        assign = ((ej_old[:, :, None] * sv_new[:, None, :]).astype(jnp.float32)
+                  * (orde[:, :, None] == ords[:, None, :]).astype(jnp.float32)
+                  )                                      # [Q, bc(j), bc(new)]
         m_sn = jax.lax.dot_general(
             wp1, assign, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
