@@ -20,6 +20,7 @@ from __future__ import annotations
 import argparse
 import gc
 import json
+import os
 import time
 
 import numpy as np
@@ -72,7 +73,7 @@ def build_quantized_params(config, bits: int):
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--bits", type=int, nargs="*", default=[8, 4])
-    p.add_argument("--geometry", choices=["8b", "1.1b"], default="8b")
+    p.add_argument("--geometry", choices=["8b", "1.1b", "smoke"], default="8b")
     p.add_argument("--batch", type=int, default=2)
     p.add_argument("--new", type=int, default=64)
     p.add_argument("--iters", type=int, default=3)
@@ -93,8 +94,14 @@ def main() -> None:
                              num_hidden_layers=22, num_attention_heads=32,
                              num_key_value_heads=4, intermediate_size=5632,
                              max_position_embeddings=2048, rope_theta=10000.0)
+    if args.geometry == "smoke":  # CPU harness check; numbers meaningless
+        config = LlamaConfig(vocab_size=256, hidden_size=64,
+                             num_hidden_layers=2, num_attention_heads=4,
+                             num_key_value_heads=2, intermediate_size=128,
+                             max_position_embeddings=512, rope_theta=10000.0)
     rng = np.random.default_rng(1)
-    ids = rng.integers(1, 100000, size=(args.batch, 64)).astype(np.int32)
+    ids = rng.integers(1, config.vocab_size,
+                       size=(args.batch, 64)).astype(np.int32)
     mask = np.ones_like(ids)
 
     for bits in args.bits:
@@ -105,33 +112,49 @@ def main() -> None:
         print(f"int{bits} params on device in {time.perf_counter()-t0:.0f}s",
               flush=True)
 
-        run = lambda i: greedy_decode(params, jnp.asarray(i), jnp.asarray(mask),
-                                      config, args.new,
-                                      compute_dtype=jnp.bfloat16,
-                                      return_logits=False)
-        out = run(ids)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        outs = []
-        prev = out
-        for _ in range(args.iters):
-            # chain: perturb input ids by 0 * previous output — fetching the
-            # previous ids forces real sequential execution through the relay
-            # (~100ms fetch per iter against ~seconds of decode: acceptable)
-            o = run(ids + 0 * np.asarray(prev[0])[:, :1].astype(np.int32))
-            outs.append(o)
-            prev = o
-        final = np.asarray(outs[-1][0])
-        dt = (time.perf_counter() - t0) / args.iters
-        assert final.shape[1] == args.new and (final >= 0).all() \
-            and (final < config.vocab_size).all()
-        toks = args.batch * args.new / dt
+        def run(i, new):
+            return greedy_decode(params, jnp.asarray(i), jnp.asarray(mask),
+                                 config, new, compute_dtype=jnp.bfloat16,
+                                 return_logits=False)
+
+        def window(new):
+            """Min wall time of a chained decode call at ``new`` tokens."""
+            out = run(ids, new)                           # warm/compile
+            jax.block_until_ready(out)
+            best, prev = np.inf, out
+            for _ in range(args.iters):
+                t0 = time.perf_counter()
+                # chain on the previous output: real sequential execution
+                o = run(ids + 0 * np.asarray(prev[0])[:, :1].astype(np.int32),
+                        new)
+                final = np.asarray(o[0])                  # fetch inside window
+                best = min(best, time.perf_counter() - t0)
+                prev = o
+                assert final.shape[1] == new and (final >= 0).all() \
+                    and (final < config.vocab_size).all()
+            return best
+
+        # difference two decode lengths: the per-call dispatch+fetch constant
+        # (relay round trips — ~100ms healthy, unbounded when the host is
+        # loaded: a concurrent pytest once inflated per-step 70x) cancels,
+        # leaving pure per-step device time (same methodology as bench.py)
+        lo, hi = args.new, 2 * args.new
+        w_lo, w_hi = window(lo), window(hi)
+        per_step = (w_hi - w_lo) / (hi - lo)
+        if per_step <= 0:
+            print(f"non-positive window diff ({w_lo:.3f}s vs {w_hi:.3f}s): "
+                  "host/relay contention — rerun on an idle host", flush=True)
+            continue
+        toks = args.batch / per_step
         rec = {"bench": f"decode_{args.geometry}_int{bits}", "batch": args.batch,
-               "new_tokens": args.new, "ms_per_step": round(dt * 1e3 / args.new, 2),
-               "tok_per_s": round(toks, 1)}
+               "new_tokens": args.new, "ms_per_step": round(per_step * 1e3, 2),
+               "tok_per_s": round(toks, 1),
+               "call_overhead_ms": round((w_lo - per_step * lo) * 1e3, 0),
+               "loadavg": round(os.getloadavg()[0], 1)}
         print(json.dumps(rec), flush=True)
-        with open("benchmarks/bench_decode_results.jsonl", "a") as f:
-            f.write(json.dumps(rec) + "\n")
+        if args.geometry != "smoke":     # smoke checks the harness only
+            with open("benchmarks/bench_decode_results.jsonl", "a") as f:
+                f.write(json.dumps(rec) + "\n")
         del params
         gc.collect()
 
