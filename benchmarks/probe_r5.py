@@ -174,6 +174,15 @@ def main() -> None:
 
     variants[2] = ("v_nocond", run_nocond)
 
+    # PROBE_VARIANTS=v_pass,v_merge runs a subset in the given order — the
+    # r4 on-chip lesson: the full-merge program's first compile can exceed a
+    # job window, so the kernel-only variant must be runnable first/alone
+    sel = os.environ.get("PROBE_VARIANTS")
+    if sel:
+        by_name = dict(variants)
+        variants = [(n.strip(), by_name[n.strip()])
+                    for n in sel.split(",") if n.strip() in by_name]
+
     for name, fn in variants:
         print(f"--- {name}", file=sys.stderr, flush=True)
         try:
