@@ -30,7 +30,7 @@ import numpy as np
 SMOKE = os.environ.get("SMOKE", "0") == "1"
 N_CORPUS = 20_000 if SMOKE else 1_000_000
 DIM = 128 if SMOKE else 1024
-N_QUERIES = 32 if SMOKE else 256
+N_QUERIES = int(os.environ.get("PROBE_QUERIES", 32 if SMOKE else 256))
 TOPK = 10 if SMOKE else 100
 INTERPRET = SMOKE
 LENS = (2, 4) if SMOKE else (8, 32)
