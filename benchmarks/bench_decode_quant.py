@@ -77,6 +77,11 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=2)
     p.add_argument("--new", type=int, default=64)
     p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--int4_impl", choices=["parity", "blockdot", "pallas"],
+                   default="pallas",
+                   help="int4 matmul formulation (probe_r6: XLA forms "
+                   "materialize the blockwise dequant; pallas dequantizes "
+                   "in VMEM — the 4-bit bandwidth roofline)")
     args = p.parse_args()
 
     import jax
@@ -104,7 +109,11 @@ def main() -> None:
                        size=(args.batch, 64)).astype(np.int32)
     mask = np.ones_like(ids)
 
+    import dataclasses
+
     for bits in args.bits:
+        cfg = (dataclasses.replace(config, int4_impl=args.int4_impl)
+               if bits == 4 else config)
         t0 = time.perf_counter()
         params = build_quantized_params(config, bits)
         params = jax.device_put(params)
@@ -114,7 +123,7 @@ def main() -> None:
 
         def run(i, new):
             return greedy_decode(params, jnp.asarray(i), jnp.asarray(mask),
-                                 config, new, compute_dtype=jnp.bfloat16,
+                                 cfg, new, compute_dtype=jnp.bfloat16,
                                  return_logits=False)
 
         def window(new):
@@ -151,6 +160,8 @@ def main() -> None:
                "tok_per_s": round(toks, 1),
                "call_overhead_ms": round((w_lo - per_step * lo) * 1e3, 0),
                "loadavg": round(os.getloadavg()[0], 1)}
+        if bits == 4:
+            rec["int4_impl"] = args.int4_impl
         print(json.dumps(rec), flush=True)
         if args.geometry != "smoke":     # smoke checks the harness only
             with open("benchmarks/bench_decode_results.jsonl", "a") as f:

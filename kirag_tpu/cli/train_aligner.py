@@ -43,12 +43,18 @@ def setup_parser():
     parser.add_argument("--keep_top_k", type=int, default=2)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--resume", action="store_true")
-    parser.add_argument("--remat", action="store_true", default=True,
-                        help="rematerialize encoder forwards in the backward "
-                        "pass (default on: e5-large at the reference batch "
-                        "geometry needs 17.8G HBM without it vs 15.75G on a "
-                        "v5e; gradient-identical)")
-    parser.add_argument("--no_remat", dest="remat", action="store_false")
+    parser.add_argument("--remat", choices=["dots", "full", "none"],
+                        default="dots",
+                        help="encoder rematerialization in the backward pass. "
+                        "'dots' (default) checkpoints with the dots_saveable "
+                        "policy — matmul outputs kept, elementwise recomputed: "
+                        "measured 410 vs full's 490 ms/step at the reference "
+                        "batch geometry (r4 chip A/B, bench_train_results). "
+                        "'full' recomputes everything (lowest memory); 'none' "
+                        "needs 17.8G HBM at e5-large geometry vs 15.75G on a "
+                        "v5e. All gradient-identical.")
+    parser.add_argument("--no_remat", dest="remat", action="store_const",
+                        const="none", help="alias for --remat none")
     parser.add_argument("--save_dir", type=str, default="checkpoint")
     parser.add_argument("--name", type=str, default="aligner")
     return parser.parse_args()
@@ -106,7 +112,8 @@ def main():
         encoder.params, encoder.config, config, train_loader, eval_loader,
         encoder_type=RETRIEVER_NAME_TO_ENCODER[args.retriever_name],
         temperature=args.temperature, compute_dtype=dtype, mesh=mesh,
-        batch_sharding=batch_sharding, remat=args.remat)
+        batch_sharding=batch_sharding,
+        remat={"none": False, "full": True}.get(args.remat, "dots"))
     result = trainer.train(resume=args.resume)
     logger.info(f"training done: {result}")
     trainer.save_encoder(os.path.join(save_dir, "encoder"))

@@ -45,6 +45,14 @@ class LlamaConfig:
     rope_theta: float = 500000.0
     tie_word_embeddings: bool = False
     attention_bias: bool = False  # True for Qwen2 QKV
+    # int4 dense-matmul formulation: "parity" (XLA nibble-parity split,
+    # TP/GSPMD-safe), "blockdot" (XLA batched block dots + f32 scale on the
+    # partial products, TP/GSPMD-safe), "pallas" (ops/pallas_qmm in-VMEM
+    # dequant — HBM reads packed bytes only; single-device, TPU only: a
+    # pallas_call is opaque to the GSPMD partitioner, so sharding params
+    # would force a full kernel all-gather). load_llama picks "pallas" on
+    # single-device TPU; JaxLlamaBackend.shard_params flips it back.
+    int4_impl: str = "parity"
     # Gemma-2 extensions (model_type == "gemma2"):
     model_type: str = "llama"
     head_dim_override: Optional[int] = None      # gemma2 sets head_dim explicitly
@@ -232,7 +240,7 @@ def _unpack_int4(packed: jnp.ndarray, dtype) -> jnp.ndarray:
     return q.astype(dtype)
 
 
-def _dense(x, p):
+def _dense(x, p, int4_impl: str = "parity"):
     if "kernel_q4" in p:
         # weight-only int4: two signed nibbles per byte with per-
         # (64-input-row block, output channel) scales — the TPU-native
@@ -240,35 +248,70 @@ def _dense(x, p):
         # (`utils/pipeline_utils.py:6-24`): same 4x memory saving and block
         # size; a linear grid instead of the NF4 codebook (a 16-way gather
         # per element would stall the VPU; blockwise scaling recovers most
-        # of the quality).
-        # The matmul is SPLIT by nibble parity: y = x_even @ deq(lo) +
-        # x_odd @ deq(hi). Re-interleaving the unpacked rows into one
-        # [in, out] kernel (stack+reshape) is a relayout XLA cannot fuse
+        # of the quality). Never re-interleave the unpacked rows into one
+        # [in, out] kernel: that stack+reshape is a relayout XLA cannot fuse
         # into the matmul operand — it materialized the full kernel through
         # several intermediates every decode step, measured 16x SLOWER than
-        # int8 (27.6 vs 1.69 ms/step, 1.1B b4, r4 chip A/B). In the split
-        # form each operand is convert(shift(int8)) * blockscale — the same
-        # fusible shape as the int8 path — and only the (tiny) activations
-        # get strided slices. Packed row i holds original rows 2i (low
-        # nibble) and 2i+1 (high), so block 64 of original rows == block 32
-        # of packed rows, and a TP row-shard stays self-contained.
-        pk = p["kernel_q4"].astype(jnp.int8)          # [in/2, out]
-        lo = (jnp.left_shift(pk, 4) >> 4).astype(x.dtype)   # rows 0,2,4,…
-        hi = (pk >> 4).astype(x.dtype)                      # rows 1,3,5,…
-        half, out_dim = pk.shape
+        # int8 (27.6 vs 1.69 ms/step, 1.1B b4, r4 chip A/B). Three
+        # interleave-free formulations below, selected by ``int4_impl``
+        # (LlamaConfig.int4_impl documents the trade-offs).
+        half, out_dim = p["kernel_q4"].shape
         in_pad = 2 * half
-        scale = p["kernel_scale4"].astype(x.dtype)    # [in_pad/64, out]
-        nb = scale.shape[0]
-        sub = half // nb                              # 32 packed rows/block
-        deq_lo = (lo.reshape(nb, sub, out_dim) * scale[:, None, :]
-                  ).reshape(half, out_dim)
-        deq_hi = (hi.reshape(nb, sub, out_dim) * scale[:, None, :]
-                  ).reshape(half, out_dim)
         if x.shape[-1] != in_pad:  # kernel rows were padded to the block grid
             pad = [(0, 0)] * (x.ndim - 1) + [(0, in_pad - x.shape[-1])]
             x = jnp.pad(x, pad)  # zero activations x zero pad rows == exact
-        out = (jnp.dot(x[..., 0::2], deq_lo, preferred_element_type=x.dtype)
-               + jnp.dot(x[..., 1::2], deq_hi, preferred_element_type=x.dtype))
+        if int4_impl == "pallas":
+            # in-VMEM dequant: HBM reads the packed bytes only — the only
+            # formulation at the 4-bit bandwidth roofline (XLA materializes
+            # the blockwise dequant; probe_r6). Single-device TPU only.
+            from kirag_tpu.ops import pallas_qmm
+
+            if pallas_qmm.supported(half, out_dim):
+                return pallas_qmm.int4_matmul(
+                    x, p["kernel_q4"], p["kernel_scale4"]
+                ) + (p["bias"].astype(x.dtype) if "bias" in p else 0.0)
+            int4_impl = "blockdot"  # odd geometry: nearest XLA formulation
+        pk = p["kernel_q4"].astype(jnp.int8)          # [in/2, out]
+        lo = (jnp.left_shift(pk, 4) >> 4).astype(x.dtype)   # rows 0,2,4,…
+        hi = (pk >> 4).astype(x.dtype)                      # rows 1,3,5,…
+        scale = p["kernel_scale4"]                    # [in_pad/64, out]
+        nb = scale.shape[0]
+        sub = half // nb                              # 32 packed rows/block
+        if int4_impl == "blockdot":
+            # nb batched dots on RAW nibbles; the block scale lands on the
+            # [nb, B, out] f32 partial products — never on the big operand
+            # (the exact-search kernel's int4 trick, ops/pallas_exact
+            # _matmul_scores, in XLA form)
+            lo3 = lo.reshape(nb, sub, out_dim)
+            hi3 = hi.reshape(nb, sub, out_dim)
+            lead = x.shape[:-1]
+            xf = x.reshape(-1, in_pad)
+            xe = xf[:, 0::2].reshape(-1, nb, sub)
+            xo = xf[:, 1::2].reshape(-1, nb, sub)
+            dn = (((2,), (1,)), ((1,), (0,)))         # batch over nb
+            part = jax.lax.dot_general(xe, lo3, dn,
+                                       preferred_element_type=jnp.float32)
+            part = part + jax.lax.dot_general(xo, hi3, dn,
+                                              preferred_element_type=jnp.float32)
+            sc = scale.astype(jnp.float32)
+            out = jnp.sum(part * sc[:, None, :], axis=0).astype(x.dtype)
+            out = out.reshape(*lead, out_dim)
+        else:
+            # "parity": y = x_even @ deq(lo) + x_odd @ deq(hi) — each operand
+            # is convert(shift(int8)) * blockscale; only the (tiny)
+            # activations get strided slices. Packed row i holds original
+            # rows 2i (low nibble) and 2i+1 (high), so block 64 of original
+            # rows == block 32 of packed rows, and a TP row-shard stays
+            # self-contained.
+            s = scale.astype(x.dtype)
+            deq_lo = (lo.reshape(nb, sub, out_dim) * s[:, None, :]
+                      ).reshape(half, out_dim)
+            deq_hi = (hi.reshape(nb, sub, out_dim) * s[:, None, :]
+                      ).reshape(half, out_dim)
+            out = (jnp.dot(x[..., 0::2], deq_lo,
+                           preferred_element_type=x.dtype)
+                   + jnp.dot(x[..., 1::2], deq_hi,
+                             preferred_element_type=x.dtype))
     elif "kernel_q" in p:
         # weight-only int8: kernel stored as int8 with per-output-channel
         # scales; dequant fuses into the matmul read (half the HBM bytes of
@@ -374,9 +417,9 @@ def _attention_block(x, layer_p, config: LlamaConfig, positions, k_cache, v_cach
     """
     bsz, t_new, _ = x.shape
     nh, nkv, hd = config.num_attention_heads, config.num_key_value_heads, config.head_dim
-    q = _dense(x, layer_p["q_proj"]).reshape(bsz, t_new, nh, hd)
-    k = _dense(x, layer_p["k_proj"]).reshape(bsz, t_new, nkv, hd)
-    v = _dense(x, layer_p["v_proj"]).reshape(bsz, t_new, nkv, hd)
+    q = _dense(x, layer_p["q_proj"], config.int4_impl).reshape(bsz, t_new, nh, hd)
+    k = _dense(x, layer_p["k_proj"], config.int4_impl).reshape(bsz, t_new, nkv, hd)
+    v = _dense(x, layer_p["v_proj"], config.int4_impl).reshape(bsz, t_new, nkv, hd)
     q = _rope(q, positions, config.rope_theta)
     k = _rope(k, positions, config.rope_theta)
 
@@ -414,7 +457,7 @@ def _attention_block(x, layer_p, config: LlamaConfig, positions, k_cache, v_cach
     logits = jnp.where(valid, logits, jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
     ctx = jnp.einsum("bnqk,bknd->bqnd", probs, values_r).reshape(bsz, t_new, nh * hd)
-    return _dense(ctx, layer_p["o_proj"]), k, v
+    return _dense(ctx, layer_p["o_proj"], config.int4_impl), k, v
 
 
 def llama_block_forward(params: Params, input_ids, positions, config: LlamaConfig,
@@ -450,13 +493,13 @@ def llama_block_forward(params: Params, input_ids, positions, config: LlamaConfi
         else:
             x = x + attn
             h = _rms_norm(x, layer_p["post_attention_layernorm"]["scale"], eps)
-        gate = _dense(h, layer_p["gate_proj"])
-        up = _dense(h, layer_p["up_proj"])
+        gate = _dense(h, layer_p["gate_proj"], config.int4_impl)
+        up = _dense(h, layer_p["up_proj"], config.int4_impl)
         if config.hidden_activation == "gelu_pytorch_tanh":
             act = jax.nn.gelu(gate.astype(jnp.float32), approximate=True)
         else:
             act = jax.nn.silu(gate.astype(jnp.float32))
-        mlp = _dense(act.astype(x.dtype) * up, layer_p["down_proj"])
+        mlp = _dense(act.astype(x.dtype) * up, layer_p["down_proj"], config.int4_impl)
         if g2:
             mlp = _rms_norm(mlp, layer_p["post_feedforward_layernorm"]["scale"], eps,
                             plus_one=True)
@@ -466,7 +509,7 @@ def llama_block_forward(params: Params, input_ids, positions, config: LlamaConfi
         logits = jnp.einsum("bth,vh->btv", x.astype(jnp.float32),
                             params["embed_tokens"].astype(jnp.float32))
     else:
-        logits = _dense(x, params["lm_head"]).astype(jnp.float32)
+        logits = _dense(x, params["lm_head"], config.int4_impl).astype(jnp.float32)
     if config.final_logit_softcapping:
         cap = config.final_logit_softcapping
         logits = cap * jnp.tanh(logits / cap)
@@ -754,6 +797,11 @@ class JaxLlamaBackend:
 
         # structure-matching specs: works for float AND quantized (int8/int4)
         # trees, and for gemma2's sandwich norms
+        if self.config.int4_impl == "pallas":
+            # a pallas_call is opaque to the GSPMD partitioner: sharded
+            # params would be all-gathered around it — use the TP-safe
+            # XLA formulation instead (retraces: config is a static arg)
+            self.config = dataclasses.replace(self.config, int4_impl="parity")
         specs = llama_param_shardings_like(self.params, self.config, model_axis)
         self.params = jax.tree.map(
             lambda p, s: jax.device_put(p, NamedSharding(mesh, s)), self.params, specs)
@@ -878,4 +926,14 @@ def load_llama(model_name_or_path: str, compute_dtype=jnp.bfloat16,
         return x
 
     params = jax.tree_util.tree_map_with_path(_cast, params)
+    if quant_bits == 4:
+        # pick the int4 matmul formulation: the pallas in-VMEM dequant is the
+        # only one at the 4-bit bandwidth roofline (probe_r6), but a
+        # pallas_call is opaque to GSPMD — single-device TPU only.
+        # shard_params flips to the TP-safe XLA formulation.
+        impl = os.environ.get("KIRAG_INT4_IMPL")
+        if impl is None:
+            impl = ("pallas" if jax.default_backend() == "tpu"
+                    and jax.device_count() == 1 else "parity")
+        config = dataclasses.replace(config, int4_impl=impl)
     return params, config
