@@ -264,13 +264,23 @@ def _dense(x, p, int4_impl: str = "parity"):
             # in-VMEM dequant: HBM reads the packed bytes only — the only
             # formulation at the 4-bit bandwidth roofline (XLA materializes
             # the blockwise dequant; probe_r6). Single-device TPU only.
+            # DECODE-shaped calls only: the kernel contracts in K=32 scale
+            # sub-blocks, which is bandwidth-optimal when activations are a
+            # handful of rows but starves the MXU at prefill (batch x seq
+            # rows, compute-bound) — there the parity matmul with its full-
+            # depth contraction wins. Shapes are static under jit, so this
+            # is a trace-time branch, and prefill/decode compile separately
+            # anyway (different t_new).
+            rows = 1
+            for d in x.shape[:-1]:
+                rows *= d
             from kirag_tpu.ops import pallas_qmm
 
-            if pallas_qmm.supported(half, out_dim):
+            if rows <= 32 and pallas_qmm.supported(half, out_dim):
                 return pallas_qmm.int4_matmul(
                     x, p["kernel_q4"], p["kernel_scale4"]
                 ) + (p["bias"].astype(x.dtype) if "bias" in p else 0.0)
-            int4_impl = "blockdot"  # odd geometry: nearest XLA formulation
+            int4_impl = "parity" if rows > 32 else "blockdot"
         pk = p["kernel_q4"].astype(jnp.int8)          # [in/2, out]
         lo = (jnp.left_shift(pk, 4) >> 4).astype(x.dtype)   # rows 0,2,4,…
         hi = (pk >> 4).astype(x.dtype)                      # rows 1,3,5,…

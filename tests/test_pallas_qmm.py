@@ -95,6 +95,17 @@ class TestDenseImplDispatch:
         deq = (q.reshape(-1, 64, 128) * scale[:, None, :]).reshape(-1, 128)[:100]
         np.testing.assert_allclose(got, x @ deq, rtol=1e-4, atol=1e-4)
 
+    def test_prefill_rows_fall_back_to_parity(self, rng):
+        # impl="pallas" is decode-shaped only: above 32 activation rows the
+        # K=32 sub-block contraction starves the MXU, so _dense must route
+        # prefill through the parity matmul (trace-time branch; exactness
+        # must hold either way)
+        k = rng.randn(512, 512).astype(np.float32) * 0.05
+        p = _quantize_kernel_int4(k)
+        x = rng.randn(64, 512).astype(np.float32)
+        got = np.asarray(_dense(jnp.asarray(x), p, "pallas"), np.float32)
+        np.testing.assert_allclose(got, _oracle(x, p), rtol=1e-4, atol=1e-4)
+
     def test_bias_applies_on_every_impl(self, rng):
         k = rng.randn(512, 512).astype(np.float32) * 0.05
         p = dict(_quantize_kernel_int4(k))
