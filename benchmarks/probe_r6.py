@@ -111,8 +111,11 @@ def main() -> None:
         return pallas_qmm.int4_matmul(x, p["q4"], p["s4"], interpret=SMOKE)
 
     def stack(mm):
-        def fwd(x):
-            for pair in layers:
+        # params must be an ARGUMENT of the jitted fn: closing over ~0.5-1 GB
+        # of device arrays bakes them into the lowered HLO as constants, and
+        # the remote-compile relay rejects the request body (HTTP 413).
+        def fwd(x, params):
+            for pair in params:
                 h = mm(x, pair[0])
                 h = jax.nn.silu(h.astype(jnp.float32)).astype(x.dtype)
                 x = mm(h, pair[1])
@@ -128,20 +131,20 @@ def main() -> None:
         fwd = stack(mm)
 
         @functools.partial(jax.jit, static_argnames=("iters",))
-        def run(x, iters):
+        def run(x, params, iters):
             def body(carry, _):
                 c = jax.lax.optimization_barrier(carry)
-                return fwd(c), jnp.sum(c.astype(jnp.float32))
+                return fwd(c, params), jnp.sum(c.astype(jnp.float32))
             return jax.lax.scan(body, x, None, length=iters)
 
         windows = {}
         for n in LENS:
-            out = run(x0, iters=n)
+            out = run(x0, layers, iters=n)
             jax.tree.map(np.asarray, out)
             reps = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                last, sums = run(x0, iters=n)
+                last, sums = run(x0, layers, iters=n)
                 s = np.asarray(sums)
                 np.asarray(last)
                 reps.append(time.perf_counter() - t0)
