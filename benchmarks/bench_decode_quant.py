@@ -82,9 +82,20 @@ def main() -> None:
                    help="int4 matmul formulation (probe_r6: XLA forms "
                    "materialize the blockwise dequant; pallas dequantizes "
                    "in VMEM — the 4-bit bandwidth roofline)")
+    p.add_argument("--prompt", type=int, default=64,
+                   help="prompt length: the KV-cache read per step scales "
+                   "with batch*(prompt+new), so long prompts + big batches "
+                   "are where --kv_bits 8 pays")
+    p.add_argument("--kv_bits", type=int, default=None, choices=[8],
+                   help="int8 KV cache (LlamaConfig.kv_quant_bits)")
     args = p.parse_args()
 
     import jax
+
+    if args.geometry == "smoke":
+        # keep smoke runs OFF the single-tenant chip (the host sitecustomize
+        # pins the platform, so the env var alone is ignored — CLAUDE.md)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from kirag_tpu.models.llm import LlamaConfig, greedy_decode
@@ -106,7 +117,7 @@ def main() -> None:
                              max_position_embeddings=512, rope_theta=10000.0)
     rng = np.random.default_rng(1)
     ids = rng.integers(1, config.vocab_size,
-                       size=(args.batch, 64)).astype(np.int32)
+                       size=(args.batch, args.prompt)).astype(np.int32)
     mask = np.ones_like(ids)
 
     import dataclasses
@@ -114,6 +125,8 @@ def main() -> None:
     for bits in args.bits:
         cfg = (dataclasses.replace(config, int4_impl=args.int4_impl)
                if bits == 4 else config)
+        if args.kv_bits:
+            cfg = dataclasses.replace(cfg, kv_quant_bits=args.kv_bits)
         t0 = time.perf_counter()
         params = build_quantized_params(config, bits)
         params = jax.device_put(params)
@@ -121,9 +134,14 @@ def main() -> None:
         print(f"int{bits} params on device in {time.perf_counter()-t0:.0f}s",
               flush=True)
 
+        # smoke (CPU) computes in f32: the XLA:CPU dot thunk lacks
+        # bf16 x bf16 -> f32 kernels for some fused layouts (int4 weights +
+        # int8 KV hit one); the chip path is always bf16
+        compute = jnp.float32 if args.geometry == "smoke" else jnp.bfloat16
+
         def run(i, new):
             return greedy_decode(params, jnp.asarray(i), jnp.asarray(mask),
-                                 cfg, new, compute_dtype=jnp.bfloat16,
+                                 cfg, new, compute_dtype=compute,
                                  return_logits=False)
 
         def window(new):

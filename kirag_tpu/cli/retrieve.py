@@ -70,6 +70,12 @@ def setup_parser():
                         help="weight-only LLM quantization: 8 (per-channel "
                              "int8) or 4 (block-64 int4, the reference's NF4 "
                              "memory point)")
+    parser.add_argument("--llm_kv_quant_bits", type=int, default=None,
+                        choices=[8],
+                        help="int8 KV cache (per-token, per-kv-head scales): "
+                             "halves KV HBM traffic and residency — the "
+                             "capacity lever for large decode batches; not "
+                             "composable with --draft_llm")
     parser.add_argument("--draft_llm", type=str, default=None,
                         help="optional DRAFT model path: enables greedy "
                              "speculative decoding (same tokenizer as "
@@ -140,7 +146,9 @@ def setup_llm_generator(args):
         tokenizer.pad_token = tokenizer.eos_token
     params, config = load_llama(args.llm, compute_dtype=jnp.bfloat16,
                                 int8_weights=getattr(args, 'llm_int8', False),
-                                quant_bits=getattr(args, 'llm_quant_bits', None))
+                                quant_bits=getattr(args, 'llm_quant_bits', None),
+                                kv_quant_bits=getattr(args, 'llm_kv_quant_bits',
+                                                      None))
     draft_params = draft_config = None
     if getattr(args, "draft_llm", None):
         # the quantized-target + small-bf16-draft pairing: the draft's extra

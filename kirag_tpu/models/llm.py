@@ -53,6 +53,19 @@ class LlamaConfig:
     # would force a full kernel all-gather). load_llama picks "pallas" on
     # single-device TPU; JaxLlamaBackend.shard_params flips it back.
     int4_impl: str = "parity"
+    # KV-cache quantization: None (cache in compute dtype) or 8. Slots are
+    # stored int8 with a per-token, per-kv-head f32 scale. Both scales
+    # commute with their attention contractions — K's moves onto the (small)
+    # logits tensor, V's folds into the probs — so the cache is read as raw
+    # int8 by the MXU with no materialized dequant: KV HBM traffic and
+    # residency halve vs bf16. This is the capacity lever for the batched
+    # KiRAG decode regime (b32 x 4k ctx at 8B geometry needs 17 GB of bf16
+    # KV — more than the chip; int8 fits it beside int4 weights). The
+    # reference has no analogue (HF generate caches fp16,
+    # `generator/generator.py:171-235`). Not composable with speculative
+    # decoding, whose bit-identity proof needs window-fed and cache-fed
+    # logits to agree exactly (JaxLlamaBackend enforces).
+    kv_quant_bits: Optional[int] = None
     # Gemma-2 extensions (model_type == "gemma2"):
     model_type: str = "llama"
     head_dim_override: Optional[int] = None      # gemma2 sets head_dim explicitly
@@ -415,6 +428,37 @@ def _rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
     return jnp.concatenate([xf1 * cos - xf2 * sin, xf2 * cos + xf1 * sin], axis=-1).astype(x.dtype)
 
 
+def _kv_quantize(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric int8 over the head dim: [..., hd] -> (int8 [..., hd],
+    f32 scale [...]). Worst-case per-slot relative error ~0.4% (1/255),
+    far below attention-softmax sensitivity at these head dims."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(xf), axis=-1) / 127.0
+    q = jnp.round(xf / jnp.maximum(scale, 1e-12)[..., None])
+    return jnp.clip(q, -127, 127).astype(jnp.int8), scale
+
+
+def _cache_alloc(bsz: int, t_cache: int, nkv: int, hd: int, dtype,
+                 kv_bits: Optional[int]):
+    """Zeroed KV cache for one layer: a plain [B, T, nkv, hd] array, or the
+    quantized form {"q": int8 [B, T, nkv, hd], "s": f32 [B, T, nkv]}."""
+    if kv_bits == 8:
+        return {"q": jnp.zeros((bsz, t_cache, nkv, hd), jnp.int8),
+                "s": jnp.zeros((bsz, t_cache, nkv), jnp.float32)}
+    if kv_bits is not None:
+        raise ValueError(f"kv_quant_bits must be None or 8, got {kv_bits}")
+    return jnp.zeros((bsz, t_cache, nkv, hd), dtype)
+
+
+def _cache_write(cache, new: jnp.ndarray, *idx):
+    """Write compute-dtype K/V rows into a (possibly quantized) cache at
+    ``idx`` — leading batch/token axes only, which the scale shares."""
+    if isinstance(cache, dict):
+        q, s = _kv_quantize(new)
+        return {"q": cache["q"].at[idx].set(q), "s": cache["s"].at[idx].set(s)}
+    return cache.at[idx].set(new.astype(cache.dtype))
+
+
 def _attention_block(x, layer_p, config: LlamaConfig, positions, k_cache, v_cache,
                      cache_mask, new_mask, cache_positions=None, sliding=False):
     """Attend new tokens (x) against cache+self. Returns (out, new_k, new_v).
@@ -433,15 +477,36 @@ def _attention_block(x, layer_p, config: LlamaConfig, positions, k_cache, v_cach
     q = _rope(q, positions, config.rope_theta)
     k = _rope(k, positions, config.rope_theta)
 
-    # full keys: cache + new
-    keys = jnp.concatenate([k_cache, k], axis=1).astype(x.dtype)
-    values = jnp.concatenate([v_cache, v], axis=1).astype(x.dtype)
-    t_total = keys.shape[1]
     group = nh // nkv
-    keys_r = jnp.repeat(keys, group, axis=2)
-    values_r = jnp.repeat(values, group, axis=2)
+    quant = isinstance(k_cache, dict)
+    if quant:
+        # int8 cache: score cache and new slots separately. The MXU reads
+        # the RAW int8 keys (the convert fuses into the dot operand); the
+        # per-slot K scale lands on the small logits tensor AFTER the
+        # contraction, so the dequantized cache never materializes. GQA is
+        # expressed by splitting the head axis (nkv, group) instead of
+        # repeating the cache ``group`` times.
+        t_cache = k_cache["q"].shape[1]
+        q5 = q.reshape(bsz, t_new, nkv, group, hd)
+        lg_c = jnp.einsum("bqngd,bknd->bngqk", q5,
+                          k_cache["q"].astype(x.dtype),
+                          preferred_element_type=jnp.float32)
+        lg_c = lg_c * k_cache["s"].transpose(0, 2, 1)[:, :, None, None, :]
+        lg_n = jnp.einsum("bqngd,bknd->bngqk", q5, k,
+                          preferred_element_type=jnp.float32)
+        # (nkv, group) merge order matches jnp.repeat's head layout: kv head
+        # n serves query heads [n*group, (n+1)*group)
+        logits = jnp.concatenate([lg_c, lg_n], axis=-1).reshape(
+            bsz, nh, t_new, t_cache + t_new)
+    else:
+        t_cache = k_cache.shape[1]
+        keys = jnp.concatenate([k_cache, k], axis=1).astype(x.dtype)
+        values = jnp.concatenate([v_cache, v], axis=1).astype(x.dtype)
+        keys_r = jnp.repeat(keys, group, axis=2)
+        values_r = jnp.repeat(values, group, axis=2)
+        logits = jnp.einsum("bqnd,bknd->bnqk", q, keys_r,
+                            preferred_element_type=jnp.float32)
 
-    logits = jnp.einsum("bqnd,bknd->bnqk", q, keys_r, preferred_element_type=jnp.float32)
     scale = config.query_pre_attn_scalar if config.query_pre_attn_scalar else hd
     logits = logits / np.sqrt(scale)
     if config.attn_logit_softcapping:
@@ -449,7 +514,6 @@ def _attention_block(x, layer_p, config: LlamaConfig, positions, k_cache, v_cach
         logits = cap * jnp.tanh(logits / cap)
 
     # validity: cache slots per cache_mask; new tokens causal AND non-pad
-    t_cache = k_cache.shape[1]
     cache_valid = jnp.broadcast_to(
         cache_mask.astype(bool)[:, None, None, :], (bsz, 1, t_new, t_cache))
     causal = jnp.tril(jnp.ones((t_new, t_new), dtype=bool))[None, None]
@@ -465,8 +529,24 @@ def _attention_block(x, layer_p, config: LlamaConfig, positions, k_cache, v_cach
         delta = positions[:, :, None] - key_pos[:, None, :]  # [B, T_new, T_total]
         valid = valid & (delta < config.sliding_window)[:, None, :, :]
     logits = jnp.where(valid, logits, jnp.finfo(jnp.float32).min)
-    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-    ctx = jnp.einsum("bnqk,bknd->bqnd", probs, values_r).reshape(bsz, t_new, nh * hd)
+    if quant:
+        # fold the per-slot V scale into the (small) probs tensor — the MXU
+        # then reads the raw int8 values directly
+        probs = jax.nn.softmax(logits, axis=-1)
+        p5 = probs.reshape(bsz, nkv, group, t_new, t_cache + t_new)
+        pc = (p5[..., :t_cache]
+              * v_cache["s"].transpose(0, 2, 1)[:, :, None, None, :])
+        ctx = jnp.einsum("bngqk,bknd->bqngd", pc.astype(x.dtype),
+                         v_cache["q"].astype(x.dtype),
+                         preferred_element_type=jnp.float32)
+        ctx = ctx + jnp.einsum("bngqk,bknd->bqngd",
+                               p5[..., t_cache:].astype(x.dtype), v,
+                               preferred_element_type=jnp.float32)
+        ctx = ctx.astype(x.dtype).reshape(bsz, t_new, nh * hd)
+    else:
+        probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        ctx = jnp.einsum("bnqk,bknd->bqnd", probs,
+                         values_r).reshape(bsz, t_new, nh * hd)
     return _dense(ctx, layer_p["o_proj"], config.int4_impl), k, v
 
 
@@ -542,7 +622,9 @@ def _prefill_state(params, input_ids, attention_mask, config, total_new_tokens,
     # positions: left padding -> clip(cumsum(mask)-1, 0)
     positions = jnp.clip(jnp.cumsum(attention_mask, axis=1) - 1, 0)
 
-    empty_k = [jnp.zeros((bsz, 0, nkv, hd), compute_dtype) for _ in range(nl)]
+    kv_bits = config.kv_quant_bits
+    empty_k = [_cache_alloc(bsz, 0, nkv, hd, compute_dtype, kv_bits)
+               for _ in range(nl)]
     empty_mask = jnp.zeros((bsz, 0), dtype=jnp.int32)
     empty_pos = jnp.zeros((bsz, 0), dtype=positions.dtype)
     logits, new_ks, new_vs = llama_block_forward(
@@ -552,8 +634,8 @@ def _prefill_state(params, input_ids, attention_mask, config, total_new_tokens,
 
     # preallocate caches to t_cache and write the prompt K/V at the front
     def alloc(new):
-        cache = jnp.zeros((bsz, t_cache, nkv, hd), compute_dtype)
-        return cache.at[:, :t_prompt].set(new)
+        cache = _cache_alloc(bsz, t_cache, nkv, hd, compute_dtype, kv_bits)
+        return _cache_write(cache, new, slice(None), slice(0, t_prompt))
 
     next_token = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
     done0 = (jnp.full((bsz,), False) if eos_token_id is None
@@ -588,8 +670,10 @@ def _decode_step(params, state, config, compute_dtype, eos_token_id):
         new_token = jnp.where(done, eos_token_id, new_token)
         done = done | (new_token == eos_token_id)
     new_state = {
-        "k": [k.at[:, w].set(nk_[:, 0]) for k, nk_ in zip(state["k"], nk)],
-        "v": [v.at[:, w].set(nv_[:, 0]) for v, nv_ in zip(state["v"], nv)],
+        "k": [_cache_write(k, nk_[:, 0], slice(None), w)
+              for k, nk_ in zip(state["k"], nk)],
+        "v": [_cache_write(v, nv_[:, 0], slice(None), w)
+              for v, nv_ in zip(state["v"], nv)],
         "cache_mask": state["cache_mask"].at[:, w].set(1),
         "cache_pos": state["cache_pos"].at[:, w].set(pos),
         "pending": new_token,
@@ -717,6 +801,14 @@ class JaxLlamaBackend:
             assert draft_config is not None
             assert draft_config.vocab_size == config.vocab_size, \
                 "draft and target must share the tokenizer/vocab"
+            if config.kv_quant_bits or draft_config.kv_quant_bits:
+                # bit-identity of the speculative stream relies on the
+                # target's window-fed logits equalling its cache-fed logits
+                # exactly; a quantized cache rounds the cached slots but not
+                # the in-window ones, so the two genuinely diverge
+                raise ValueError(
+                    "speculative decoding requires a full-precision KV "
+                    "cache (kv_quant_bits=None)")
         self.draft_params = draft_params
         self.draft_config = draft_config
         self.spec_gamma = spec_gamma
@@ -882,13 +974,16 @@ def convert_hf_llama_state_dict(state_dict: Dict[str, np.ndarray], config: Llama
 
 def load_llama(model_name_or_path: str, compute_dtype=jnp.bfloat16,
                int8_weights: bool = False,
-               quant_bits: Optional[int] = None) -> Tuple[Params, LlamaConfig]:
+               quant_bits: Optional[int] = None,
+               kv_quant_bits: Optional[int] = None) -> Tuple[Params, LlamaConfig]:
     """Load a Llama-architecture causal LM from a local HF checkpoint dir.
 
     ``int8_weights`` (== ``quant_bits=8``) quantizes projections on host
     during conversion, so an 8B model fits a single 16GB chip (full precision
     never reaches HBM); ``quant_bits=4`` packs block-64 int4 (the reference's
-    NF4 memory point, `utils/pipeline_utils.py:6-24`).
+    NF4 memory point, `utils/pipeline_utils.py:6-24`). ``kv_quant_bits=8``
+    additionally stores the decode KV cache int8 (see
+    :attr:`LlamaConfig.kv_quant_bits`).
     """
     if not os.path.isdir(model_name_or_path):
         raise FileNotFoundError(
@@ -946,4 +1041,6 @@ def load_llama(model_name_or_path: str, compute_dtype=jnp.bfloat16,
             impl = ("pallas" if jax.default_backend() == "tpu"
                     and jax.device_count() == 1 else "parity")
         config = dataclasses.replace(config, int4_impl=impl)
+    if kv_quant_bits is not None:
+        config = dataclasses.replace(config, kv_quant_bits=kv_quant_bits)
     return params, config

@@ -418,3 +418,165 @@ class TestQuantizedSharding:
         got_ids, _ = greedy_decode(backend.params, jnp.asarray(ids),
                                    jnp.asarray(mask), config, 4)
         np.testing.assert_array_equal(np.asarray(got_ids), np.asarray(base_ids))
+
+
+class TestKVQuantCache:
+    """int8 KV cache (LlamaConfig.kv_quant_bits=8): per-token, per-kv-head
+    scales that commute with both attention contractions, so the cache is
+    read as raw int8. The reference caches fp16 via HF generate
+    (`generator/generator.py:171-235`); this is the TPU capacity/bandwidth
+    lever for large decode batches."""
+
+    def test_kv_quantize_roundtrip_bound(self, rng):
+        from kirag_tpu.models.llm import _kv_quantize
+
+        x = jnp.asarray(rng.randn(2, 5, 3, 16).astype(np.float32)) * 3.0
+        q, s = _kv_quantize(x)
+        assert q.dtype == jnp.int8 and s.shape == (2, 5, 3)
+        deq = np.asarray(q, np.float32) * np.asarray(s)[..., None]
+        bound = np.abs(np.asarray(x)).max(axis=-1, keepdims=True) / 253.0 + 1e-6
+        assert (np.abs(deq - np.asarray(x)) <= bound).all()
+
+    def test_logits_close_to_float_cache(self, converted, rng):
+        import dataclasses
+
+        config, params, _ = converted
+        ids, mask = left_padded_batch(rng)
+        base_ids, base_logits = greedy_decode(
+            params, jnp.asarray(ids), jnp.asarray(mask), config, 6)
+        qcfg = dataclasses.replace(config, kv_quant_bits=8)
+        q_ids, q_logits = greedy_decode(
+            params, jnp.asarray(ids), jnp.asarray(mask), config=qcfg,
+            max_new_tokens=6)
+        # step 0 is computed before anything is cached: near-identical (the
+        # grouped-einsum form reorders reductions slightly)
+        d0 = np.abs(np.asarray(q_logits[:, 0]) - np.asarray(base_logits[:, 0]))
+        assert float(d0.max()) < 1e-3
+        # later steps read the rounded cache: close, not identical
+        d = np.abs(np.asarray(q_logits) - np.asarray(base_logits))
+        assert float(d.mean()) < 0.05
+
+    def test_prefill_resume_matches_fused(self, converted, rng):
+        import dataclasses
+
+        from kirag_tpu.models.llm import prefill_decode, resume_decode
+
+        config, params, _ = converted
+        qcfg = dataclasses.replace(config, kv_quant_bits=8)
+        ids, mask = left_padded_batch(rng)
+        fused_ids, fused_logits = greedy_decode(
+            params, jnp.asarray(ids), jnp.asarray(mask), qcfg, 7)
+        first_ids, first_logits, state = prefill_decode(
+            params, jnp.asarray(ids), jnp.asarray(mask), qcfg, 7)
+        # the quantized cache is a dict pytree of int8 slots + f32 scales
+        assert isinstance(state["k"][0], dict)
+        assert state["k"][0]["q"].dtype == jnp.int8
+        t3, lg3, state = resume_decode(params, state, qcfg, 3)
+        t4, lg4, _ = resume_decode(params, state, qcfg, 3)
+        got_ids = np.concatenate([np.asarray(first_ids), np.asarray(t3),
+                                  np.asarray(t4)], axis=1)
+        got_lg = np.concatenate([np.asarray(first_logits), np.asarray(lg3),
+                                 np.asarray(lg4)], axis=1)
+        np.testing.assert_array_equal(got_ids, np.asarray(fused_ids))
+        np.testing.assert_array_equal(got_lg, np.asarray(fused_logits))
+
+    def test_cache_memory_halves(self, converted, rng):
+        import dataclasses
+
+        from kirag_tpu.models.llm import prefill_decode
+
+        config, params, _ = converted
+        ids, mask = left_padded_batch(rng)
+        _, _, plain = prefill_decode(params, jnp.asarray(ids),
+                                     jnp.asarray(mask), config, 16,
+                                     compute_dtype=jnp.bfloat16)
+        qcfg = dataclasses.replace(config, kv_quant_bits=8)
+        _, _, quant = prefill_decode(params, jnp.asarray(ids),
+                                     jnp.asarray(mask), qcfg, 16,
+                                     compute_dtype=jnp.bfloat16)
+        plain_b = sum(np.asarray(x).nbytes for x in jax.tree.leaves(plain["k"]))
+        quant_b = sum(np.asarray(x).nbytes for x in jax.tree.leaves(quant["k"]))
+        # int8 slots + a 4-byte scale per (token, kv head) vs bf16 slots:
+        # (hd + 4) / (2 * hd) — 0.52x at real head dims (128), 0.625x at
+        # this tiny fixture's hd=16
+        hd = config.head_dim
+        assert quant_b == round((hd + 4) / (2 * hd) * plain_b)
+
+    def test_gemma2_sliding_window_composes(self, rng):
+        import dataclasses
+
+        torch.manual_seed(2)
+        hf_config = transformers.Gemma2Config(
+            vocab_size=128, hidden_size=32, num_hidden_layers=4,
+            num_attention_heads=4, num_key_value_heads=2, intermediate_size=64,
+            head_dim=16, max_position_embeddings=128, sliding_window=8,
+            query_pre_attn_scalar=16, attn_logit_softcapping=50.0,
+            final_logit_softcapping=30.0, attn_implementation="eager")
+        model = transformers.Gemma2ForCausalLM(hf_config).eval()
+        from kirag_tpu.models.llm import config_from_hf as cfh
+
+        config = cfh(hf_config)
+        params = convert_hf_llama_state_dict(
+            {k: v.numpy() for k, v in model.state_dict().items()}, config)
+        ids, mask = left_padded_batch(rng, b=3, t=12, vocab=128)
+        base_ids, base_logits = greedy_decode(
+            params, jnp.asarray(ids), jnp.asarray(mask), config, 6)
+        qcfg = dataclasses.replace(config, kv_quant_bits=8)
+        q_ids, q_logits = greedy_decode(
+            params, jnp.asarray(ids), jnp.asarray(mask), qcfg, 6)
+        d = np.abs(np.asarray(q_logits) - np.asarray(base_logits))
+        assert np.isfinite(np.asarray(q_logits)).all()
+        assert float(d.mean()) < 0.05
+
+    def test_tp_sharded_decode_matches(self, converted, rng, mesh8):
+        import dataclasses
+
+        from kirag_tpu.parallel import create_mesh
+
+        config, params, _ = converted
+        qcfg = dataclasses.replace(config, kv_quant_bits=8)
+        mesh = create_mesh(data=2, model=4)
+        ids, mask = left_padded_batch(rng)
+        base_ids, _ = greedy_decode(params, jnp.asarray(ids), jnp.asarray(mask),
+                                    qcfg, 4)
+        backend = JaxLlamaBackend(jax.tree.map(jnp.asarray, params), qcfg,
+                                  eos_token_id=2,
+                                  compute_dtype=jnp.float32).shard_params(mesh)
+        got_ids, _ = greedy_decode(backend.params, jnp.asarray(ids),
+                                   jnp.asarray(mask), backend.config, 4)
+        np.testing.assert_array_equal(np.asarray(got_ids), np.asarray(base_ids))
+
+    def test_speculative_composition_rejected(self, converted):
+        import dataclasses
+
+        config, params, _ = converted
+        qcfg = dataclasses.replace(config, kv_quant_bits=8)
+        with pytest.raises(ValueError, match="full-precision KV"):
+            JaxLlamaBackend(params, qcfg, eos_token_id=2,
+                            draft_params=params, draft_config=config)
+
+    def test_bad_kv_bits_raises(self, converted, rng):
+        import dataclasses
+
+        config, params, _ = converted
+        ids, mask = left_padded_batch(rng)
+        qcfg = dataclasses.replace(config, kv_quant_bits=4)
+        with pytest.raises(ValueError, match="kv_quant_bits"):
+            greedy_decode(params, jnp.asarray(ids), jnp.asarray(mask), qcfg, 2)
+
+    def test_int4_weights_compose(self, converted, rng):
+        import dataclasses
+
+        from kirag_tpu.models.llm import quantize_llama_params
+
+        config, params, _ = converted
+        qparams = quantize_llama_params(params, bits=4)
+        qcfg = dataclasses.replace(config, kv_quant_bits=8)
+        ids, mask = left_padded_batch(rng)
+        base_ids, base_logits = greedy_decode(
+            qparams, jnp.asarray(ids), jnp.asarray(mask), config, 4)
+        kv_ids, kv_logits = greedy_decode(
+            qparams, jnp.asarray(ids), jnp.asarray(mask), qcfg, 4)
+        d = np.abs(np.asarray(kv_logits) - np.asarray(base_logits))
+        assert np.isfinite(np.asarray(kv_logits)).all()
+        assert float(d.mean()) < 0.05
