@@ -114,6 +114,10 @@ def main() -> None:
                 "stage_total_s": {k: round(sum(v), 3)
                                   for k, v in sorted(timings.items())},
             }
+            if os.environ.get("BENCH_KV_BITS"):
+                rec["kv_bits"] = int(os.environ["BENCH_KV_BITS"])
+            if os.environ.get("BENCH_PREFIX_GROUPS"):
+                rec["prefix_groups"] = int(os.environ["BENCH_PREFIX_GROUPS"])
             records.append((mode, phase, outs, rec))
             print(json.dumps(rec), flush=True)
             with open(OUT, "a") as f:

@@ -127,8 +127,18 @@ def build_stack(fixed_padding: bool = False):
     lparams = init_llama_params(jax.random.key(7), lcfg)
     lparams = quantize_llama_params(
         jax.tree.map(np.asarray, lparams), bits=8)
+    # serving levers, both off by default for comparability with older rows:
+    # BENCH_KV_BITS=8 -> int8 KV cache; BENCH_PREFIX_GROUPS=N -> prefix KV
+    # reuse across a question's constructor turns/beams
+    import dataclasses as _dc
+    kv_bits = int(os.environ.get("BENCH_KV_BITS", 0)) or None
+    if kv_bits:
+        lcfg = _dc.replace(lcfg, kv_quant_bits=kv_bits)
+    prefix_groups = int(os.environ.get("BENCH_PREFIX_GROUPS", 0))
     backend = JaxLlamaBackend(lparams, lcfg, eos_token_id=-1,  # never stop early
-                              compute_dtype=jnp.bfloat16)
+                              compute_dtype=jnp.bfloat16,
+                              prefix_cache_groups=prefix_groups,
+                              prefix_cache_tokens=2048)
     print("build_stack: LLM backend ready", file=sys.stderr, flush=True)
 
     class TimedScriptedGenerator(Generator):

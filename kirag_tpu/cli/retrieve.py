@@ -76,6 +76,15 @@ def setup_parser():
                              "halves KV HBM traffic and residency — the "
                              "capacity lever for large decode batches; not "
                              "composable with --draft_llm")
+    parser.add_argument("--llm_prefix_cache_groups", type=int, default=16,
+                        help="prefix KV cache slots (0 disables): the "
+                             "constructor's (instruction + examplars) K/V is "
+                             "computed once per question and reused across "
+                             "its turns/beams — the constructor stage is "
+                             "prefill-bound. ~46 MB/slot at 1.1B geometry "
+                             "(half with --llm_kv_quant_bits 8)")
+    parser.add_argument("--llm_prefix_cache_tokens", type=int, default=2048,
+                        help="cached prefix length cap per slot")
     parser.add_argument("--draft_llm", type=str, default=None,
                         help="optional DRAFT model path: enables greedy "
                              "speculative decoding (same tokenizer as "
@@ -157,7 +166,11 @@ def setup_llm_generator(args):
                                                 compute_dtype=jnp.bfloat16)
     backend = JaxLlamaBackend(params, config, eos_token_id=tokenizer.eos_token_id,
                               draft_params=draft_params, draft_config=draft_config,
-                              spec_gamma=getattr(args, "spec_gamma", 4))
+                              spec_gamma=getattr(args, "spec_gamma", 4),
+                              prefix_cache_groups=getattr(
+                                  args, "llm_prefix_cache_groups", 0),
+                              prefix_cache_tokens=getattr(
+                                  args, "llm_prefix_cache_tokens", 2048))
     constructor = Generator(tokenizer, backend, model_name=args.llm,
                             max_length=4096, max_new_tokens=64, batch_size=4)
     kg_llm = Generator(tokenizer, backend, model_name=args.llm,

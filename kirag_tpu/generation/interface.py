@@ -155,6 +155,7 @@ class Generator:
                         batch_size: Optional[int] = None,
                         pad_to_max_new_tokens: bool = False,
                         return_logits: bool = True,
+                        prefix_groups: Optional[Sequence] = None,
                         **kwargs) -> Tuple[np.ndarray, Optional[np.ndarray]]:
         """Batched greedy decode returning (token_ids, per-step logits), the
         reference contract (`generator/generator.py:171-235`).
@@ -166,10 +167,20 @@ class Generator:
         max_new = max_new_tokens or self.max_new_tokens
         bsz = batch_size or self.batch_size
         n = len(inputs["input_ids"])
+        # prefix KV reuse: only on the plain greedy path of a backend that
+        # opts in (JaxLlamaBackend with prefix_cache_groups > 0); the
+        # segmented stop-word path and other backends ignore the hint
+        use_prefix = (prefix_groups is not None and not stop_words
+                      and getattr(self.backend, "supports_prefix_cache",
+                                  False))
+        if prefix_groups is not None:
+            assert len(prefix_groups) == n
 
         ids_list, logits_list = [], []
         for start in range(0, n, bsz):
             batch = {k: v[start: start + bsz] for k, v in inputs.items()}
+            groups = (list(prefix_groups[start: start + bsz])
+                      if use_prefix else None)
             n_real = len(batch["input_ids"])
             # pad rows to a power-of-two bucket <= bsz: bounds the number of
             # compiled decode programs across varying request sizes
@@ -180,12 +191,18 @@ class Generator:
             if n_pad > n_real:
                 batch = {k: np.concatenate(
                     [v, np.repeat(v[-1:], n_pad - n_real, axis=0)]) for k, v in batch.items()}
+                if groups is not None:
+                    groups += [groups[-1]] * (n_pad - n_real)
             if stop_words and not getattr(self.backend, "is_encoder_decoder", False):
                 # segment-wise stop checks on the decoder-only context; for
                 # encoder-decoder backends growing the context would corrupt
                 # the encoder input, so rely on EOS + post-hoc trim there
                 gen_ids, gen_logits = self._segmented_greedy(
                     batch, max_new, stop_words, return_logits)
+            elif groups is not None:
+                gen_ids, gen_logits = self.backend.greedy(
+                    batch["input_ids"], batch["attention_mask"], max_new,
+                    return_logits=return_logits, prefix_groups=groups)
             else:
                 gen_ids, gen_logits = self.backend.greedy(
                     batch["input_ids"], batch["attention_mask"], max_new,

@@ -772,6 +772,168 @@ def resume_decode(params: Params, state, config: LlamaConfig, n_steps: int,
 
 
 # -----------------------------------------------------------------------------
+# Prefix KV caching: reuse the K/V of a shared prompt prefix across calls
+# -----------------------------------------------------------------------------
+#
+# The KiRAG constructor re-renders (instruction + ranked examplars + question)
+# at the head of EVERY turn's prompt — 5 turns x beams per question — and the
+# measured constructor stage is prefill-bound (benchmarks/
+# bench_kirag_batched_results.jsonl). The reference re-prefills that prefix
+# every call (`generator/generator.py:171-235`); here a device-resident pool
+# caches each group's prefix K/V once and later calls prefill only the
+# suffix. Design constraints on this rig: eager dispatches cost ~8 ms each
+# through the relay, so the pool is a FIXED-SHAPE [G, PB, ...] pytree — one
+# jitted write per new group, one in-program gather per decode — and zero
+# per-call eager ops. Matching is by longest common TOKEN prefix against the
+# cached ids (host-side numpy), so divergent tails (turn-1 triples cached
+# beyond the stable region) are simply never attended: correctness by
+# construction, no text-level split contract needed.
+
+
+def alloc_prefix_pool(config: LlamaConfig, n_groups: int, prefix_len: int,
+                      compute_dtype=jnp.bfloat16):
+    """Zeroed per-layer prefix K/V pools: [n_groups, prefix_len, nkv, hd]
+    (cache format — quantized when config.kv_quant_bits is set)."""
+    nkv, hd, nl = (config.num_key_value_heads, config.head_dim,
+                   config.num_hidden_layers)
+    kv = config.kv_quant_bits
+    return {
+        "k": [_cache_alloc(n_groups, prefix_len, nkv, hd, compute_dtype, kv)
+              for _ in range(nl)],
+        "v": [_cache_alloc(n_groups, prefix_len, nkv, hd, compute_dtype, kv)
+              for _ in range(nl)],
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("config", "compute_dtype"),
+                   donate_argnames=("pool",))
+def write_prefix_pool(params: Params, pool, slot, prefix_ids, prefix_mask,
+                      config: LlamaConfig, compute_dtype=jnp.bfloat16):
+    """Prefill one RIGHT-padded prefix ([1, PB] ids + mask) and write its
+    K/V into pool slot ``slot``. Returns the updated pool (donated in)."""
+    positions = jnp.clip(jnp.cumsum(prefix_mask, axis=1) - 1, 0)
+    bsz = prefix_ids.shape[0]
+    nkv, hd, nl = (config.num_key_value_heads, config.head_dim,
+                   config.num_hidden_layers)
+    kv = config.kv_quant_bits
+    empty = [_cache_alloc(bsz, 0, nkv, hd, compute_dtype, kv)
+             for _ in range(nl)]
+    empty_mask = jnp.zeros((bsz, 0), dtype=jnp.int32)
+    empty_pos = jnp.zeros((bsz, 0), dtype=positions.dtype)
+    _, ks, vs = llama_block_forward(
+        params, prefix_ids, positions, config, empty, empty, empty_mask,
+        new_mask=prefix_mask, compute_dtype=compute_dtype,
+        cache_positions=empty_pos)
+    return {
+        "k": [_cache_write(p, k[0], slot) for p, k in zip(pool["k"], ks)],
+        "v": [_cache_write(p, v[0], slot) for p, v in zip(pool["v"], vs)],
+    }
+
+
+def _gather_slots(pool_layer, slot_idx):
+    if isinstance(pool_layer, dict):
+        return {"q": pool_layer["q"][slot_idx], "s": pool_layer["s"][slot_idx]}
+    return pool_layer[slot_idx]
+
+
+def _prefixed_prefill_state(params, pool, slot_idx, match_len, suffix_ids,
+                            suffix_mask, config, total_new_tokens,
+                            compute_dtype, eos_token_id):
+    """Prefill LEFT-padded suffixes against per-row cached prefixes.
+
+    slot_idx [B] selects each row's pool slot; match_len [B] is how many
+    cached slots are valid for that row (its longest common token prefix
+    with the cached ids — slots past it hold another call's tail and are
+    masked out of attention entirely)."""
+    bsz, t_suf = suffix_ids.shape
+    pb = (pool["k"][0]["q"] if isinstance(pool["k"][0], dict)
+          else pool["k"][0]).shape[1]
+    nkv, hd, nl = (config.num_key_value_heads, config.head_dim,
+                   config.num_hidden_layers)
+    t_cache = pb + t_suf + total_new_tokens
+
+    pk = [_gather_slots(p, slot_idx) for p in pool["k"]]
+    pv = [_gather_slots(p, slot_idx) for p in pool["v"]]
+    prefix_mask = (jnp.arange(pb)[None, :]
+                   < match_len[:, None]).astype(jnp.int32)
+    prefix_pos = jnp.broadcast_to(jnp.arange(pb, dtype=jnp.int32)[None, :],
+                                  (bsz, pb))
+    positions = (match_len[:, None]
+                 + jnp.clip(jnp.cumsum(suffix_mask, axis=1) - 1, 0))
+    logits, new_ks, new_vs = llama_block_forward(
+        params, suffix_ids, positions, config, pk, pv, prefix_mask,
+        new_mask=suffix_mask, compute_dtype=compute_dtype,
+        cache_positions=prefix_pos)
+
+    def alloc(prefix_entry, new):
+        cache = _cache_alloc(bsz, t_cache, nkv, hd, compute_dtype,
+                             config.kv_quant_bits)
+        if isinstance(cache, dict):
+            cache = {"q": cache["q"].at[:, :pb].set(prefix_entry["q"]),
+                     "s": cache["s"].at[:, :pb].set(prefix_entry["s"])}
+        else:
+            cache = cache.at[:, :pb].set(prefix_entry)
+        return _cache_write(cache, new, slice(None), slice(pb, pb + t_suf))
+
+    next_token = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+    done0 = (jnp.full((bsz,), False) if eos_token_id is None
+             else next_token == eos_token_id)
+    state = {
+        "k": [alloc(p, k) for p, k in zip(pk, new_ks)],
+        "v": [alloc(p, v) for p, v in zip(pv, new_vs)],
+        "cache_mask": jnp.concatenate(
+            [prefix_mask, suffix_mask,
+             jnp.zeros((bsz, total_new_tokens), jnp.int32)], axis=1),
+        "cache_pos": jnp.concatenate(
+            [prefix_pos, positions,
+             jnp.zeros((bsz, total_new_tokens), positions.dtype)], axis=1),
+        "pending": next_token,
+        "pos": positions[:, -1] + 1,
+        "done": done0,
+        "write_at": jnp.asarray(pb + t_suf, dtype=jnp.int32),
+    }
+    return next_token, logits[:, -1], state
+
+
+@functools.partial(jax.jit, static_argnames=("config", "max_new_tokens",
+                                             "compute_dtype", "eos_token_id",
+                                             "return_logits"))
+def greedy_decode_prefixed(params: Params, pool, slot_idx, match_len,
+                           suffix_ids, suffix_mask, config: LlamaConfig,
+                           max_new_tokens: int, compute_dtype=jnp.float32,
+                           eos_token_id: Optional[int] = None,
+                           return_logits: bool = True):
+    """greedy_decode against per-row cached prefixes — one fused program.
+    Same output contract as :func:`greedy_decode` on the equivalent full
+    prompts (ids match; logits agree to reduction-order rounding)."""
+    next_token, first_logits, state = _prefixed_prefill_state(
+        params, pool, slot_idx, match_len, suffix_ids, suffix_mask, config,
+        max_new_tokens, compute_dtype, eos_token_id)
+    if max_new_tokens == 1:
+        return next_token[:, None], (first_logits[:, None]
+                                     if return_logits else None)
+
+    def step(state, _):
+        token = state["pending"]
+        lg, new_state = _decode_step(params, state, config, compute_dtype,
+                                     eos_token_id)
+        return new_state, ((token, lg) if return_logits else token)
+
+    state, ys = jax.lax.scan(step, state,
+                             jnp.arange(max_new_tokens - 1, dtype=jnp.int32))
+    last_token = state["pending"]
+    if return_logits:
+        tokens, step_logits = ys
+        gen_logits = jnp.concatenate(
+            [first_logits[:, None], step_logits.transpose(1, 0, 2)], axis=1)
+    else:
+        tokens, gen_logits = ys, None
+    gen_ids = jnp.concatenate([tokens.transpose(1, 0), last_token[:, None]],
+                              axis=1)
+    return gen_ids, gen_logits
+
+
+# -----------------------------------------------------------------------------
 # The Backend protocol implementation used by kirag_tpu.generation.Generator
 # -----------------------------------------------------------------------------
 
@@ -791,12 +953,23 @@ class JaxLlamaBackend:
                  compute_dtype=jnp.bfloat16, prompt_buckets=(128, 256, 512, 1024, 2048, 4096),
                  draft_params: Optional[Params] = None,
                  draft_config: Optional[LlamaConfig] = None,
-                 spec_gamma: int = 4):
+                 spec_gamma: int = 4,
+                 prefix_cache_groups: int = 0,
+                 prefix_cache_tokens: int = 2048):
         self.params = params
         self.config = config
         self.eos_token_id = eos_token_id
         self.compute_dtype = compute_dtype
         self.prompt_buckets = prompt_buckets
+        # prefix KV cache (see alloc_prefix_pool): 0 groups = disabled.
+        # Memory: groups * tokens * 2 * nkv * hd * layers * (1-2 B/elt) —
+        # 16 x 2048 at TinyLlama-1.1B geometry is ~740 MB bf16, ~370 MB with
+        # kv_quant_bits=8. Pool is allocated lazily on first prefixed call.
+        self.prefix_cache_groups = prefix_cache_groups
+        self.prefix_cache_tokens = prefix_cache_tokens
+        self._prefix_pool = None
+        self._prefix_meta = {}      # group -> {"slot": int, "ids": np[P]}
+        self._prefix_lru = []       # groups, least-recently-used first
         if draft_params is not None:
             assert draft_config is not None
             assert draft_config.vocab_size == config.vocab_size, \
@@ -831,9 +1004,89 @@ class JaxLlamaBackend:
             attention_mask = attention_mask[:, -bucket:]
         return input_ids, attention_mask
 
+    # -- prefix KV cache ------------------------------------------------------
+
+    @property
+    def supports_prefix_cache(self) -> bool:
+        # speculative mode verifies against window-fed logits; reusing cached
+        # prefix K/V there is untested — plain greedy only for now
+        return self.prefix_cache_groups > 0 and self.draft_params is None
+
+    def _prefix_slot(self, group, row_ids: np.ndarray) -> dict:
+        """Slot metadata for ``group``, creating (or LRU-evicting into) a
+        pool slot seeded with ``row_ids[:prefix_cache_tokens]`` if new."""
+        meta = self._prefix_meta.get(group)
+        if meta is None:
+            if len(self._prefix_meta) >= self.prefix_cache_groups:
+                evict = self._prefix_lru.pop(0)
+                meta = self._prefix_meta.pop(evict)
+                slot = meta["slot"]
+            else:
+                slot = len(self._prefix_meta)
+            ids = np.asarray(row_ids[: self.prefix_cache_tokens],
+                             dtype=np.int32)
+            pb = self.prefix_cache_tokens
+            padded = np.zeros((1, pb), np.int32)
+            padded[0, : len(ids)] = ids               # RIGHT padding
+            mask = np.zeros((1, pb), np.int32)
+            mask[0, : len(ids)] = 1
+            if self._prefix_pool is None:
+                self._prefix_pool = alloc_prefix_pool(
+                    self.config, self.prefix_cache_groups, pb,
+                    self.compute_dtype)
+            self._prefix_pool = write_prefix_pool(
+                self.params, self._prefix_pool, jnp.asarray(slot),
+                jnp.asarray(padded), jnp.asarray(mask), self.config,
+                self.compute_dtype)
+            meta = {"slot": slot, "ids": ids}
+            self._prefix_meta[group] = meta
+        if group in self._prefix_lru:
+            self._prefix_lru.remove(group)
+        self._prefix_lru.append(group)
+        return meta
+
+    def _greedy_prefixed(self, input_ids: np.ndarray,
+                         attention_mask: np.ndarray, prefix_groups,
+                         max_new_tokens: int, return_logits: bool):
+        """Per-row longest-common-prefix reuse against the group's cached
+        ids; rows keep >=1 suffix token so the prefill emits logits."""
+        rows = [ids[m.astype(bool)] for ids, m in
+                zip(np.asarray(input_ids), np.asarray(attention_mask))]
+        slots, matches, suffixes = [], [], []
+        for row, group in zip(rows, prefix_groups):
+            meta = self._prefix_slot(group, row)
+            cached = meta["ids"]
+            n = min(len(row) - 1, len(cached))
+            m = int(np.argmin(row[:n] == cached[:n])) \
+                if not (row[:n] == cached[:n]).all() else n
+            if m < 16:   # not worth a prefixed program
+                m = 0
+            slots.append(meta["slot"])
+            matches.append(m)
+            suffixes.append(row[m:])
+        t_suf = self._bucket(max(len(s) for s in suffixes))
+        suf_ids = np.zeros((len(rows), t_suf), np.int32)
+        suf_mask = np.zeros((len(rows), t_suf), np.int32)
+        for r, s in enumerate(suffixes):
+            s = s[-t_suf:]                            # truncate left if huge
+            suf_ids[r, t_suf - len(s):] = s           # LEFT padding
+            suf_mask[r, t_suf - len(s):] = 1
+        ids, logits = greedy_decode_prefixed(
+            self.params, self._prefix_pool, jnp.asarray(slots, jnp.int32),
+            jnp.asarray(matches, jnp.int32), jnp.asarray(suf_ids),
+            jnp.asarray(suf_mask), self.config, max_new_tokens,
+            self.compute_dtype, eos_token_id=self.eos_token_id,
+            return_logits=return_logits)
+        return np.asarray(ids), (np.asarray(logits) if return_logits
+                                 else None)
+
     def greedy(self, input_ids: np.ndarray, attention_mask: np.ndarray,
-               max_new_tokens: int, return_logits: bool = True
-               ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+               max_new_tokens: int, return_logits: bool = True,
+               prefix_groups=None) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        if prefix_groups is not None and self.supports_prefix_cache:
+            return self._greedy_prefixed(input_ids, attention_mask,
+                                         prefix_groups, max_new_tokens,
+                                         return_logits)
         input_ids, attention_mask = self._bucket_inputs(input_ids, attention_mask)
         if self.draft_params is not None:
             from kirag_tpu.models.speculative import speculative_decode

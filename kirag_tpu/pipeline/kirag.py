@@ -394,10 +394,18 @@ class KiRAG:
         return reasoning_chains
 
     def _decode_constructor(self, instructions: List[str], inputs: List[str],
-                            forced: List[str]) -> List[str]:
+                            forced: List[str],
+                            prefix_groups: Optional[List[str]] = None
+                            ) -> List[str]:
+        # prefix_groups (one key per row, we use the question) lets a
+        # prefix-caching backend reuse the (instruction + ranked examplars)
+        # K/V across this question's turns and beams — the constructor
+        # stage is prefill-bound (bench_kirag_batched); backends without
+        # the capability ignore the hint
         ids, _ = self.constructor.generator_generate(
             instructions, inputs, current_generated_texts=forced,
             max_new_tokens=self.constructor.max_new_tokens,
+            prefix_groups=prefix_groups,
             return_logits=False)  # the constructor loop only parses text
         texts = self.constructor.tokenizer.batch_decode(ids, skip_special_tokens=True)
         return [t.strip().lstrip(".,;").strip() for t in texts]
@@ -413,7 +421,8 @@ class KiRAG:
         instructions, inputs, forced = self._constructor_prompts(
             question, triples, reasoning_chains, documents,
             ranked_examplars_indices)
-        texts = self._decode_constructor(instructions, inputs, forced)
+        texts = self._decode_constructor(instructions, inputs, forced,
+                                         prefix_groups=[question] * len(forced))
         return self._apply_constructor_outputs(reasoning_chains, texts)
 
     # -- the loop ---------------------------------------------------------------------------
@@ -584,6 +593,7 @@ class KiRAG:
 
             # ---- constructor: one forced-prefix decode batch
             instructions, inputs, forced, groups = [], [], [], []
+            row_groups: List[str] = []
             for s in live:
                 candidate_triples = self.get_triples(s["id2score"], s["id2triple"])
                 candidate_triples = candidate_triples[: self.maximum_possible_choices]
@@ -594,7 +604,9 @@ class KiRAG:
                 inputs.extend(inp)
                 forced.extend(f)
                 groups.append(len(f))
-            texts = self._decode_constructor(instructions, inputs, forced)
+                row_groups.extend([s["question"]] * len(f))
+            texts = self._decode_constructor(instructions, inputs, forced,
+                                             prefix_groups=row_groups)
             ofs = 0
             reinforce = {
                 "f1": self.update_reasoning_chains_triples_based_on_f1_score,
