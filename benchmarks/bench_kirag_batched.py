@@ -47,6 +47,11 @@ QUESTIONS = [
     "who is the w33 behind the w102 w58",
     "which w7 w140 matches the w19 title",
 ]
+# BENCH_NQ beyond the hand-written list: synthesize distinct questions in
+# the same mock-vocabulary shape (a silent [:N] truncation would report a
+# smaller run as the requested one)
+for _i in range(len(QUESTIONS), N_QUESTIONS):
+    QUESTIONS.append(f"what is the w{20 + 3 * _i} of the w{50 + 7 * _i} title")
 
 
 def _reset(kirag):
