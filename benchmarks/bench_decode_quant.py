@@ -180,6 +180,10 @@ def main() -> None:
                "loadavg": round(os.getloadavg()[0], 1)}
         if bits == 4:
             rec["int4_impl"] = args.int4_impl
+        if args.kv_bits:
+            rec["kv_bits"] = args.kv_bits
+        if args.prompt != 64:
+            rec["prompt"] = args.prompt
         print(json.dumps(rec), flush=True)
         if args.geometry != "smoke":     # smoke checks the harness only
             with open("benchmarks/bench_decode_results.jsonl", "a") as f:
