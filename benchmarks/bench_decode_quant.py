@@ -26,15 +26,18 @@ import time
 import numpy as np
 
 
-def build_quantized_params(config, bits: int):
+def build_quantized_params(config, bits: int, int4_codebook: str = "linear"):
     """Host-side random-init + quantize, one projection at a time."""
     import jax.numpy as jnp
 
     from kirag_tpu.models.llm import (_quantize_kernel_int4,
-                                      _quantize_kernel_int8)
+                                      _quantize_kernel_int8,
+                                      _quantize_kernel_nf4)
     import ml_dtypes
 
-    quantize = _quantize_kernel_int4 if bits == 4 else _quantize_kernel_int8
+    quantize = ((_quantize_kernel_nf4 if int4_codebook == "nf4"
+                 else _quantize_kernel_int4)
+                if bits == 4 else _quantize_kernel_int8)
     rng = np.random.default_rng(0)
     h, i = config.hidden_size, config.intermediate_size
     kv = config.num_key_value_heads * config.head_dim
@@ -88,6 +91,10 @@ def main() -> None:
                    "are where --kv_bits 8 pays")
     p.add_argument("--kv_bits", type=int, default=None, choices=[8],
                    help="int8 KV cache (LlamaConfig.kv_quant_bits)")
+    p.add_argument("--int4_codebook", choices=["linear", "nf4"],
+                   default="linear",
+                   help="4-bit dequant grid: linear nibbles or the NF4 "
+                   "16-entry codebook (select-tree lookup in the kernels)")
     args = p.parse_args()
 
     import jax
@@ -128,7 +135,7 @@ def main() -> None:
         if args.kv_bits:
             cfg = dataclasses.replace(cfg, kv_quant_bits=args.kv_bits)
         t0 = time.perf_counter()
-        params = build_quantized_params(config, bits)
+        params = build_quantized_params(config, bits, args.int4_codebook)
         params = jax.device_put(params)
         jax.block_until_ready(params)
         print(f"int{bits} params on device in {time.perf_counter()-t0:.0f}s",
@@ -180,10 +187,11 @@ def main() -> None:
                "loadavg": round(os.getloadavg()[0], 1)}
         if bits == 4:
             rec["int4_impl"] = args.int4_impl
-        if args.kv_bits:
-            rec["kv_bits"] = args.kv_bits
-        if args.prompt != 64:
-            rec["prompt"] = args.prompt
+            rec["int4_codebook"] = args.int4_codebook
+        # always recorded (ADVICE r4): implicit defaults in old rows rot when
+        # the argparse default moves; kv_bits=0 means full-precision KV
+        rec["kv_bits"] = args.kv_bits or 0
+        rec["prompt"] = args.prompt
         print(json.dumps(rec), flush=True)
         if args.geometry != "smoke":     # smoke checks the harness only
             with open("benchmarks/bench_decode_results.jsonl", "a") as f:

@@ -12,10 +12,14 @@ re-designs that contract around a pluggable token-level backend:
   :class:`kirag_tpu.generation.stub.StubBackend` (deterministic, for tests),
   and an optional torch fallback.
 
-Forced prefixes are handled at the TEXT level — the prefix is appended to the
-rendered prompt before tokenization — replacing the reference's token-splicing
-into left/right-padded batches (`generator/utils.py:56-104`), which exists
-only because it tokenizes before knowing the prefix. Stop-words are checked on
+Forced prefixes are spliced at the TOKEN level — row ids are
+``tok(prompt) ++ tok(prefix, add_special_tokens=False)``, then left-padded
+once — reproducing the reference's token-splicing semantics
+(`generator/utils.py:56-104`) without the repad-an-existing-batch dance
+(we tokenize after knowing the prefix, so the splice is a concat). Text-level
+concatenation would re-tokenize across the prompt/prefix boundary, where
+byte-level BPE can merge tokens and silently change the conditioning
+(tests/test_generation.py::TestForcedPrefixBoundaries). Stop-words are checked on
 the host every ``stop_check_every`` generated tokens (segment-wise decode),
 the reference's `StopWordCriteria` semantics (`generator/stop_word_criteria.py`)
 without a per-token host sync.
@@ -136,6 +140,40 @@ class Generator:
                              add_special_tokens=not self.is_chat)
         return {"input_ids": out["input_ids"].astype(np.int32),
                 "attention_mask": out["attention_mask"].astype(np.int32)}
+
+    def tokenizer_encode_with_prefixes(self, prompts: List[str],
+                                       prefixes: List[Optional[str]],
+                                       max_length: Optional[int] = None
+                                       ) -> Dict[str, np.ndarray]:
+        """Token-level forced-prefix splice: each row is
+        ``tok(prompt) ++ tok(prefix, add_special_tokens=False)`` — exactly
+        the reference's `append_texts_to_decoder_only_generator_inputs`
+        (`generator/utils.py:56-104`). Tokenizing the concatenated TEXT
+        instead can merge tokens across the boundary (e.g. byte-level BPE
+        joining a prompt-final newline with the prefix's first word), which
+        would condition the model on a different token stream than the one
+        it actually generated; the splice is boundary-exact by construction
+        (pinned in tests/test_generation.py::TestForcedPrefixBoundaries)."""
+        max_length = max_length or self.max_length
+        specials = not self.is_chat
+        rows = []
+        for prompt, pre in zip(prompts, prefixes):
+            ids = self.tokenizer(prompt, add_special_tokens=specials)["input_ids"]
+            if pre:
+                ids = ids + self.tokenizer(pre, add_special_tokens=False)["input_ids"]
+            # over-long rows lose their HEAD (the tail carries the question,
+            # the generation header, and the forced prefix) — same policy as
+            # tokenizer_encode's truncation_side="left"
+            rows.append(ids[-max_length:])
+        width = max(len(r) for r in rows)
+        pad_id = self.tokenizer.pad_token_id
+        input_ids = np.full((len(rows), width), pad_id, dtype=np.int32)
+        mask = np.zeros((len(rows), width), dtype=np.int32)
+        for i, r in enumerate(rows):                     # left padding
+            if r:
+                input_ids[i, width - len(r):] = r
+                mask[i, width - len(r):] = 1
+        return {"input_ids": input_ids, "attention_mask": mask}
 
     # -- generation -------------------------------------------------------------
 
@@ -334,17 +372,21 @@ class Generator:
         """Render chat prompts (optionally with forced prefixes) and generate.
 
         Mirrors `generator/generator.py:271-302`: ``current_generated_texts``
-        forces each row to continue after "<prefix>" — here by appending the
-        prefix text to the rendered prompt before tokenization.
+        forces each row to continue after "<prefix>". The prefix rides as a
+        TOKEN-level splice (:meth:`tokenizer_encode_with_prefixes`) so the
+        conditioning stream is bit-identical to the reference's
+        `append_texts_to_decoder_only_generator_inputs` across tokenizer
+        merge boundaries.
         """
         assert len(instructions) == len(inputs)
+        prompts = [self.render_prompt(inst, inp) for inst, inp in zip(instructions, inputs)]
         if current_generated_texts is not None:
             assert len(current_generated_texts) == len(instructions)
-            prompts = [self.render_prompt(inst, inp, forced_prefix=pre)
-                       for inst, inp, pre in zip(instructions, inputs, current_generated_texts)]
+            enc = self.tokenizer_encode_with_prefixes(
+                prompts, current_generated_texts,
+                max_length=kwargs.pop("max_length", None))
         else:
-            prompts = [self.render_prompt(inst, inp) for inst, inp in zip(instructions, inputs)]
-        enc = self.tokenizer_encode(prompts, max_length=kwargs.pop("max_length", None))
+            enc = self.tokenizer_encode(prompts, max_length=kwargs.pop("max_length", None))
         return self.generate(enc, **kwargs)
 
     def generate_texts(self, instructions: List[str], inputs: List,

@@ -203,6 +203,8 @@ def llama_param_shardings_like(params: Params, config: LlamaConfig,
             # bytes; [in/64] rarely divides small meshes) and follow the
             # kernel on the output dim
             out["kernel_scale4"] = P(None, out_spec)
+            if "kernel_cb4" in p:  # NF4 16-entry codebook: replicate
+                out["kernel_cb4"] = P()
         if "bias" in p:
             out["bias"] = spec_group.get("bias", P(out_spec))
         return out
@@ -241,6 +243,17 @@ def _rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float,
 
 INT4_BLOCK = 64  # input rows per int4 quantization block (NF4 uses 64 too)
 
+# The bitsandbytes NF4 codebook (the reference's 4-bit weight format,
+# `utils/pipeline_utils.py:55-77`): the 16 quantiles of a standard normal,
+# normalized to [-1, 1]. Stored per-kernel as "kernel_cb4" so checkpoints are
+# self-describing and any 16-entry codebook rides the same dequant.
+NF4_CODEBOOK = np.array(
+    [-1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
+     -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
+     0.07958029955625534, 0.16093020141124725, 0.24611230194568634,
+     0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
+     0.7229568362236023, 1.0], dtype=np.float32)
+
 
 def _unpack_int4(packed: jnp.ndarray, dtype) -> jnp.ndarray:
     """[in/2, out] uint8 (two signed nibbles per byte, low = even row) ->
@@ -270,6 +283,11 @@ def _dense(x, p, int4_impl: str = "parity"):
         # (LlamaConfig.int4_impl documents the trade-offs).
         half, out_dim = p["kernel_q4"].shape
         in_pad = 2 * half
+        # NF4 (reference `utils/pipeline_utils.py:55-77`): nibbles are
+        # UNSIGNED indices into the 16-entry "kernel_cb4" codebook; dequant
+        # is a lookup instead of a sign-extend. Zero-padded kernel rows
+        # quantize to index 7 (cb[7] == 0.0), so padding stays exact.
+        cb = p.get("kernel_cb4")
         if x.shape[-1] != in_pad:  # kernel rows were padded to the block grid
             pad = [(0, 0)] * (x.ndim - 1) + [(0, in_pad - x.shape[-1])]
             x = jnp.pad(x, pad)  # zero activations x zero pad rows == exact
@@ -291,12 +309,20 @@ def _dense(x, p, int4_impl: str = "parity"):
 
             if rows <= 32 and pallas_qmm.supported(half, out_dim):
                 return pallas_qmm.int4_matmul(
-                    x, p["kernel_q4"], p["kernel_scale4"]
+                    x, p["kernel_q4"], p["kernel_scale4"], codebook=cb
                 ) + (p["bias"].astype(x.dtype) if "bias" in p else 0.0)
             int4_impl = "parity" if rows > 32 else "blockdot"
-        pk = p["kernel_q4"].astype(jnp.int8)          # [in/2, out]
-        lo = (jnp.left_shift(pk, 4) >> 4).astype(x.dtype)   # rows 0,2,4,…
-        hi = (pk >> 4).astype(x.dtype)                      # rows 1,3,5,…
+        if cb is not None:
+            # codebook lookup in f32, rounded to compute dtype AFTER —
+            # matches the Pallas kernel's in-VMEM select-tree numerics
+            pk = p["kernel_q4"]                       # uint8 [in/2, out]
+            cb32 = cb.astype(jnp.float32)
+            lo = jnp.take(cb32, (pk & 0xF).astype(jnp.int32)).astype(x.dtype)
+            hi = jnp.take(cb32, (pk >> 4).astype(jnp.int32)).astype(x.dtype)
+        else:
+            pk = p["kernel_q4"].astype(jnp.int8)      # [in/2, out]
+            lo = (jnp.left_shift(pk, 4) >> 4).astype(x.dtype)  # rows 0,2,4,…
+            hi = (pk >> 4).astype(x.dtype)                     # rows 1,3,5,…
         scale = p["kernel_scale4"]                    # [in_pad/64, out]
         nb = scale.shape[0]
         sub = half // nb                              # 32 packed rows/block
@@ -380,17 +406,63 @@ def _quantize_kernel_int4(kernel: np.ndarray,
             "kernel_scale4": jnp.asarray(scale)}
 
 
-def quantize_llama_params(params: Params, bits: int = 8) -> Params:
+def _quantize_kernel_nf4(kernel: np.ndarray,
+                         block: int = INT4_BLOCK,
+                         codebook: np.ndarray = NF4_CODEBOOK
+                         ) -> Dict[str, jnp.ndarray]:
+    """Blockwise NF4 of a [in, out] kernel — the reference's bitsandbytes
+    format (`utils/pipeline_utils.py:55-77`): per (64-input-row block, output
+    channel) absmax scale, values snapped to the nearest of the 16 normal-
+    quantile codebook entries, packed two unsigned indices per byte (low
+    nibble = even row). Same memory point as the linear int4 grid; lower
+    quantization MSE on normally-distributed weights because the levels
+    concentrate where the mass is."""
+    import ml_dtypes
+
+    # snap the codebook to bf16-representable values (lossless for the
+    # linear grid's integers; ~2^-9 relative for NF4): the MXU computes in
+    # bf16, so quantizing against the snapped values makes the XLA take()
+    # path and the Pallas in-VMEM select tree dequantize bit-identically
+    cb = (np.asarray(codebook, dtype=np.float32)
+          .astype(ml_dtypes.bfloat16).astype(np.float32))
+    assert cb.shape == (16,) and np.all(np.diff(cb) > 0)
+    k = np.asarray(kernel, dtype=np.float32)
+    in_dim, out_dim = k.shape
+    in_pad = -(-in_dim // block) * block
+    if in_pad != in_dim:
+        k = np.concatenate([k, np.zeros((in_pad - in_dim, out_dim),
+                                        np.float32)])
+    nb = in_pad // block
+    blocks = k.reshape(nb, block, out_dim)
+    absmax = np.abs(blocks).max(axis=1)                        # [nb, out]
+    scale = np.where(absmax == 0, 1.0, absmax).astype(np.float32)
+    normed = blocks / scale[:, None, :]                        # in [-1, 1]
+    mids = (cb[1:] + cb[:-1]) / 2.0
+    idx = np.searchsorted(mids, normed).astype(np.uint8)       # nearest entry
+    idx = idx.reshape(in_pad, out_dim)
+    packed = (idx[0::2] | (idx[1::2] << 4)).astype(np.uint8)
+    return {"kernel_q4": jnp.asarray(packed),
+            "kernel_scale4": jnp.asarray(scale),
+            "kernel_cb4": jnp.asarray(cb)}
+
+
+def quantize_llama_params(params: Params, bits: int = 8,
+                          int4_codebook: str = "nf4") -> Params:
     """Weight-only quantization of every projection kernel.
 
     The TPU analogue of the reference's 4-bit NF4 loading
     (`utils/pipeline_utils.py:6-24`): q/k/v/o/gate/up/down (+ lm_head)
-    kernels become int8 (per-output-channel scales) or int4 (block-64
+    kernels become int8 (per-output-channel scales) or 4-bit (block-64
     scales, two nibbles per byte); embeddings and norms stay as-is.
+    ``bits=4`` defaults to the NF4 codebook (the reference's format);
+    ``int4_codebook="linear"`` keeps the symmetric integer grid.
     """
     if bits not in (4, 8):
         raise ValueError(f"bits must be 4 or 8, got {bits}")
-    quantize = _quantize_kernel_int4 if bits == 4 else _quantize_kernel_int8
+    if int4_codebook not in ("nf4", "linear"):
+        raise ValueError(f"int4_codebook must be nf4|linear, got {int4_codebook}")
+    quantize = (_quantize_kernel_nf4 if int4_codebook == "nf4"
+                else _quantize_kernel_int4) if bits == 4 else _quantize_kernel_int8
 
     def quant_lin(p):
         if "kernel" not in p:
@@ -1175,11 +1247,15 @@ class JaxLlamaBackend:
 
 def convert_hf_llama_state_dict(state_dict: Dict[str, np.ndarray], config: LlamaConfig,
                                 int8_weights: bool = False,
-                                quant_bits: Optional[int] = None) -> Params:
+                                quant_bits: Optional[int] = None,
+                                int4_codebook: str = "nf4") -> Params:
     """Map an HF llama state_dict to our pytree. With ``int8_weights`` (or
     ``quant_bits`` in {4, 8}), projection kernels are quantized ON HOST before
     device placement — full precision weights never touch HBM (an 8B model
-    fits one v5e chip at int8, ~4.5GB at int4)."""
+    fits one v5e chip at int8, ~4.5GB at int4). ``quant_bits=4`` defaults to
+    the NF4 codebook (the reference's bitsandbytes format,
+    `utils/pipeline_utils.py:55-77`); ``int4_codebook="linear"`` keeps the
+    symmetric integer grid."""
     if int8_weights and quant_bits is None:
         quant_bits = 8
     sd = {k.removeprefix("model."): np.asarray(v) for k, v in state_dict.items()}
@@ -1187,7 +1263,8 @@ def convert_hf_llama_state_dict(state_dict: Dict[str, np.ndarray], config: Llama
     def lin(prefix):
         kernel = sd[f"{prefix}.weight"].T
         if quant_bits == 4:
-            p = _quantize_kernel_int4(kernel)
+            p = (_quantize_kernel_nf4(kernel) if int4_codebook == "nf4"
+                 else _quantize_kernel_int4(kernel))
         elif quant_bits == 8:
             p = _quantize_kernel_int8(kernel)
         else:
@@ -1228,15 +1305,17 @@ def convert_hf_llama_state_dict(state_dict: Dict[str, np.ndarray], config: Llama
 def load_llama(model_name_or_path: str, compute_dtype=jnp.bfloat16,
                int8_weights: bool = False,
                quant_bits: Optional[int] = None,
-               kv_quant_bits: Optional[int] = None) -> Tuple[Params, LlamaConfig]:
+               kv_quant_bits: Optional[int] = None,
+               int4_codebook: str = "nf4") -> Tuple[Params, LlamaConfig]:
     """Load a Llama-architecture causal LM from a local HF checkpoint dir.
 
     ``int8_weights`` (== ``quant_bits=8``) quantizes projections on host
     during conversion, so an 8B model fits a single 16GB chip (full precision
-    never reaches HBM); ``quant_bits=4`` packs block-64 int4 (the reference's
-    NF4 memory point, `utils/pipeline_utils.py:6-24`). ``kv_quant_bits=8``
-    additionally stores the decode KV cache int8 (see
-    :attr:`LlamaConfig.kv_quant_bits`).
+    never reaches HBM); ``quant_bits=4`` packs block-64 4-bit — NF4 codebook
+    by default, exactly the reference's bitsandbytes format
+    (`utils/pipeline_utils.py:55-77`); ``int4_codebook="linear"`` keeps the
+    symmetric grid. ``kv_quant_bits=8`` additionally stores the decode KV
+    cache int8 (see :attr:`LlamaConfig.kv_quant_bits`).
     """
     if not os.path.isdir(model_name_or_path):
         raise FileNotFoundError(
@@ -1271,7 +1350,8 @@ def load_llama(model_name_or_path: str, compute_dtype=jnp.bfloat16,
         raise FileNotFoundError(f"no safetensors/bin weights under {model_name_or_path}")
     params = convert_hf_llama_state_dict(state_dict, config,
                                          int8_weights=int8_weights,
-                                         quant_bits=quant_bits)
+                                         quant_bits=quant_bits,
+                                         int4_codebook=int4_codebook)
     # cast 2-D float tensors (the big ones) to compute_dtype; int4/int8
     # kernels stay packed and small 1-D leaves (norms, biases, quant scales)
     # stay f32 — as do the 2-D blockwise int4 scales

@@ -51,7 +51,27 @@ SUB = 32          # packed rows per scale block (= 64 original rows / 2)
 _LANES = 128
 
 
-def _qmm_kernel(xe_ref, xo_ref, pk_ref, s_ref, o_ref, *, bh: int, bo: int):
+def _lut16(idx, cb_vals):
+    """16-entry codebook lookup of int32 indices via a balanced select tree
+    on the 4 index bits (15 vector selects — TPUs have no per-element
+    gather; bnb's CUDA kernel does this lookup in registers). ``cb_vals`` is
+    a list of 16 f32 SCALARS (SMEM reads), so every select is
+    vector-predicate x scalar-operands."""
+    b0 = (idx & 1) == 1
+    lvl = [jnp.where(b0, cb_vals[i + 1], cb_vals[i]) for i in range(0, 16, 2)]
+    b1 = (idx & 2) == 2
+    lvl = [jnp.where(b1, lvl[i + 1], lvl[i]) for i in range(0, 8, 2)]
+    b2 = (idx & 4) == 4
+    lvl = [jnp.where(b2, lvl[i + 1], lvl[i]) for i in range(0, 4, 2)]
+    return jnp.where((idx & 8) == 8, lvl[1], lvl[0])
+
+
+def _qmm_kernel(xe_ref, xo_ref, pk_ref, s_ref, *rest, bh: int, bo: int,
+                with_cb: bool):
+    if with_cb:
+        cb_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -59,8 +79,15 @@ def _qmm_kernel(xe_ref, xo_ref, pk_ref, s_ref, o_ref, *, bh: int, bo: int):
         o_ref[...] = jnp.zeros_like(o_ref)
 
     p = pk_ref[...].astype(jnp.int32)                      # [bh, bo]
-    lo = (p << 28) >> 28                                   # even rows, signed
-    hi = (p << 24) >> 28                                   # odd rows, signed
+    if with_cb:
+        # NF4: unsigned nibble indices -> codebook values (f32 lookup, then
+        # one rounding to bf16 — matching _dense's take(cb32, idx).astype)
+        cb_vals = [cb_ref[0, t] for t in range(16)]
+        lo = _lut16(p & 0xF, cb_vals)
+        hi = _lut16((p >> 4) & 0xF, cb_vals)
+    else:
+        lo = (p << 28) >> 28                               # even rows, signed
+        hi = (p << 24) >> 28                               # odd rows (arith)
     lo = lo.astype(jnp.bfloat16)
     hi = hi.astype(jnp.bfloat16)
     xe = xe_ref[...]                                       # [B8, bh] bf16
@@ -94,6 +121,7 @@ def supported(half: int, out_dim: int) -> bool:
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray,
+                codebook: Optional[jnp.ndarray] = None,
                 interpret: Optional[bool] = None) -> jnp.ndarray:
     """``x [..., in] @ dequant(packed [in/2, out], scales [in/64, out])``.
 
@@ -101,6 +129,8 @@ def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray,
     :func:`kirag_tpu.models.llm._dense` already does for the XLA path).
     Output is ``x.dtype`` with f32 accumulation, bit-matching the XLA
     nibble-parity path's numerics (same per-block f32 partial scaling).
+    ``codebook`` ([16] f32, e.g. NF4) switches the nibbles from signed
+    integers to unsigned indices dequantized in-VMEM via a select tree.
     """
     if interpret is None:  # resolved at trace time; stable per process
         interpret = jax.default_backend() != "tpu"
@@ -125,15 +155,26 @@ def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray,
     xo = xf[:, 1::2]
 
     grid = (out_dim // bo, half // bh)
+    in_specs = [
+        pl.BlockSpec((b8, bh), lambda i, k: (0, k)),
+        pl.BlockSpec((b8, bh), lambda i, k: (0, k)),
+        pl.BlockSpec((bh, bo), lambda i, k: (k, i)),
+        pl.BlockSpec((bh // SUB, bo), lambda i, k: (k, i)),
+    ]
+    operands = [xe, xo, packed, scales.astype(jnp.float32)]
+    if codebook is not None:
+        cb = jnp.asarray(codebook, jnp.float32).reshape(1, 16)
+        in_specs.append(
+            pl.BlockSpec((1, 16), lambda i, k: (0, 0),
+                         memory_space=pltpu.SMEM)
+            if (pltpu is not None and not interpret)
+            else pl.BlockSpec((1, 16), lambda i, k: (0, 0)))
+        operands.append(cb)
     out = pl.pallas_call(
-        functools.partial(_qmm_kernel, bh=bh, bo=bo),
+        functools.partial(_qmm_kernel, bh=bh, bo=bo,
+                          with_cb=codebook is not None),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((b8, bh), lambda i, k: (0, k)),
-            pl.BlockSpec((b8, bh), lambda i, k: (0, k)),
-            pl.BlockSpec((bh, bo), lambda i, k: (k, i)),
-            pl.BlockSpec((bh // SUB, bo), lambda i, k: (k, i)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((b8, bo), lambda i, k: (0, i)),
         out_shape=jax.ShapeDtypeStruct((b8, out_dim), jnp.float32),
         interpret=interpret,
@@ -142,5 +183,5 @@ def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray,
             "compiler_params": pltpu.CompilerParams(
                 dimension_semantics=("parallel", "arbitrary"),
                 vmem_limit_bytes=128 * 1024 * 1024)}),
-    )(xe, xo, packed, scales.astype(jnp.float32))
+    )(*operands)
     return out[:b].reshape(*lead, out_dim).astype(x.dtype)

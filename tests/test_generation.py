@@ -193,3 +193,122 @@ class TestAnswerGenerator:
         reader.family = "generic"
         out = reader.generate_answer(["q1 ?", "q2 ?"], context=[["c1"], ["c2"]])
         assert out == ["gamma", "gamma"]
+
+
+def make_bpe_tokenizer():
+    """A byte-level BPE tokenizer trained in-process — unlike the WordPiece
+    test tokenizer, its merges cross pre-token boundaries exactly like the
+    four chat families' real tokenizers (llama3/qwen2 tiktoken-style BPE,
+    mistral/gemma2 sentencepiece), so prompt+prefix boundary merges are
+    reproducible offline."""
+    from tokenizers import Tokenizer, decoders, models, pre_tokenizers, trainers
+    from transformers import PreTrainedTokenizerFast
+
+    tok = Tokenizer(models.BPE(unk_token=None))
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = decoders.ByteLevel()
+    corpus = [
+        "Thought: the next knowledge triple is <alpha; relation; beta>.",
+        "the question needs additional knowledge triples",
+        "Thought: no additional knowledge is needed",
+        "answer the question for the given context",
+    ] * 50
+    trainer = trainers.BpeTrainer(
+        vocab_size=400, special_tokens=["<pad>", "<eos>"],
+        initial_alphabet=pre_tokenizers.ByteLevel.alphabet())
+    tok.train_from_iterator(corpus, trainer)
+    return PreTrainedTokenizerFast(tokenizer_object=tok, pad_token="<pad>",
+                                   eos_token="<eos>")
+
+
+def reference_splice(tokenizer, inputs, texts):
+    """Numpy port of the reference's token-level forced-prefix splice
+    (`generator/utils.py:56-104`, left-padding branch): the parity oracle
+    the Generator's conditioning must match."""
+    input_ids, attention_mask = inputs["input_ids"], inputs["attention_mask"]
+    b, n = input_ids.shape
+    lens = attention_mask.sum(1)
+    tids = [tokenizer.encode(t, add_special_tokens=False) for t in texts]
+    m = max(len(t) for t in tids)
+    if m == 0:
+        return inputs
+    new_ids = np.full((b, n + m), tokenizer.pad_token_id, dtype=np.int32)
+    new_mask = np.zeros((b, n + m), dtype=np.int32)
+    for i in range(b):
+        k = len(tids[i])
+        if k:
+            new_ids[i, -k:] = tids[i]
+            new_mask[i, -k:] = 1
+        if lens[i]:
+            new_ids[i, -k - lens[i]: (-k if k else None)] = input_ids[i, -lens[i]:]
+            new_mask[i, -k - lens[i]: (-k if k else None)] = 1
+    return {"input_ids": new_ids, "attention_mask": new_mask}
+
+
+ADVERSARIAL_PREFIXES = [
+    "Thought: the next",          # word boundary after template newline
+    " the knowledge",             # leading space (merges with prompt tail)
+    "Thought: no ",               # trailing space (dangling Ġ token)
+    "Thought: know",              # mid-word cut
+    "<alpha; relation",           # punctuation run
+    "Thought:\nthe",              # embedded newline
+    "",                           # empty prefix row
+]
+
+
+class TestForcedPrefixBoundaries:
+    """VERDICT r4 #6: text-level prefixing silently diverges from the
+    reference's token splice at BPE merge boundaries; the Generator now
+    splices at the token level, pinned here against the reference oracle
+    for all four chat families x adversarial boundaries."""
+
+    @pytest.fixture(scope="class")
+    def bpe(self):
+        return make_bpe_tokenizer()
+
+    def test_text_level_concat_would_diverge(self, bpe):
+        # the motivating failure: tokenize(prompt + prefix) merges across
+        # the boundary, so it is NOT the splice the reference conditions on
+        prompt = "question: the answer "     # trailing space
+        prefix = "the knowledge"
+        text_level = bpe(prompt + prefix, add_special_tokens=False)["input_ids"]
+        splice = (bpe(prompt, add_special_tokens=False)["input_ids"]
+                  + bpe(prefix, add_special_tokens=False)["input_ids"])
+        assert text_level != splice  # merge across the boundary
+        # ...while both decode to the same text (the divergence is silent)
+        assert bpe.decode(text_level) == bpe.decode(splice)
+
+    @pytest.mark.parametrize("family", ["llama3", "qwen2", "mistral", "gemma2"])
+    def test_generator_matches_reference_splice(self, bpe, family):
+        from kirag_tpu.generation.interface import Generator
+
+        backend = StubBackend(bpe, default_response="the answer", vocab_size=400)
+        gen = Generator(bpe, backend, model_name=f"{family}-instruct",
+                        is_chat=True, max_length=512)
+        gen.family = family
+        n = len(ADVERSARIAL_PREFIXES)
+        instructions = ["answer the question"] * n
+        contents = ["the question needs knowledge"] * n
+        prompts = [gen.render_prompt(i, c) for i, c in zip(instructions, contents)]
+        got = gen.tokenizer_encode_with_prefixes(prompts, ADVERSARIAL_PREFIXES)
+        want = reference_splice(bpe, gen.tokenizer_encode(prompts),
+                                ADVERSARIAL_PREFIXES)
+        for i in range(n):
+            got_row = got["input_ids"][i][got["attention_mask"][i].astype(bool)]
+            want_row = want["input_ids"][i][want["attention_mask"][i].astype(bool)]
+            np.testing.assert_array_equal(
+                got_row, want_row,
+                err_msg=f"{family} prefix={ADVERSARIAL_PREFIXES[i]!r}")
+
+    def test_generator_generate_uses_the_splice(self, bpe):
+        from kirag_tpu.generation.interface import Generator
+
+        backend = StubBackend(bpe, default_response="the answer", vocab_size=400)
+        gen = Generator(bpe, backend, model_name="llama3-instruct",
+                        is_chat=True, max_length=512)
+        gen.family = "llama3"
+        # a trailing-space prompt boundary: decoding the spliced ids must
+        # reproduce prompt + prefix exactly (silent-merge check end-to-end)
+        gen.generator_generate(["answer the question"], ["the question "],
+                               current_generated_texts=["Thought: the next"])
+        assert any("Thought: the next" in p for p in backend.calls[-1])

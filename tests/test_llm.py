@@ -384,6 +384,90 @@ class TestInt4Weights:
             quantize_llama_params(params, bits=3)
 
 
+class TestNF4Weights:
+    """The reference's 4-bit format is bitsandbytes NF4
+    (`utils/pipeline_utils.py:55-77`): block-64 absmax scales + a 16-entry
+    normal-quantile codebook. quant_bits=4 defaults to it (VERDICT r4 #5)."""
+
+    @staticmethod
+    def _dequant(p):
+        from kirag_tpu.models.llm import INT4_BLOCK
+
+        pk = np.asarray(p["kernel_q4"])
+        cb = np.asarray(p["kernel_cb4"])
+        scale = np.asarray(p["kernel_scale4"])
+        half, out = pk.shape
+        idx = np.empty((2 * half, out), np.uint8)
+        idx[0::2] = pk & 0xF
+        idx[1::2] = pk >> 4
+        return (cb[idx].reshape(-1, INT4_BLOCK, out)
+                * scale[:, None, :]).reshape(2 * half, out)
+
+    def test_nf4_mse_beats_linear_on_normal_weights(self, rng):
+        from kirag_tpu.models.llm import (_quantize_kernel_int4,
+                                          _quantize_kernel_nf4, _unpack_int4)
+
+        k = rng.randn(1024, 256).astype(np.float32)  # heavy mass near 0
+        nf4 = self._dequant(_quantize_kernel_nf4(k))
+        p_lin = _quantize_kernel_int4(k)
+        q = np.asarray(_unpack_int4(p_lin["kernel_q4"], jnp.float32))
+        s = np.asarray(p_lin["kernel_scale4"])
+        lin = (q.reshape(-1, 64, 256) * s[:, None, :]).reshape(1024, 256)
+        mse_nf4 = float(np.mean((nf4 - k) ** 2))
+        mse_lin = float(np.mean((lin - k) ** 2))
+        assert mse_nf4 < mse_lin  # quantile levels beat the uniform grid
+
+    def test_nf4_is_default_for_bits4(self, converted):
+        from kirag_tpu.models.llm import quantize_llama_params
+
+        _, params, _ = converted
+        qp = quantize_llama_params(params, bits=4)
+        assert "kernel_cb4" in qp["layers"][0]["q_proj"]
+        qp_lin = quantize_llama_params(params, bits=4, int4_codebook="linear")
+        assert "kernel_cb4" not in qp_lin["layers"][0]["q_proj"]
+
+    def test_nf4_dense_matches_dequant_oracle(self, rng):
+        from kirag_tpu.models.llm import _dense, _quantize_kernel_nf4
+
+        k = rng.randn(100, 32).astype(np.float32)  # ragged in_dim: pads
+        x = rng.randn(3, 100).astype(np.float32)
+        p = _quantize_kernel_nf4(k)
+        deq = self._dequant(p)[:100]
+        for impl in ("parity", "blockdot"):
+            got = np.asarray(_dense(jnp.asarray(x), p, impl))
+            np.testing.assert_allclose(got, x @ deq, rtol=1e-4, atol=1e-4)
+
+    def test_nf4_zero_pad_rows_are_exact_zero(self):
+        from kirag_tpu.models.llm import _quantize_kernel_nf4
+
+        k = np.ones((70, 32), np.float32)  # pads to 128 with zeros
+        deq = self._dequant(_quantize_kernel_nf4(k))
+        assert np.all(deq[70:] == 0.0)
+
+    def test_nf4_decode_close_to_f32(self, converted, rng):
+        from kirag_tpu.models.llm import quantize_llama_params
+
+        config, params, _ = converted
+        ids, mask = left_padded_batch(rng)
+        _, base_logits = greedy_decode(
+            params, jnp.asarray(ids), jnp.asarray(mask), config, 4)
+        qparams = quantize_llama_params(params, bits=4)  # nf4 default
+        _, q_logits = greedy_decode(
+            qparams, jnp.asarray(ids), jnp.asarray(mask), config, 4)
+        diff = np.abs(np.asarray(q_logits[:, 0]) - np.asarray(base_logits[:, 0]))
+        assert float(diff.mean()) < 0.1
+
+    def test_nf4_tp_sharding_replicates_codebook(self, converted):
+        from kirag_tpu.models.llm import (llama_param_shardings_like,
+                                          quantize_llama_params)
+        from jax.sharding import PartitionSpec as P
+
+        config, params, _ = converted
+        qp = quantize_llama_params(params, bits=4)
+        specs = llama_param_shardings_like(qp, config)
+        assert specs["layers"][0]["q_proj"]["kernel_cb4"] == P()
+
+
 class TestQuantizedSharding:
     def test_int8_tp_sharded_decode_matches(self, converted, rng):
         from kirag_tpu.parallel import create_mesh

@@ -73,6 +73,58 @@ class TestInt4Matmul:
         assert not supported(96, 512)      # half not divisible by 256
 
 
+class TestNF4Kernel:
+    """codebook= switches the kernel's nibbles to unsigned NF4 indices,
+    dequantized in-VMEM by the select tree (no per-element gather on TPU)."""
+
+    @staticmethod
+    def _nf4_oracle(x, p):
+        pk = np.asarray(p["kernel_q4"])
+        cb = np.asarray(p["kernel_cb4"])
+        scale = np.asarray(p["kernel_scale4"])
+        half, out = pk.shape
+        idx = np.empty((2 * half, out), np.uint8)
+        idx[0::2] = pk & 0xF
+        idx[1::2] = pk >> 4
+        deq = (cb[idx].reshape(-1, INT4_BLOCK, out)
+               * scale[:, None, :]).reshape(2 * half, out)
+        return np.asarray(x, np.float32) @ deq
+
+    @pytest.mark.parametrize("in_dim,out_dim,b", [(512, 512, 4),
+                                                  (512, 640, 12)])
+    def test_nf4_matches_oracle(self, rng, in_dim, out_dim, b):
+        from kirag_tpu.models.llm import _quantize_kernel_nf4
+
+        k = rng.randn(in_dim, out_dim).astype(np.float32) * 0.05
+        p = _quantize_kernel_nf4(k)
+        x = rng.randn(b, in_dim).astype(np.float32)
+        got = np.asarray(int4_matmul(jnp.asarray(x), p["kernel_q4"],
+                                     p["kernel_scale4"],
+                                     codebook=p["kernel_cb4"]), np.float32)
+        np.testing.assert_allclose(got, self._nf4_oracle(x, p),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_nf4_all_impls_agree(self, rng):
+        from kirag_tpu.models.llm import _quantize_kernel_nf4
+
+        k = rng.randn(512, 640).astype(np.float32) * 0.05
+        p = _quantize_kernel_nf4(k)
+        x = rng.randn(3, 512).astype(np.float32)
+        ref = self._nf4_oracle(x, p)
+        for impl in ("parity", "blockdot", "pallas"):
+            got = np.asarray(_dense(jnp.asarray(x), p, impl), np.float32)
+            np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4,
+                                       err_msg=impl)
+
+    def test_lut16_select_tree_is_exact(self):
+        from kirag_tpu.models.llm import NF4_CODEBOOK
+        from kirag_tpu.ops.pallas_qmm import _lut16
+
+        idx = jnp.arange(16, dtype=jnp.int32).reshape(2, 8)
+        got = np.asarray(_lut16(idx, [float(v) for v in NF4_CODEBOOK]))
+        np.testing.assert_array_equal(got.reshape(-1), NF4_CODEBOOK)
+
+
 class TestDenseImplDispatch:
     @pytest.mark.parametrize("impl", ["parity", "blockdot", "pallas"])
     def test_impls_match_oracle(self, rng, impl):
