@@ -64,6 +64,7 @@ All kernels run in interpret mode on CPU (tests) and compiled on TPU.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -623,6 +624,53 @@ def _merge_kernel(q_ref, c_ref, valid_ref, *rest, groups_per_chunk: int,
                                 axis=-1).astype(jnp.int32)
 
 
+def _cap_assemble_kernel(cpos_ref, cand_ref, out_ref, *, b: int):
+    """Streaming assembly of the final [Q, k, 128] candidates from the
+    stream kernel's capture ([C, Q, B*128] in HBM): per chunk step, the
+    selected capture positions that fall in this chunk one-hot-blend the
+    chunk's capture block into the VMEM-resident output (grid minor axis
+    revisit — the `_gather_kernel` accumulate pattern). Replaces the XLA
+    einsum tail, which materialized the [Q, k, C*B] one-hot in HBM (~208 MB
+    at 1M x 1024 / Q=256 — the bulk of the 2.24 ms assembly stage,
+    probe_r4b); here the one-hot exists only per-chunk in VMEM
+    ([Q, k, B] ≈ 1.7 MB) and HBM traffic is one capture read."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    n_q, k = cpos_ref.shape
+    lp = cpos_ref[...] - i * b                           # [Q, k] local pos
+    oh = (lp[:, :, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (n_q, k, b), 2)).astype(jnp.float32)  # in-range iff equal
+    cap = cand_ref[0].reshape(n_q, b, LANES)
+    # HIGHEST: 0/1 x f32 capture values must not round through bf16
+    out_ref[...] += jax.lax.dot_general(
+        oh, cap, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def _cap_assemble(cpos, cand_out, num_chunks: int, b: int, k_eff: int,
+                  n_q: int, interpret: bool):
+    """pallas assembly entry: ``cpos`` [Q, k] flat capture positions
+    (chunk-ascending [C, B] order), ``cand_out`` [C, Q, B*128] capture."""
+    return pl.pallas_call(
+        functools.partial(_cap_assemble_kernel, b=b),
+        grid=(num_chunks,),
+        in_specs=[
+            pl.BlockSpec((n_q, k_eff), lambda i: (0, 0)),
+            pl.BlockSpec((1, n_q, b * LANES), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((n_q, k_eff, LANES), lambda i: (0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_q, k_eff, LANES), jnp.float32),
+        interpret=interpret,
+        # the output ref accumulates across chunk steps: NOT parallel
+        **_compiler_params(interpret),
+    )(cpos, cand_out)
+
+
 # ------------------------------------------------------------------- pass B
 
 
@@ -1109,6 +1157,11 @@ def _capdom_tail(outs, gids, queries, corpus, scales, quant, k_eff,
     cpos = jnp.take_along_axis(cpos, order, axis=-1)
 
     def from_capture(_):
+        if CAPDOM_ASSEMBLY == "pallas":
+            # streaming one-hot blend in VMEM (no [Q, k, C*B] HBM one-hot)
+            cand = _cap_assemble(cpos, cand_out, num_chunks, b, k_eff, n_q,
+                                 interpret)
+            return cand, gsel_cap
         eq = cpos[:, :, None] == jax.lax.broadcasted_iota(
             jnp.int32, (n_q, k_eff, cb), 2)
         # contraction on the capture's NATIVE [C, Q, B, L] layout: XLA fuses
@@ -1246,6 +1299,12 @@ def _merge_body(queries, corpus, scales, quant, k_eff, chunk_size, n_valid,
 
 
 _STREAM_ASSERT_CAPTURE = False  # see _stream_body; tests only
+
+# capdom candidate assembly: "pallas" streams the capture once through
+# _cap_assemble_kernel; "einsum" is the round-4 XLA form (kept for A/B —
+# BENCH_CAPDOM_ASSEMBLY in bench.py). Trace-time constant: results are
+# bit-identical, only the schedule differs.
+CAPDOM_ASSEMBLY = os.environ.get("KIRAG_CAPDOM_ASSEMBLY", "pallas")
 
 
 QUERY_BLOCK = 256  # the validated VMEM envelope's query-batch unit

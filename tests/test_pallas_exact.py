@@ -609,6 +609,34 @@ class TestCapdomSelect:
                                    atol=1e-4)
         np.testing.assert_array_equal(np.asarray(idx), oidx)
 
+    def test_assembly_forms_bit_identical(self, rng):
+        # "pallas" (capture-streaming one-hot blend) vs "einsum" (round-4
+        # XLA form): same candidates, values AND indices bit-for-bit —
+        # only the schedule differs (VERDICT r4 #1: the einsum materialized
+        # a [Q, k, C*B] one-hot in HBM)
+        from kirag_tpu.ops import pallas_exact as pe
+
+        q = rng.randn(6, 32).astype(np.float32)
+        c = rng.randn(4096, 32).astype(np.float32)
+        outs = {}
+        saved = pe.CAPDOM_ASSEMBLY
+        try:
+            for mode in ("pallas", "einsum"):
+                pe.CAPDOM_ASSEMBLY = mode
+                jax.clear_caches()
+                outs[mode] = exact_topk_mips(
+                    jnp.asarray(q), jnp.asarray(c), 17, chunk_size=512,
+                    interpret=True, impl="stream", select="capdom")
+        finally:
+            pe.CAPDOM_ASSEMBLY = saved
+            jax.clear_caches()
+        np.testing.assert_array_equal(np.asarray(outs["pallas"][0]),
+                                      np.asarray(outs["einsum"][0]))
+        np.testing.assert_array_equal(np.asarray(outs["pallas"][1]),
+                                      np.asarray(outs["einsum"][1]))
+        _, oidx = numpy_topk(q @ c.T, 17)
+        np.testing.assert_array_equal(np.asarray(outs["pallas"][1]), oidx)
+
     def test_random_data_serves_from_capture(self, rng):
         # the fast path must actually fire on typical data
         from kirag_tpu.ops import pallas_exact as pe
