@@ -53,21 +53,40 @@ class TPUIndexer:
                  pallas_select: str = "capdom", shuffle_rows: bool = False,
                  shuffle_seed: int = 0, approx_winners: int = 1):
         # drop-in compatibility with the reference ctor (`retriever/index.py:19`):
-        # a PQ request maps to our int8/int4 row compression (the TPU
-        # equal-memory play); <=4-bit PQ codes pick the 8x-compressed int4
-        if n_subquantizers > 0 and compression == "none":
-            compression = "int4" if n_bits <= 4 else "int8"
-            logger.info(f"PQ({n_subquantizers}x{n_bits}b) requested -> using "
-                        f"{compression} row compression (TPU-native "
-                        "equal-memory equivalent)")
+        # an IndexPQ(n_subquantizers, n_bits) request is served by TRUE
+        # codebook PQ (round 5, ops/pq.py) — >4-bit requests map to 2x the
+        # subquantizers at 4 bits (equal bytes/row; see ops/pq.py on why
+        # K=16 is the TPU-rate operating point)
+        faiss_pq_request = n_subquantizers > 0 and compression == "none"
+        if faiss_pq_request:
+            compression = "pq"
+            logger.info(f"PQ({n_subquantizers}x{n_bits}b) requested -> "
+                        "codebook product quantization")
         if metric not in SUPPORTED_METRICS:
             raise KeyError(f"metric must be one of {SUPPORTED_METRICS}, got {metric}")
-        if compression not in ("none", "int8", "int4"):
-            raise KeyError(f"compression must be 'none', 'int8' or 'int4', "
-                           f"got {compression}")
+        if compression not in ("none", "int8", "int4", "pq"):
+            raise KeyError(f"compression must be 'none', 'int8', 'int4' or "
+                           f"'pq', got {compression}")
         if compression == "int4" and vector_sz % 256 != 0:
             raise ValueError("int4 compression needs vector_sz % 256 == 0 "
                              f"(plane packing), got {vector_sz}")
+        self.pq_m = 0
+        if compression == "pq":
+            from kirag_tpu.ops.pq import resolve_subquantizers
+
+            if metric != "inner_product":
+                raise ValueError("compression='pq' supports inner_product "
+                                 "only (quantize the l2 norm column via "
+                                 "int4/int8 compression instead)")
+            if max_device_rows is not None:
+                raise ValueError("compression='pq' is 32x-compressed and "
+                                 "corpus-resident; streaming mode does not "
+                                 "compose with it")
+            # only FAISS-style requests carry an n_bits to remap; explicit
+            # compression="pq" means n_subquantizers IS the 4-bit count
+            self.pq_m = resolve_subquantizers(
+                vector_sz, n_subquantizers or max(2, vector_sz // 4),
+                n_bits if faiss_pq_request else 4)
         self.vector_sz = vector_sz
         self.metric = metric
         self.mesh = mesh
@@ -141,6 +160,11 @@ class TPUIndexer:
         self._device_scales: Optional[jnp.ndarray] = None
         self._device_rows: int = 0
         self._stream_blocks: Optional[List[dict]] = None
+        # pq state: codebooks train once (first to_device, or loaded from a
+        # serialized index) and persist across appends — codes re-encode
+        self.pq_train_rows = 131072
+        self.pq_iters = 25
+        self._pq_codebooks: Optional[np.ndarray] = None
 
     # -- build ---------------------------------------------------------------
 
@@ -249,6 +273,21 @@ class TPUIndexer:
             return
         self._l2_alpha = float(2.0 ** round(np.log2(m_el / m_nc)))
 
+    def _train_pq(self, n: int) -> None:
+        """Train the PQ codebooks once, on an evenly-strided sample (corpora
+        are often similarity-ordered — consecutive passages of one article —
+        so a head sample would be biased)."""
+        if self._pq_codebooks is not None:
+            return
+        from kirag_tpu.ops import pq as pqmod
+
+        n_train = min(n, self.pq_train_rows)
+        step = max(1, n // n_train)
+        sample = self._host_take(np.arange(0, n, step)[:n_train])
+        self._pq_codebooks = pqmod.train_pq(sample, self.pq_m,
+                                            iters=self.pq_iters,
+                                            seed=self.shuffle_seed)
+
     def to_device(self) -> None:
         """Pad rows to the shard grid and place the corpus into HBM.
 
@@ -311,6 +350,23 @@ class TPUIndexer:
                     quantize_rows_int4(rows))
             self._device_corpus = shard_put(q)
             self._device_scales = shard_put(scales)
+            self._device_rows = n
+            return
+
+        if self.compression == "pq":
+            from kirag_tpu.ops import pq as pqmod
+
+            self._train_pq(n)
+            q = np.zeros((n_pad, self.pq_m // 2), dtype=np.uint8)
+            for start in range(0, n, block):
+                rows = self._host_rows(start, min(start + block, n))
+                q[start:start + len(rows)] = pqmod.encode_pq(
+                    rows, self._pq_codebooks)
+            self._device_corpus = shard_put(q)
+            # the [16, D] level table is row-invariant: replicated, NOT
+            # sharded with the code rows
+            self._device_scales = jnp.asarray(
+                pqmod.pq_level_table(self._pq_codebooks))
             self._device_rows = n
             return
 
@@ -478,6 +534,29 @@ class TPUIndexer:
         sharded = self.mesh is not None and self._shard_count() > 1
         scales = (self._device_scales
                   if self.compression in ("int8", "int4") else None)
+        if self.compression == "pq":
+            # codebook PQ only exists in the exact kernels (quant="pq4");
+            # an approx-mode request logs and serves exact-over-pq (which
+            # is already an approximation of the f32 scores)
+            if mode == "approx":
+                logger.info("mode='approx' on a pq index: serving the "
+                            "exact-over-pq kernel instead")
+            if sharded:
+                from kirag_tpu.ops.pallas_exact import sharded_exact_topk_mips
+
+                return sharded_exact_topk_mips(
+                    queries, corpus, k, self.mesh, axis=self.mesh_axis,
+                    chunk_size=self.pallas_chunk_size,
+                    valid_rows=self._device_rows,
+                    scales=self._device_scales,
+                    select=self.pallas_select, quant="pq4")
+            from kirag_tpu.ops.pallas_exact import exact_topk_mips
+
+            return exact_topk_mips(queries, corpus, k,
+                                   chunk_size=self.pallas_chunk_size,
+                                   valid_rows=self._device_rows,
+                                   scales=self._device_scales,
+                                   select=self.pallas_select, quant="pq4")
         if mode == "exact" and self._use_pallas_exact():
             # fused Pallas kernel (impl=auto: single corpus read with scores
             # materialized when they fit HBM, corpus-read-twice otherwise);
@@ -595,10 +674,16 @@ class TPUIndexer:
             logger.info(f"wrote {name} ({end - start} rows)")
         with open(meta_file, "wb") as f:
             pickle.dump(list(self.index_id_to_db_id), f)
+        if self.compression == "pq":
+            # persist trained codebooks so a reload reproduces the exact
+            # same codes (no retraining on deserialize)
+            self._train_pq(n)
+            np.save(os.path.join(dir_path, "pq_codebooks.npy"),
+                    self._pq_codebooks)
         with open(config_file, "w") as f:
             json.dump({"vector_sz": self.vector_sz, "metric": self.metric,
                        "compression": self.compression, "nrows": n,
-                       "files": files}, f)
+                       "pq_m": self.pq_m, "files": files}, f)
 
     def deserialize_from(self, dir_path: str, mmap: bool = True) -> None:
         meta_file = os.path.join(dir_path, "index_meta.pkl")
@@ -614,6 +699,11 @@ class TPUIndexer:
             # honored on meshes too: sharded int8 search exists
             # (ops/quantized.py:sharded_topk_mips_int8)
             self.compression = cfg.get("compression", self.compression)
+            if self.compression == "pq":
+                self.pq_m = cfg.get("pq_m", self.pq_m)
+                cb_file = os.path.join(dir_path, "pq_codebooks.npy")
+                if os.path.exists(cb_file):
+                    self._pq_codebooks = np.load(cb_file)
             files = cfg.get("files")
         mode = "r" if mmap else None
         if files:  # multi-file layout (mmap per shard)

@@ -174,9 +174,17 @@ def hier_topk(x: jnp.ndarray, k: int, block: int = 16
 # ------------------------------------------------------ shared chunk scoring
 
 
-def _quant_kind(corpus, scales) -> str:
+def _quant_kind(corpus, scales, quant: Optional[str] = None) -> str:
     """Infer the corpus quantization from the operand shapes: int8 rows carry
-    1-D per-row scales; packed int4 carries 2-D [N, D/128] block scales."""
+    1-D per-row scales; packed int4 carries 2-D [N, D/128] block scales.
+    ``quant`` overrides inference — required for "pq4", whose [16, D] level
+    table also rides the scales slot (shape inference can't distinguish it
+    from a 16-row int4 corpus)."""
+    if quant is not None:
+        if quant == "pq4" and (scales is None or corpus.dtype != jnp.uint8):
+            raise ValueError("pq4 needs packed uint8 codes + a [16, D] "
+                             "level table in `scales`")
+        return quant
     if scales is None:
         return "none"
     if scales.ndim == 2:
@@ -185,6 +193,21 @@ def _quant_kind(corpus, scales) -> str:
                              f"corpus, got {corpus.dtype}")
         return "int4"
     return "int8"
+
+
+def _lut16_rows(idx, levels):
+    """16-entry lookup of int32 ``idx`` [R, W] where each ENTRY is a [1, W]
+    row of ``levels`` [16, W] (per-column tables — PQ centroids differ per
+    subspace): balanced 15-select tree on the 4 index bits, the vector-table
+    sibling of :func:`kirag_tpu.ops.pallas_qmm._lut16`."""
+    lv = [levels[t:t + 1, :] for t in range(16)]
+    b0 = (idx & 1) == 1
+    lv = [jnp.where(b0, lv[i + 1], lv[i]) for i in range(0, 16, 2)]
+    b1 = (idx & 2) == 2
+    lv = [jnp.where(b1, lv[i + 1], lv[i]) for i in range(0, 8, 2)]
+    b2 = (idx & 4) == 4
+    lv = [jnp.where(b2, lv[i + 1], lv[i]) for i in range(0, 4, 2)]
+    return jnp.where((idx & 8) == 8, lv[1], lv[0])
 
 
 def _chunk_scores(q, c, s, quant: str):
@@ -198,6 +221,31 @@ def _chunk_scores(q, c, s, quant: str):
     partial product is scaled by its block's row scales in f32 — so the
     block scale never rounds through bf16.
     """
+    if quant == "pq4":
+        # c: [CHUNK, m/2] packed PQ codes (plane layout: low nibble =
+        # subspace t, high = t + m/2); s: [16, D] level table
+        # (ops/pq.pq_level_table). Decode = 15-select tree per (component,
+        # plane); each decoded [CHUNK, m/2] plane hits the MXU against the
+        # matching contiguous query columns — no gather, no code widening
+        # (the strided-subspace layout, ops/pq.py module docstring).
+        d = q.shape[1]
+        m2 = c.shape[1]
+        m = 2 * m2
+        ds = d // m
+        ci = c.astype(jnp.int32)
+        lo = ci & 15
+        hi = (ci >> 4) & 15
+        out = None
+        for j in range(ds):
+            for plane, nib in ((0, lo), (1, hi)):
+                off = j * m + plane * m2
+                v = _lut16_rows(nib, s[:, off:off + m2]).astype(jnp.bfloat16)
+                qb = q[:, off:off + m2].astype(jnp.bfloat16)
+                p = jax.lax.dot_general(
+                    qb, v, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)     # [Q, CHUNK]
+                out = p if out is None else out + p
+        return out
     if quant == "int4":
         nb = s.shape[0]
         half = nb // 2
@@ -237,6 +285,15 @@ def _scale_operand(scales, quant: str, num_chunks: int, groups_per_chunk: int,
         shape = (1, groups_per_chunk, LANES)
         op = scales.astype(jnp.float32).reshape(
             num_chunks, groups_per_chunk, LANES)
+    elif quant == "pq4":
+        # the [16, D] level table is chunk-invariant: one (1, 16, D) block,
+        # every grid step maps to it (16 sublanes / D lanes satisfy the
+        # Mosaic (8,128) window rule for D % 128 == 0)
+        shape = (1,) + tuple(scales.shape)
+        op = scales.astype(jnp.float32).reshape(shape)
+        if chunk_axis == 0:
+            return op, pl.BlockSpec(shape, lambda i, *js: (0, 0, 0))
+        return op, pl.BlockSpec(shape, lambda j, i: (0, 0, 0))
     else:  # int4: [N, NB] -> [chunks, NB, CHUNK]
         nb = scales.shape[1]
         shape = (1, nb, chunk_size)
@@ -252,6 +309,12 @@ def _scale_operand(scales, quant: str, num_chunks: int, groups_per_chunk: int,
 def _dense_scores(q, c, scales, quant: str, n_valid):
     """Tiny-corpus path: one dense XLA matmul mirroring the kernel's exact
     dequant arithmetic (per-block bf16 partial dots, f32 block scaling)."""
+    if quant == "pq4":
+        # _chunk_scores is shape-agnostic: the whole corpus is one "chunk",
+        # so the arithmetic (and rounding) is identical to the kernel path
+        scores = _chunk_scores(q, c, scales.astype(jnp.float32), quant)
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        return jnp.where(col < n_valid, scores, -jnp.inf)
     if quant == "int4":
         nb = scales.shape[1]
         ci = c.astype(jnp.int32)
@@ -752,12 +815,16 @@ def _gather_kernel(q_ref, c_ref, gsel_ref, *rest, groups_per_chunk: int,
 # ------------------------------------------------------------------ exact api
 
 
-def _pad_to_chunks(corpus, scales, chunk_size):
+def _pad_to_chunks(corpus, scales, chunk_size, quant: str = "none"):
     n = corpus.shape[0]
     n_pad = -(-n // chunk_size) * chunk_size
     if n_pad != n:
         corpus = jnp.pad(corpus, ((0, n_pad - n), (0, 0)))
-        if scales is not None:
+        if scales is not None and quant != "pq4":
+            # per-row scales pad with their rows; the pq4 level table is
+            # chunk-invariant ([16, D]) and must stay untouched — pq pad
+            # rows decode to real centroid values, but their scores only
+            # ever flow through row-masked gmax / _final_select
             pad = ((0, n_pad - n),) + ((0, 0),) * (scales.ndim - 1)
             scales = jnp.pad(scales, pad)
     return corpus, scales
@@ -776,7 +843,7 @@ def _capture_budget(k_eff: int, num_chunks: int, groups_per_chunk: int) -> int:
 
 def _exact_body(queries, corpus, k_eff: int, chunk_size: int, n_valid,
                 interpret: bool, scales, select: str = "flat",
-                impl: str = "single"):
+                impl: str = "single", quant: Optional[str] = None):
     """Shared by the jitted single-chip entry and the shard_map local body
     (``n_valid`` may be a traced scalar). ``select`` picks the selection
     stages: "flat" = lax.top_k, "hier" = two-level :func:`hier_topk`.
@@ -790,11 +857,11 @@ def _exact_body(queries, corpus, k_eff: int, chunk_size: int, n_valid,
         # capture-domain / running-window selection only exists in the
         # stream kernels; the other impls have no capture to select over
         select = "hier"
-    quant = _quant_kind(corpus, scales)
+    quant = _quant_kind(corpus, scales, quant)
     n, d_c = corpus.shape
     n_q = queries.shape[0]
     d_q = queries.shape[1]
-    corpus, scales = _pad_to_chunks(corpus, scales, chunk_size)
+    corpus, scales = _pad_to_chunks(corpus, scales, chunk_size, quant)
     n_pad = corpus.shape[0]
     num_chunks = n_pad // chunk_size
     groups = n_pad // LANES
@@ -1317,9 +1384,9 @@ STREAM_QTILE = 4
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "chunk_size", "valid_rows",
-                                    "interpret", "select", "impl"))
+                                    "interpret", "select", "impl", "quant"))
 def _exact_topk_jit(queries, corpus, k, chunk_size, valid_rows, interpret,
-                    scales, select="flat", impl="single"):
+                    scales, select="flat", impl="single", quant=None):
     n = corpus.shape[0]
     n_valid = n if valid_rows is None else valid_rows
     k_eff = min(k, n)
@@ -1346,18 +1413,19 @@ def _exact_topk_jit(queries, corpus, k, chunk_size, valid_rows, interpret,
         if tile == n_q:
             vals, idx = _exact_body(queries, corpus, k_eff, chunk_size,
                                     n_valid, interpret, scales,
-                                    select=select, impl=impl)
+                                    select=select, impl=impl, quant=quant)
         else:
             blocks = queries.reshape(n_q // tile, tile, -1)
             vals, idx = jax.lax.map(
                 lambda q: _exact_body(q, corpus, k_eff, chunk_size, n_valid,
                                       interpret, scales, select=select,
-                                      impl=impl), blocks)
+                                      impl=impl, quant=quant), blocks)
             vals = vals.reshape(n_q, k_eff)
             idx = idx.reshape(n_q, k_eff)
     else:
         vals, idx = _exact_body(queries, corpus, k_eff, chunk_size, n_valid,
-                                interpret, scales, select=select, impl=impl)
+                                interpret, scales, select=select, impl=impl,
+                                quant=quant)
     if k_eff < k:
         vals = jnp.pad(vals, ((0, 0), (0, k - k_eff)),
                        constant_values=-jnp.inf)
@@ -1371,7 +1439,8 @@ def exact_topk_mips(queries: jnp.ndarray, corpus: jnp.ndarray, k: int,
                     interpret: Optional[bool] = None,
                     scales: Optional[jnp.ndarray] = None,
                     select: str = "flat",
-                    impl: str = "auto") -> Tuple[jnp.ndarray, jnp.ndarray]:
+                    impl: str = "auto",
+                    quant: Optional[str] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k inner-product search, fully fused on TPU.
 
     Same contract as :func:`kirag_tpu.ops.mips.topk_mips` (which is the test
@@ -1393,7 +1462,22 @@ def exact_topk_mips(queries: jnp.ndarray, corpus: jnp.ndarray, k: int,
     """
     interpret = _resolve_interpret(interpret)
     _check_select(select)
-    if scales is not None and scales.ndim == 2:
+    if quant == "pq4":
+        # scales = the [16, D] level table (ops/pq.pq_level_table); the
+        # query dim and the per-plane slice widths must stay lane-aligned
+        # for the Mosaic window slicing in _chunk_scores
+        m2 = corpus.shape[1]
+        if scales is None or scales.shape[0] != 16 or scales.shape[1] % (
+                2 * m2) != 0:
+            raise ValueError(
+                "pq4 needs a [16, D] level table with D % (2 * packed cols) "
+                f"== 0; got codes {corpus.shape}, table "
+                f"{None if scales is None else scales.shape}")
+        if not interpret and (m2 % LANES != 0 or queries.shape[1] % LANES != 0):
+            raise ValueError(
+                "on-TPU pq4 needs m/2 and dim lane-aligned (m % 256 == 0, "
+                f"dim % 128 == 0); got m={2 * m2}, dim={queries.shape[1]}")
+    elif scales is not None and scales.ndim == 2:
         d_packed = corpus.shape[1]
         if 2 * d_packed % 256 != 0 or scales.shape[1] != 2 * d_packed // 128:
             raise ValueError(
@@ -1416,7 +1500,8 @@ def exact_topk_mips(queries: jnp.ndarray, corpus: jnp.ndarray, k: int,
     impl = _resolve_impl(impl, eff_q, corpus.shape[0],
                          corpus.nbytes, chunk_size)
     return _exact_topk_jit(queries, corpus, k, chunk_size, valid_rows,
-                           interpret, scales, select=select, impl=impl)
+                           interpret, scales, select=select, impl=impl,
+                           quant=quant)
 
 
 def _clamp_chunk_for_queries(chunk_size: int, n_queries: int) -> int:
@@ -1509,7 +1594,8 @@ def sharded_exact_topk_mips(queries: jnp.ndarray, corpus_sharded: jnp.ndarray,
                             interpret: Optional[bool] = None,
                             scales: Optional[jnp.ndarray] = None,
                             impl: str = "auto",
-                            select: str = "flat"
+                            select: str = "flat",
+                            quant: Optional[str] = None
                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused exact top-k over a corpus row-sharded across ``mesh[axis]``:
     per-shard fused search with global row ids, candidates all-gathered over
@@ -1540,7 +1626,7 @@ def sharded_exact_topk_mips(queries: jnp.ndarray, corpus_sharded: jnp.ndarray,
         local_scales = scale_args[0] if scale_args else None
         vals, idx = _exact_body(q_local, corpus_local, k_eff, local_chunk,
                                 local_valid, interpret, local_scales,
-                                select=select, impl=impl)
+                                select=select, impl=impl, quant=quant)
         idx = idx + offset
         all_vals = jax.lax.all_gather(vals, axis, axis=1, tiled=True)
         all_idx = jax.lax.all_gather(idx, axis, axis=1, tiled=True)
@@ -1550,7 +1636,10 @@ def sharded_exact_topk_mips(queries: jnp.ndarray, corpus_sharded: jnp.ndarray,
     in_specs = [PartitionSpec(), PartitionSpec(axis)]
     operands = [queries, corpus_sharded]
     if scales is not None:
-        in_specs.append(PartitionSpec(axis))
+        # per-row scale arrays shard with their rows; the pq4 level table
+        # is row-invariant and replicates
+        in_specs.append(PartitionSpec() if quant == "pq4"
+                        else PartitionSpec(axis))
         operands.append(scales)
     fn = shard_map(
         local_search,

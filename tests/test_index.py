@@ -1,5 +1,6 @@
 """TPUIndexer parity tests vs numpy oracles (the FAISS-flat contract)."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -135,7 +136,7 @@ class TestInt8Compression:
 
     def test_int8_guards(self):
         with pytest.raises(KeyError):
-            TPUIndexer(8, compression="pq")
+            TPUIndexer(8, compression="bogus")
 
     def test_sharded_int8(self, rng, mesh8):
         c = rng.randn(512, 16).astype(np.float32)
@@ -177,11 +178,13 @@ class TestInt4Compression:
         for row, (ids_q, _) in enumerate(r_quant):
             assert ids_q[0] == str(row)
 
-    def test_pq_low_bit_request_maps_to_int4(self):
+    def test_pq_request_maps_to_codebook_pq(self):
+        # round 5: IndexPQ requests get TRUE codebook PQ (ops/pq.py); an
+        # 8-bit request doubles the 4-bit subquantizers (equal bytes/row)
         ix = TPUIndexer(256, n_subquantizers=64, n_bits=4)
-        assert ix.compression == "int4"
+        assert ix.compression == "pq" and ix.pq_m == 64
         ix8 = TPUIndexer(256, n_subquantizers=64, n_bits=8)
-        assert ix8.compression == "int8"
+        assert ix8.compression == "pq" and ix8.pq_m == 128
 
     def test_int4_guards(self):
         with pytest.raises(ValueError):
@@ -250,6 +253,135 @@ class TestInt4Compression:
         res = loaded.search_knn(c[:4], top_docs=5)
         for row, (ids, _) in enumerate(res):
             assert ids[0] == str(row)
+
+
+class TestPQCompression:
+    """compression="pq": true codebook product quantization (ops/pq.py) —
+    the reference's IndexPQ role (`retriever/index.py:19-24`) at sub-int4
+    memory (m/2 bytes/row; 32x vs f32 at D=1024, m=256)."""
+
+    def _clustered(self, rng, n=768, d=64, n_centers=48, noise=0.03):
+        centers = rng.randn(n_centers, d).astype(np.float32)
+        c = (centers[rng.randint(0, n_centers, n)]
+             + noise * rng.randn(n, d).astype(np.float32))
+        c /= np.linalg.norm(c, axis=-1, keepdims=True)
+        return c
+
+    def test_pq_planted_neighbor_recovery(self, rng):
+        # queries' true neighbors are separated from the bulk by more than
+        # the quantization error: PQ must recover them at top-1
+        c = rng.randn(1024, 64).astype(np.float32)
+        c /= np.linalg.norm(c, axis=-1, keepdims=True)
+        q = rng.randn(6, 64).astype(np.float32)
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        c[:6] = q + 0.15 * c[:6]
+        c /= np.linalg.norm(c, axis=-1, keepdims=True)
+        ix = TPUIndexer(64, compression="pq", n_subquantizers=16,
+                        chunk_size=256, pallas_chunk_size=256)
+        ix.index_data(range(1024), c)
+        res = ix.search_knn(q, top_docs=5)
+        for row, (ids, vals) in enumerate(res):
+            assert ids[0] == str(row)
+            assert np.isfinite(vals).all() and vals[0] >= vals[-1]
+
+    def test_pq_recall_on_clustered_corpus(self, rng):
+        # coarse-region recall (what PQ is for): the exact top-20 cluster
+        # mates should largely survive quantization
+        c = self._clustered(rng)
+        q = c[rng.randint(0, len(c), 8)] + 0.01 * rng.randn(8, 64).astype(
+            np.float32)
+        exact = TPUIndexer(64, chunk_size=256)
+        exact.index_data(range(len(c)), c)
+        pq = TPUIndexer(64, compression="pq", n_subquantizers=16,
+                        pallas_chunk_size=256)
+        pq.index_data(range(len(c)), c)
+        r_e = exact.search_knn(q, top_docs=20)
+        r_p = pq.search_knn(q, top_docs=20)
+        recalls = [len(set(a) & set(b)) / 20
+                   for (a, _), (b, _) in zip(r_e, r_p)]
+        assert np.mean(recalls) >= 0.6, recalls
+
+    def test_pq_memory_footprint(self, rng):
+        # 32x vs f32 at m = d/4 (plus the constant [16, D] level table)
+        c = self._clustered(rng, n=512)
+        ix = TPUIndexer(64, compression="pq", n_subquantizers=16,
+                        pallas_chunk_size=256)
+        ix.index_data(range(512), c)
+        ix.to_device()
+        assert ix._device_corpus.dtype == jnp.uint8
+        assert ix._device_corpus.shape[1] == 8      # m/2 bytes per row
+        assert ix._device_scales.shape == (16, 64)  # level table
+
+    def test_pq_matches_decode_oracle_with_faiss_ties(self, rng):
+        # exact-over-quantized contract: results == brute force over the
+        # DECODED corpus incl. lower-row-id tie order (duplicate codes tie)
+        from kirag_tpu.ops import pq as pqmod
+
+        c = self._clustered(rng, n=640)
+        ix = TPUIndexer(64, compression="pq", n_subquantizers=16,
+                        pallas_chunk_size=256)
+        ix.index_data(range(640), c)
+        ix.to_device()
+        codes = np.asarray(ix._device_corpus)[:640]
+        recon = pqmod.decode_pq(codes, ix._pq_codebooks)
+        q = c[:5]
+        res = ix.search_knn(q, top_docs=9)
+        import ml_dtypes
+        scores = (q.astype(ml_dtypes.bfloat16).astype(np.float32)
+                  @ recon.astype(ml_dtypes.bfloat16).astype(np.float32).T)
+        for (ids, vals), row in zip(res, scores):
+            order = np.argsort(-row, kind="stable")[:9]
+            assert ids == [str(i) for i in order]
+            np.testing.assert_allclose(vals, row[order], rtol=2e-3, atol=2e-3)
+
+    def test_pq_sharded_matches_single(self, rng, mesh8):
+        c = self._clustered(rng, n=512)
+        q = c[:4]
+        sharded = TPUIndexer(64, mesh=mesh8, compression="pq",
+                             n_subquantizers=16, pallas_chunk_size=128)
+        sharded.index_data(range(512), c)
+        single = TPUIndexer(64, compression="pq", n_subquantizers=16,
+                            pallas_chunk_size=128)
+        single.index_data(range(512), c)
+        r_s = sharded.search_knn(q, top_docs=8)
+        r_1 = single.search_knn(q, top_docs=8)
+        for (ids_s, vs), (ids_1, v1) in zip(r_s, r_1):
+            assert ids_s == ids_1
+            np.testing.assert_allclose(vs, v1, rtol=1e-4, atol=1e-4)
+
+    def test_pq_serialize_roundtrip_same_codes(self, rng, tmp_path):
+        c = self._clustered(rng, n=512)
+        ix = TPUIndexer(64, compression="pq", n_subquantizers=16,
+                        pallas_chunk_size=256)
+        ix.index_data(range(512), c)
+        r0 = ix.search_knn(c[:4], top_docs=7)
+        ix.serialize(str(tmp_path))
+        loaded = TPUIndexer(64, pallas_chunk_size=256)
+        loaded.deserialize_from(str(tmp_path))
+        assert loaded.compression == "pq" and loaded.pq_m == 16
+        # codebooks persisted: identical codes, identical results
+        np.testing.assert_array_equal(loaded._pq_codebooks, ix._pq_codebooks)
+        r1 = loaded.search_knn(c[:4], top_docs=7)
+        for (a, va), (b, vb) in zip(r0, r1):
+            assert a == b
+            np.testing.assert_array_equal(va, vb)
+
+    def test_pq_guards(self):
+        with pytest.raises(ValueError, match="inner_product"):
+            TPUIndexer(64, metric="l2", compression="pq")
+        with pytest.raises(ValueError, match="streaming"):
+            TPUIndexer(64, compression="pq", max_device_rows=128)
+
+    def test_pq_approx_mode_serves_exact(self, rng):
+        c = self._clustered(rng, n=512)
+        ix = TPUIndexer(64, compression="pq", n_subquantizers=16,
+                        pallas_chunk_size=256)
+        ix.index_data(range(512), c)
+        r_a = ix.search_knn(c[:3], top_docs=5, mode="approx")
+        r_e = ix.search_knn(c[:3], top_docs=5)
+        for (a, va), (b, vb) in zip(r_a, r_e):
+            assert a == b
+            np.testing.assert_array_equal(va, vb)
 
 
 class TestApproxMode:
