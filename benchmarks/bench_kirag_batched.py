@@ -35,6 +35,11 @@ import numpy as np
 
 SMOKE = os.environ.get("SMOKE", "0") == "1"
 N_QUESTIONS = int(os.environ.get("BENCH_NQ", 4 if SMOKE else 8))
+# BENCH_MODES=batched skips the (slow, already-characterized) sequential
+# control — the serving-lever A/Bs (int8 KV, prefix cache) only need the
+# batched number; the cross-mode equivalence assert needs both and is
+# skipped when either mode is absent
+MODES = tuple(os.environ.get("BENCH_MODES", "sequential,batched").split(","))
 OUT = "benchmarks/bench_kirag_batched_results.jsonl"
 
 QUESTIONS = [
@@ -97,8 +102,10 @@ def main() -> None:
         return kirag.retrieve_batch(questions)
 
     records = []
+    mode_fns = [(m, f) for m, f in (("sequential", run_sequential),
+                                    ("batched", run_batched)) if m in MODES]
     for phase in ("compile", "steady"):
-        for mode, fn in (("sequential", run_sequential), ("batched", run_batched)):
+        for mode, fn in mode_fns:
             print(f"phase={phase} mode={mode} starting",
                   file=sys.stderr, flush=True)
             _reset(kirag)
@@ -130,6 +137,10 @@ def main() -> None:
 
     # identical outputs, steady phase (compile runs share the same state
     # machine so they match too, but steady is the claim)
+    if len(mode_fns) < 2:
+        print("single-mode run: skipping cross-mode equivalence + summary",
+              flush=True)
+        return
     by_key = {(m, p): o for m, p, o, _ in records}
     seq = [_canon(r) for r in by_key[("sequential", "steady")]]
     bat = [_canon(r) for r in by_key[("batched", "steady")]]

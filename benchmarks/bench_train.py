@@ -32,6 +32,9 @@ STEPS = 3 if SMOKE else 20
 # MFU A/B knobs (VERDICT r3 #8): remat mode and QKV fusion
 REMAT = os.environ.get("BENCH_REMAT", "full")      # full | dots | none
 FUSED_QKV = os.environ.get("BENCH_FUSED_QKV", "1") == "1"
+# VERDICT r4 #4: query+doc packing into one forward (4 docs per 256-token
+# row via segment ids; see training.aligner._embed_packed)
+PACKED = os.environ.get("BENCH_PACKED", "0") == "1"
 
 
 def main() -> None:
@@ -98,7 +101,7 @@ def main() -> None:
                          else ("dots" if REMAT == "dots" else True))
                 return in_batch_contrastive_loss(
                     p, batch, config, "e5", 0.01, compute_dtype=jnp.bfloat16,
-                    remat=remat)
+                    remat=remat, packed=PACKED)
 
             (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
             updates, s = opt.update(grads, s, p)
@@ -148,7 +151,7 @@ def main() -> None:
            "achieved_tfs": round(achieved_tfs, 1),
            "mfu": round(achieved_tfs / peak_tfs, 3),
            "b_queries": B_QUERIES, "docs_per_query": DOCS_PER_QUERY,
-           "remat": REMAT, "fused_qkv": FUSED_QKV,
+           "remat": REMAT, "fused_qkv": FUSED_QKV, "packed": PACKED,
            "q_len": Q_LEN, "d_len": D_LEN, "compute": "bf16",
            "steps": STEPS, "ms_per_step": round(dt / STEPS * 1e3, 1),
            "steps_per_sec": round(steps_per_sec, 3),

@@ -228,18 +228,28 @@ def bert_encode(
     token_type_ids: Optional[jnp.ndarray] = None,
     compute_dtype: jnp.dtype = jnp.float32,
     attention_impl: str = "auto",
+    position_ids: Optional[jnp.ndarray] = None,
+    segment_ids: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Run the transformer stack; returns last_hidden_state [B, T, H].
 
     ``attention_impl``: "xla" (einsum softmax, the parity oracle), "flash"
     (fused Pallas kernel, TPU only), or "auto" (flash on TPU when the
     sequence is lane-aligned, else xla).
+
+    ``position_ids`` / ``segment_ids`` support SEQUENCE PACKING (several
+    short documents sharing one row, the aligner's packed forward): positions
+    restart per packed document, and attention is confined to same-segment
+    tokens (segment 0 = padding; pads attend among themselves — they never
+    reach the pooling heads). The flash path passes segments to the kernel's
+    native SegmentIds; the XLA path builds the equivalent block-diagonal
+    bias.
     """
     b, t = input_ids.shape
     if token_type_ids is None:
         token_type_ids = jnp.zeros_like(input_ids)
     emb_p = params["embeddings"]
-    positions = jnp.arange(t)[None, :]
+    positions = jnp.arange(t)[None, :] if position_ids is None else position_ids
     x = (
         jnp.take(emb_p["word_embeddings"], input_ids, axis=0)
         + jnp.take(emb_p["position_embeddings"], positions, axis=0)
@@ -250,11 +260,17 @@ def bert_encode(
     impl = _resolve_attention_impl(attention_impl, t, config)
     # additive attention bias like HF: large negative where masked
     neg = jnp.finfo(jnp.float32).min
-    mask_bias = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * neg
+    if segment_ids is None:
+        mask_bias = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * neg
+        seg = attention_mask
+    else:
+        seg = segment_ids
+        same = (seg[:, None, :, None] == seg[:, None, None, :])
+        mask_bias = jnp.where(same, 0.0, neg)
 
     for layer_p in params["layers"]:
         if impl == "flash":
-            attn_out = _flash_attention(x, attention_mask, layer_p["attention"], config)
+            attn_out = _flash_attention(x, seg, layer_p["attention"], config)
         else:
             attn_out = _attention(x, mask_bias, layer_p["attention"], config)
         x = _layer_norm(x + attn_out, layer_p["attention"]["output_layer_norm"], config.layer_norm_eps)

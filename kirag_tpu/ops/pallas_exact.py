@@ -1367,11 +1367,14 @@ def _merge_body(queries, corpus, scales, quant, k_eff, chunk_size, n_valid,
 
 _STREAM_ASSERT_CAPTURE = False  # see _stream_body; tests only
 
-# capdom candidate assembly: "pallas" streams the capture once through
-# _cap_assemble_kernel; "einsum" is the round-4 XLA form (kept for A/B —
-# BENCH_CAPDOM_ASSEMBLY in bench.py). Trace-time constant: results are
-# bit-identical, only the schedule differs.
-CAPDOM_ASSEMBLY = os.environ.get("KIRAG_CAPDOM_ASSEMBLY", "pallas")
+# capdom candidate assembly: "einsum" is the XLA one-hot form; "pallas"
+# streams the capture once through _cap_assemble_kernel with the one-hot in
+# VMEM. Results are bit-identical; only the schedule differs. On-chip A/B at
+# 1M x 1024 (bench_select_ab_results.jsonl, r5): einsum 7.41 ms/batch vs
+# pallas 9.80 — the kernel's revisited [Q, k, 128] f32 output ref writes
+# back ~13 MB on every one of the 123 chunk steps (~1.6 GB), dwarfing the
+# einsum's one-shot 208 MB HBM one-hot. Default: the measured winner.
+CAPDOM_ASSEMBLY = os.environ.get("KIRAG_CAPDOM_ASSEMBLY", "einsum")
 
 
 QUERY_BLOCK = 256  # the validated VMEM envelope's query-batch unit

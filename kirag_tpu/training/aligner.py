@@ -38,9 +38,61 @@ def _embed(params, args: Dict[str, jnp.ndarray], config: BertConfig, encoder_typ
     return pooled
 
 
+def _embed_packed(params, query_args: Dict[str, jnp.ndarray],
+                  doc_args: Dict[str, jnp.ndarray], config: BertConfig,
+                  encoder_type: str, compute_dtype):
+    """Queries + docs in ONE encoder forward via sequence packing.
+
+    ``q_len // d_len`` docs share each packed row: positions restart per doc
+    and attention is confined to same-segment tokens (`bert_encode`'s
+    segment_ids — the flash kernel's native SegmentIds on TPU), so the math
+    per doc is identical to the two-call form while the matmuls run at
+    ~double the batch (the "query+doc packing" lever, docs/DESIGN.md §7:
+    one program instead of two differently-shaped tower calls).
+    Requires q_len % d_len == 0 and num_docs % (q_len // d_len) == 0 —
+    the collator's bucketing guarantees both at production geometry.
+    """
+    q_ids, q_mask = query_args["input_ids"], query_args["attention_mask"]
+    d_ids, d_mask = doc_args["input_ids"], doc_args["attention_mask"]
+    bq, lq = q_ids.shape
+    bd, ld = d_ids.shape
+    r = lq // ld
+    rows = bd // r
+    ids = jnp.concatenate([q_ids, d_ids.reshape(rows, r * ld)], axis=0)
+    mask = jnp.concatenate([q_mask, d_mask.reshape(rows, r * ld)], axis=0)
+    pos = jnp.concatenate([
+        jnp.broadcast_to(jnp.arange(lq)[None], (bq, lq)),
+        jnp.broadcast_to(jnp.tile(jnp.arange(ld), r)[None], (rows, r * ld)),
+    ], axis=0)
+    # segment 0 = padding (pads attend among themselves, never pooled);
+    # doc s in a packed row gets segment s+1; query rows are single-segment
+    seg_d = (d_mask.reshape(rows, r, ld).astype(jnp.int32)
+             * (1 + jnp.arange(r, dtype=jnp.int32))[None, :, None])
+    seg = jnp.concatenate([q_mask.astype(jnp.int32),
+                           seg_d.reshape(rows, r * ld)], axis=0)
+    hidden = bert_encode(params, ids, mask, config,
+                         compute_dtype=compute_dtype,
+                         position_ids=pos, segment_ids=seg)
+    h_q = hidden[:bq]
+    h_d = hidden[bq:].reshape(bd, ld, -1)
+    pool = ENCODER_POOLING[encoder_type]["pool"]
+    q_emb = pool(h_q.astype(jnp.float32), q_mask)
+    d_emb = pool(h_d.astype(jnp.float32), d_mask)
+    if ENCODER_POOLING[encoder_type]["normalize"]:
+        q_emb = l2_normalize(q_emb)
+        d_emb = l2_normalize(d_emb)
+    return q_emb, d_emb
+
+
+def _can_pack(batch) -> bool:
+    bq, lq = batch["query_args"]["input_ids"].shape
+    bd, ld = batch["doc_args"]["input_ids"].shape
+    return ld > 0 and lq % ld == 0 and bd % (lq // ld) == 0
+
+
 def in_batch_contrastive_loss(params, batch, config: BertConfig, encoder_type: str = "e5",
                               temperature: float = 0.01, compute_dtype=jnp.float32,
-                              remat: bool = False):
+                              remat: bool = False, packed: bool = False):
     """CE over the global [num_queries, num_docs] score matrix.
 
     ``batch`` = {"query_args", "doc_args", "positive_doc_indices"} as produced
@@ -54,16 +106,24 @@ def in_batch_contrastive_loss(params, batch, config: BertConfig, encoder_type: s
     matmul outputs are SAVED (~7 GB bf16 at this geometry — still inside
     HBM) and only the cheap elementwise/softmax/layernorm pieces recompute,
     so the backward pays ~3x forward FLOPs instead of full-remat's ~4x.
+
+    ``packed=True`` runs queries and docs through ONE encoder forward
+    (:func:`_embed_packed`); falls back to the two-call form when the batch
+    geometry doesn't pack (q_len % d_len != 0).
     """
-    embed = _embed
-    if remat:
-        kw = {}
-        if remat == "dots":
-            kw["policy"] = jax.checkpoint_policies.dots_saveable
-        embed = jax.checkpoint(
-            _embed, static_argnums=(2, 3, 4), **kw)  # config/encoder_type/dtype
-    q_emb = embed(params, batch["query_args"], config, encoder_type, compute_dtype)
-    d_emb = embed(params, batch["doc_args"], config, encoder_type, compute_dtype)
+    kw = {}
+    if remat == "dots":
+        kw["policy"] = jax.checkpoint_policies.dots_saveable
+    if packed and _can_pack(batch):
+        embed2 = (jax.checkpoint(_embed_packed, static_argnums=(3, 4, 5), **kw)
+                  if remat else _embed_packed)
+        q_emb, d_emb = embed2(params, batch["query_args"], batch["doc_args"],
+                              config, encoder_type, compute_dtype)
+    else:
+        embed = (jax.checkpoint(_embed, static_argnums=(2, 3, 4), **kw)
+                 if remat else _embed)
+        q_emb = embed(params, batch["query_args"], config, encoder_type, compute_dtype)
+        d_emb = embed(params, batch["doc_args"], config, encoder_type, compute_dtype)
     scores = (q_emb @ d_emb.T) / temperature
     labels = batch["positive_doc_indices"]
     log_probs = jax.nn.log_softmax(scores, axis=-1)
@@ -80,12 +140,14 @@ class AlignerTrainer(BaseTrainer):
                  train_loader, eval_loader=None, encoder_type: str = "e5",
                  temperature: float = 0.01, compute_dtype=jnp.float32,
                  num_candidates_per_query: Optional[int] = None, mesh=None,
-                 batch_sharding=None, remat: bool = False, trackers=()):
+                 batch_sharding=None, remat: bool = False, packed: bool = False,
+                 trackers=()):
         self.bert_config = bert_config
         self.encoder_type = encoder_type
         self.temperature = temperature
         self.compute_dtype = compute_dtype
         self.remat = remat
+        self.packed = packed
         self.num_candidates_per_query = num_candidates_per_query
         if mesh is not None and mesh.shape.get("model", 1) > 1:
             # tensor-parallel training: shard encoder weights over the model
@@ -121,7 +183,8 @@ class AlignerTrainer(BaseTrainer):
     def loss_fn(self, params, batch):
         return in_batch_contrastive_loss(
             params, batch, self.bert_config, self.encoder_type,
-            self.temperature, self.compute_dtype, remat=self.remat)
+            self.temperature, self.compute_dtype, remat=self.remat,
+            packed=self.packed)
 
     def _score_batch(self, params, batch):
         q_emb = _embed(params, batch["query_args"], self.bert_config, self.encoder_type,

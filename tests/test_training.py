@@ -412,3 +412,104 @@ class TestWandbTracker:
         monkeypatch.setattr(builtins, "__import__", no_wandb)
         with pytest.raises(ImportError, match="requires the `wandb` package"):
             WandbTracker(project="p")
+
+
+class TestPackedForward:
+    """Query+doc packing into one encoder forward (docs/DESIGN.md §7's last
+    MFU lever): per-doc math must be identical to the two-call form — packing
+    only changes the batching, via restarted positions + segment-confined
+    attention (`bert_encode` position_ids/segment_ids)."""
+
+    def _batch(self, rng, ragged=True):
+        import jax.numpy as jnp
+        q_mask = np.ones((4, 16), np.int32)
+        d_mask = np.ones((16, 8), np.int32)
+        if ragged:
+            # trailing padding per row (collators pin right padding)
+            for i in range(4):
+                q_mask[i, 16 - (i % 3):] = 0
+            for i in range(16):
+                d_mask[i, 8 - (i % 4):] = 0
+        ids_q = rng.randint(1, 100, (4, 16)).astype(np.int32) * q_mask
+        ids_d = rng.randint(1, 100, (16, 8)).astype(np.int32) * d_mask
+        return {
+            "query_args": {"input_ids": jnp.asarray(ids_q),
+                           "attention_mask": jnp.asarray(q_mask)},
+            "doc_args": {"input_ids": jnp.asarray(ids_d),
+                         "attention_mask": jnp.asarray(d_mask)},
+            "positive_doc_indices": jnp.arange(4, dtype=jnp.int32) * 4,
+        }
+
+    def _cfg(self):
+        from kirag_tpu.models import BertConfig
+        return BertConfig(vocab_size=128, hidden_size=32, num_hidden_layers=2,
+                          num_attention_heads=2, intermediate_size=64,
+                          max_position_embeddings=64)
+
+    @pytest.mark.parametrize("encoder_type", ["e5", "bge", "contriever"])
+    def test_packed_embeddings_match_two_call(self, encoder_type):
+        import jax
+        from kirag_tpu.models import init_bert_params
+        from kirag_tpu.training.aligner import _embed, _embed_packed
+
+        cfg = self._cfg()
+        params = init_bert_params(jax.random.PRNGKey(0), cfg)
+        batch = self._batch(np.random.RandomState(1))
+        q_ref = _embed(params, batch["query_args"], cfg, encoder_type,
+                       jnp.float32)
+        d_ref = _embed(params, batch["doc_args"], cfg, encoder_type,
+                       jnp.float32)
+        q_p, d_p = _embed_packed(params, batch["query_args"],
+                                 batch["doc_args"], cfg, encoder_type,
+                                 jnp.float32)
+        np.testing.assert_allclose(np.asarray(q_p), np.asarray(q_ref),
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_ref),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_packed_loss_and_grads_match(self):
+        import jax
+        from kirag_tpu.models import init_bert_params
+        from kirag_tpu.training import in_batch_contrastive_loss
+
+        cfg = self._cfg()
+        params = init_bert_params(jax.random.PRNGKey(0), cfg)
+        batch = self._batch(np.random.RandomState(2))
+
+        def loss(p, packed, remat=False):
+            return in_batch_contrastive_loss(p, batch, cfg, "e5", 0.05,
+                                             remat=remat, packed=packed)[0]
+
+        l0 = float(loss(params, False))
+        l1 = float(loss(params, True))
+        assert abs(l0 - l1) < 1e-4, (l0, l1)
+        g0 = jax.grad(lambda p: loss(p, False))(params)
+        for remat in (False, "dots", True):
+            g1 = jax.grad(lambda p: loss(p, True, remat))(params)
+            diffs = jax.tree.map(
+                lambda a, b: float(jnp.max(jnp.abs(a - b))), g0, g1)
+            assert max(jax.tree.leaves(diffs)) < 2e-4, remat
+
+    def test_unpackable_geometry_falls_back(self):
+        # q_len not a multiple of d_len -> the two-call path, same API
+        import jax
+        from kirag_tpu.models import init_bert_params
+        from kirag_tpu.training import in_batch_contrastive_loss
+
+        cfg = self._cfg()
+        params = init_bert_params(jax.random.PRNGKey(0), cfg)
+        rng = np.random.RandomState(3)
+        batch = {
+            "query_args": {
+                "input_ids": jnp.asarray(rng.randint(1, 100, (4, 15)), jnp.int32),
+                "attention_mask": jnp.ones((4, 15), jnp.int32)},
+            "doc_args": {
+                "input_ids": jnp.asarray(rng.randint(1, 100, (16, 8)), jnp.int32),
+                "attention_mask": jnp.ones((16, 8), jnp.int32)},
+            "positive_doc_indices": jnp.arange(4, dtype=jnp.int32) * 4,
+        }
+        l0 = float(in_batch_contrastive_loss(params, batch, cfg, "e5", 0.05,
+                                             packed=False)[0])
+        l1 = float(in_batch_contrastive_loss(params, batch, cfg, "e5", 0.05,
+                                             packed=True)[0])
+        assert l0 == l1
