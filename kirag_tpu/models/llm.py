@@ -1057,6 +1057,15 @@ class JaxLlamaBackend:
         self.draft_params = draft_params
         self.draft_config = draft_config
         self.spec_gamma = spec_gamma
+        # acceptance accounting (speculative mode): spec_acc_hist[a] counts
+        # (row, round) pairs that accepted exactly ``a`` draft tokens,
+        # summed over every call since construction. One tiny device fetch
+        # per CALL (not per token). ``draft_script_fn``, if set, is called
+        # with (input_ids, attention_mask) per generate call and may return
+        # a [B, W] int32 proposal-override script (controllable-agreement
+        # benchmarking; see models.speculative._spec_round) or None.
+        self.spec_acc_hist = np.zeros((spec_gamma,), np.int64)
+        self.draft_script_fn = None
 
     def _bucket(self, t: int) -> int:
         for b in self.prompt_buckets:
@@ -1163,12 +1172,17 @@ class JaxLlamaBackend:
         if self.draft_params is not None:
             from kirag_tpu.models.speculative import speculative_decode
 
-            ids, logits = speculative_decode(
+            script = (self.draft_script_fn(input_ids, attention_mask)
+                      if self.draft_script_fn is not None else None)
+            ids, logits, hist = speculative_decode(
                 self.params, self.config, self.draft_params,
                 self.draft_config, jnp.asarray(input_ids),
                 jnp.asarray(attention_mask), max_new_tokens,
                 gamma=self.spec_gamma, compute_dtype=self.compute_dtype,
-                eos_token_id=self.eos_token_id, return_logits=return_logits)
+                eos_token_id=self.eos_token_id, return_logits=return_logits,
+                draft_script=(None if script is None else jnp.asarray(script)),
+                return_stats=True)
+            self.spec_acc_hist += np.asarray(hist)
         else:
             ids, logits = greedy_decode(
                 self.params, jnp.asarray(input_ids), jnp.asarray(attention_mask),
@@ -1186,14 +1200,21 @@ class JaxLlamaBackend:
         if self.draft_params is not None and not return_logits:
             from kirag_tpu.models.speculative import speculative_start
 
+            script = (self.draft_script_fn(input_ids, attention_mask)
+                      if self.draft_script_fn is not None else None)
             ids, st = speculative_start(
                 self.params, self.config, self.draft_params,
                 self.draft_config, jnp.asarray(input_ids),
                 jnp.asarray(attention_mask), total_new_tokens,
                 gamma=self.spec_gamma, compute_dtype=self.compute_dtype,
                 eos_token_id=self.eos_token_id)
-            # host-side total rides with the state (static arg of resume)
-            return np.asarray(ids), None, (st, total_new_tokens)
+            # host-side total + script + last-seen hist ride with the state
+            # (total is a static arg of resume; the in-state hist is
+            # cumulative so resumes accumulate DELTAS against hist_prev —
+            # zeros after start: rounds only run in resume)
+            return np.asarray(ids), None, (
+                st, total_new_tokens, script,
+                np.zeros((self.spec_gamma,), np.int64))
         ids, logits, state = prefill_decode(
             self.params, jnp.asarray(input_ids), jnp.asarray(attention_mask),
             self.config, total_new_tokens, self.compute_dtype,
@@ -1203,17 +1224,21 @@ class JaxLlamaBackend:
     def greedy_resume(self, state, n_steps: int, return_logits: bool = True):
         """Decode ``n_steps`` more tokens from a greedy_start/resume state —
         no re-prefill; the KV cache never leaves the device."""
-        if isinstance(state, tuple) and len(state) == 2 \
-                and isinstance(state[0], dict) and "served" in state[0]:
+        if isinstance(state, tuple) and isinstance(state[0], dict) \
+                and "served" in state[0]:
             from kirag_tpu.models.speculative import speculative_resume
 
-            st, total = state
+            st, total, script, hist_prev = state
             ids, st = speculative_resume(
                 self.params, self.config, self.draft_params,
                 self.draft_config, st, n_steps, total,
                 gamma=self.spec_gamma, compute_dtype=self.compute_dtype,
-                eos_token_id=self.eos_token_id)
-            return np.asarray(ids), None, (st, total)
+                eos_token_id=self.eos_token_id,
+                draft_script=(None if script is None
+                              else jnp.asarray(script)))
+            hist = np.asarray(st["acc_hist"])
+            self.spec_acc_hist += hist - hist_prev
+            return np.asarray(ids), None, (st, total, script, hist)
         ids, logits, state = resume_decode(
             self.params, state, self.config, n_steps, self.compute_dtype,
             eos_token_id=self.eos_token_id, return_logits=return_logits)

@@ -98,6 +98,11 @@ def _init_spec_state(t_params, t_config, d_params, d_config, input_ids,
         "n_out": jnp.ones((bsz,), jnp.int32),
         "out_ids": jnp.zeros((bsz, width), jnp.int32).at[:, 0].set(first),
         "out_lg": jnp.zeros((bsz, 1, 1), jnp.float32),
+        # acceptance accounting: acc_hist[a] = number of (active-row,
+        # round) pairs that accepted exactly ``a`` draft tokens. Rides in
+        # the state at zero device cost; hosts fetch it per CALL, never
+        # per token (relay round trips dominate tiny fetches on this rig)
+        "acc_hist": jnp.zeros((gamma,), jnp.int32),
     }
     return first, first_lg, st
 
@@ -137,9 +142,21 @@ def _rollback(sub, w0, keep, gamma):
 
 
 def _spec_round(t_params, t_config, d_params, d_config, st, gamma,
-                compute_dtype, eos_token_id, max_out, return_logits):
+                compute_dtype, eos_token_id, max_out, return_logits,
+                draft_script=None):
     """One draft-propose / target-verify round; advances the output stream
-    by 1..gamma tokens per active row."""
+    by 1..gamma tokens per active row.
+
+    ``draft_script`` (optional, [B, W] int32) overrides the draft's
+    PROPOSAL at each output-stream position: the proposal for stream slot
+    ``s`` becomes ``draft_script[b, s]`` where that entry is >= 0 (negative
+    = keep the real argmax). The draft forward still runs and its K/V chain
+    feeds the overridden token, so the COST of drafting is unchanged — only
+    the proposed token is scripted. This is the controllable-agreement
+    hook for benchmarking on random-init weights (whose argmax agreement is
+    noise, unlike trained checkpoints'): scripting the target's own greedy
+    stream with flips at rate ``1 - p`` yields per-proposal acceptance
+    exactly ``p`` while every byte of draft/verify work stays real."""
     bsz = st["pending"].shape[0]
     bi = jnp.arange(bsz)
     p0, pos0 = st["pending"], st["pos"]
@@ -148,12 +165,19 @@ def _spec_round(t_params, t_config, d_params, d_config, st, gamma,
     # ---- 1. draft chain: gamma feeds, gamma-1 used proposals
     d0 = st["d"]
     dw0 = d0["write_at"]
+    n_out0 = st["n_out"]
 
     def dstep(carry, j):
         sub, tok = carry
         lg, sub = _chain_step(d_params, d_config, sub, tok, pos0 + j,
                               compute_dtype)
         nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        if draft_script is not None:
+            # dstep at scan index j produces d_{j+1}, the proposal for
+            # output-stream slot n_out + j
+            idx = jnp.clip(n_out0 + j, 0, draft_script.shape[1] - 1)
+            s = jnp.take_along_axis(draft_script, idx[:, None], axis=1)[:, 0]
+            nxt = jnp.where(s >= 0, s, nxt)
         return (sub, nxt), tok
 
     (dsub, _), fed = jax.lax.scan(
@@ -185,6 +209,7 @@ def _spec_round(t_params, t_config, d_params, d_config, st, gamma,
     m = drafts == targets[:, :gamma - 1]                    # [B, gamma-1]
     n_acc = jnp.sum(jnp.cumprod(m.astype(jnp.int32), axis=1), axis=1)
     keep = jnp.where(active, n_acc + 1, 0)                  # fed slots kept
+    acc_hist = st["acc_hist"].at[n_acc].add(active.astype(jnp.int32))
 
     # round outputs: O_i = d_{i+1} for i < n_acc, O_{n_acc} = T[n_acc]
     gi = jnp.arange(gamma)[None, :]
@@ -228,26 +253,35 @@ def _spec_round(t_params, t_config, d_params, d_config, st, gamma,
         "n_out": st["n_out"] + keep,
         "out_ids": out_ids,
         "out_lg": out_lg,
+        "acc_hist": acc_hist,
     }
 
 
 @functools.partial(jax.jit, static_argnames=(
     "t_config", "d_config", "max_new_tokens", "gamma", "compute_dtype",
-    "eos_token_id", "return_logits"))
+    "eos_token_id", "return_logits", "return_stats"))
 def speculative_decode(t_params: Params, t_config: LlamaConfig,
                        d_params: Params, d_config: LlamaConfig,
                        input_ids: jnp.ndarray, attention_mask: jnp.ndarray,
                        max_new_tokens: int, gamma: int = 4,
                        compute_dtype=jnp.float32,
                        eos_token_id: Optional[int] = None,
-                       return_logits: bool = True
-                       ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+                       return_logits: bool = True,
+                       draft_script: Optional[jnp.ndarray] = None,
+                       return_stats: bool = False):
     """Drop-in :func:`kirag_tpu.models.llm.greedy_decode` with a draft model:
     same (ids [B, G], logits [B, G, V]) contract, identical token stream.
 
     ``gamma`` is the fed-window length per round (gamma - 1 draft
     proposals + the always-emitted correction). Both models must share the
     tokenizer/vocab; prompts are LEFT-padded like greedy_decode.
+
+    ``draft_script`` ([B, W] int32, optional): per-stream-position proposal
+    override for controllable-agreement benchmarking (see
+    :func:`_spec_round`); entries < 0 keep the draft's real argmax.
+    ``return_stats`` additionally returns the per-round acceptance
+    histogram ``acc_hist`` ([gamma] int32: rounds that accepted exactly
+    ``a`` drafts, summed over active rows).
     """
     assert gamma >= 1
     bsz = input_ids.shape[0]
@@ -265,7 +299,8 @@ def speculative_decode(t_params: Params, t_config: LlamaConfig,
     def body(st):
         return _spec_round(t_params, t_config, d_params, d_config, st,
                            gamma, compute_dtype, eos_token_id,
-                           max_new_tokens, return_logits)
+                           max_new_tokens, return_logits,
+                           draft_script=draft_script)
 
     st = jax.lax.while_loop(cond, body, st)
     ids = st["out_ids"][:, :max_new_tokens]
@@ -274,6 +309,8 @@ def speculative_decode(t_params: Params, t_config: LlamaConfig,
         # rows that finished early pad with eos (greedy parity)
         ids = jnp.where(col < st["n_out"][:, None], ids, eos_token_id)
     lg = st["out_lg"][:, :max_new_tokens] if return_logits else None
+    if return_stats:
+        return ids, lg, st["acc_hist"]
     return ids, lg
 
 
@@ -314,10 +351,13 @@ def speculative_resume(t_params: Params, t_config: LlamaConfig,
                        d_params: Params, d_config: LlamaConfig,
                        state, n_steps: int, total_new_tokens: int,
                        gamma: int = 4, compute_dtype=jnp.float32,
-                       eos_token_id: Optional[int] = None):
+                       eos_token_id: Optional[int] = None,
+                       draft_script: Optional[jnp.ndarray] = None):
     """Serve the next ``n_steps`` tokens of every row's stream (buffered
     surplus first, then fresh draft/verify rounds). Same stream contract as
     :func:`kirag_tpu.models.llm.resume_decode` with ``return_logits=False``.
+    ``draft_script`` as in :func:`speculative_decode` (stream positions are
+    absolute, so pass the same array to every resume of a sequence).
     """
     cap = jnp.minimum(state["served"] + n_steps, total_new_tokens)
 
@@ -327,7 +367,8 @@ def speculative_resume(t_params: Params, t_config: LlamaConfig,
     def body(st):
         return _spec_round(t_params, t_config, d_params, d_config, st,
                            gamma, compute_dtype, eos_token_id,
-                           total_new_tokens, return_logits=False)
+                           total_new_tokens, return_logits=False,
+                           draft_script=draft_script)
 
     st = jax.lax.while_loop(cond, body, state)
     bsz = st["pending"].shape[0]

@@ -196,3 +196,108 @@ class TestBackendIntegration:
         assert lg is not None and not isinstance(st, tuple)
         seg, lg2, _ = spec.greedy_resume(st, 4, return_logits=True)
         assert lg2.shape[:2] == seg.shape
+
+
+class TestScriptedDraftAndStats:
+    """Controllable-agreement draft scripting + acceptance accounting
+    (VERDICT r4 #7): draft_script overrides PROPOSALS only — the stream
+    stays bit-identical to greedy at ANY script, and the acceptance
+    histogram reflects exactly the scripted agreement."""
+
+    def _greedy_stream(self, t, ids, mask, n):
+        g, _ = greedy_decode(t, ids, mask, TARGET_CFG, n, return_logits=False)
+        return np.asarray(g)
+
+    def test_perfect_script_accepts_everything(self, models, rng):
+        t, d = models
+        ids, mask = _prompts(rng)
+        n, gamma = 16, 4
+        g = self._greedy_stream(t, ids, mask, n)
+        # script = the target's own stream -> every proposal accepted
+        s_ids, _, hist = speculative_decode(
+            t, TARGET_CFG, d, DRAFT_CFG, ids, mask, n, gamma=gamma,
+            return_logits=False, draft_script=jnp.asarray(g),
+            return_stats=True)
+        np.testing.assert_array_equal(np.asarray(s_ids), g)
+        hist = np.asarray(hist)
+        # every round of every row accepts all gamma-1 proposals
+        assert hist[:gamma - 1].sum() == 0 and hist[gamma - 1] > 0
+
+    def test_flip_script_controls_acceptance(self, models, rng):
+        t, d = models
+        ids, mask = _prompts(rng)
+        n, gamma = 24, 4
+        g = self._greedy_stream(t, ids, mask, n)
+        # flip every 3rd proposal to a guaranteed-wrong token
+        script = g.copy()
+        flip = (np.arange(n)[None, :] % 3 == 2)
+        script = np.where(flip, (g + 1) % TARGET_CFG.vocab_size, g)
+        s_ids, _, hist = speculative_decode(
+            t, TARGET_CFG, d, DRAFT_CFG, ids, mask, n, gamma=gamma,
+            return_logits=False, draft_script=jnp.asarray(script),
+            return_stats=True)
+        # bit-identity holds under ANY script
+        np.testing.assert_array_equal(np.asarray(s_ids), g)
+        hist = np.asarray(hist)
+        # flips at every 3rd slot mean no round can accept 3 in a row
+        assert hist[gamma - 1] == 0 and hist.sum() > 0
+        # measured acceptance rate ~ 2/3 (flip pattern), never higher
+        accepted = (hist * np.arange(gamma)).sum()
+        proposed = accepted + hist[: gamma - 1].sum()  # rejections end rounds
+        assert accepted / proposed <= 2 / 3 + 1e-9
+
+    def test_negative_entries_keep_real_argmax(self, models, rng):
+        # all -1 script == no script at all
+        t, d = models
+        ids, mask = _prompts(rng, b=2, t=8)
+        none_ids, _, h0 = speculative_decode(
+            t, TARGET_CFG, d, DRAFT_CFG, ids, mask, 12, gamma=3,
+            return_logits=False, return_stats=True)
+        neg = -np.ones((2, 12), np.int32)
+        neg_ids, _, h1 = speculative_decode(
+            t, TARGET_CFG, d, DRAFT_CFG, ids, mask, 12, gamma=3,
+            return_logits=False, draft_script=jnp.asarray(neg),
+            return_stats=True)
+        np.testing.assert_array_equal(np.asarray(none_ids),
+                                      np.asarray(neg_ids))
+        np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
+
+    def test_backend_accumulates_hist_and_scripts(self, models, rng):
+        from kirag_tpu.models.llm import JaxLlamaBackend
+
+        t, d = models
+        ids, mask = _prompts(rng)
+        n = 12
+        plain = JaxLlamaBackend(t, TARGET_CFG, eos_token_id=999,
+                                compute_dtype=jnp.float32,
+                                prompt_buckets=(16,))
+        g, _ = plain.greedy(np.asarray(ids), np.asarray(mask), n,
+                            return_logits=False)
+        spec = JaxLlamaBackend(t, TARGET_CFG, eos_token_id=999,
+                               compute_dtype=jnp.float32,
+                               prompt_buckets=(16,),
+                               draft_params=d, draft_config=DRAFT_CFG,
+                               spec_gamma=3)
+        spec.draft_script_fn = lambda i, m: g  # perfect agreement
+        s, _ = spec.greedy(np.asarray(ids), np.asarray(mask), n,
+                           return_logits=False)
+        np.testing.assert_array_equal(s, g)
+        assert spec.spec_acc_hist.sum() > 0
+        assert spec.spec_acc_hist[:2].sum() == 0  # all rounds accept 2/2
+
+        # segmented path accumulates deltas across resumes
+        spec2 = JaxLlamaBackend(t, TARGET_CFG, eos_token_id=999,
+                                compute_dtype=jnp.float32,
+                                prompt_buckets=(16,),
+                                draft_params=d, draft_config=DRAFT_CFG,
+                                spec_gamma=3)
+        spec2.draft_script_fn = lambda i, m: g
+        s1, _, st = spec2.greedy_start(np.asarray(ids), np.asarray(mask), n,
+                                       return_logits=False)
+        segs = [s1]
+        for k in (5, 6):
+            seg, _, st = spec2.greedy_resume(st, k, return_logits=False)
+            segs.append(seg)
+        np.testing.assert_array_equal(np.concatenate(segs, axis=1), g)
+        assert spec2.spec_acc_hist.sum() > 0
+        assert spec2.spec_acc_hist[:2].sum() == 0
