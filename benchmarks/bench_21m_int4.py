@@ -89,8 +89,6 @@ def _plant_block(block, start, queries, q_rows, alphas):
 
 
 def build_corpus_and_oracles():
-    from kirag_tpu.ops.quantized import dequantize_rows_int4, quantize_rows_int4
-
     if os.path.exists(CACHE) and os.path.exists(ORACLE_CACHE):
         z = np.load(CACHE)
         oz = np.load(ORACLE_CACHE)
@@ -99,13 +97,19 @@ def build_corpus_and_oracles():
         return (z["packed"], z["scales"], z["q_rows"], z["queries"],
                 oz["f32_top"], deq)
 
+    packed, scales, q_rows, queries = build_corpus_only()
+    return _build_oracles(packed, scales, q_rows, queries)
+
+
+def build_corpus_only():
+    """Pass 1 only (packed corpus + planted queries, cached): enough for
+    self-hit-validated timing probes that skip the f32 oracle pass."""
+    from kirag_tpu.ops.quantized import quantize_rows_int4
+
     if os.path.exists(CACHE):
-        # pass 1 cached from an earlier run: reload instead of re-quantizing
         z = np.load(CACHE)
-        packed, scales = z["packed"], z["scales"]
-        q_rows, queries = z["q_rows"], z["queries"]
-        print("cached packed corpus loaded; building oracles", flush=True)
-        return _build_oracles(packed, scales, q_rows, queries)
+        print("cached packed corpus loaded", flush=True)
+        return z["packed"], z["scales"], z["q_rows"], z["queries"]
 
     rng = np.random.default_rng(0)
     nb = D // 128
@@ -130,7 +134,7 @@ def build_corpus_and_oracles():
         print(f"  quantized rows {stop}/{N}", flush=True)
     np.savez(CACHE, packed=packed, scales=scales, q_rows=q_rows,
              queries=queries)
-    return _build_oracles(packed, scales, q_rows, queries)
+    return packed, scales, q_rows, queries
 
 
 def _build_oracles(packed, scales, q_rows, queries):
