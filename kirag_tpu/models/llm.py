@@ -910,22 +910,38 @@ def _gather_slots(pool_layer, slot_idx):
 
 def _prefixed_prefill_state(params, pool, slot_idx, match_len, suffix_ids,
                             suffix_mask, config, total_new_tokens,
-                            compute_dtype, eos_token_id):
+                            compute_dtype, eos_token_id,
+                            prefix_window: Optional[int] = None):
     """Prefill LEFT-padded suffixes against per-row cached prefixes.
 
     slot_idx [B] selects each row's pool slot; match_len [B] is how many
     cached slots are valid for that row (its longest common token prefix
     with the cached ids — slots past it hold another call's tail and are
-    masked out of attention entirely)."""
+    masked out of attention entirely).
+
+    ``prefix_window`` (static, <= pool width, must be >= every match_len)
+    truncates the gathered prefix K/V to its first ``prefix_window`` slots.
+    Without it, the decode cache spans the FULL pool width even when the
+    match is short — at pool 2048 / prompt ~1.2k that inflated every decode
+    step's KV read ~25% and made the prefixed path LOSE to plain prefill
+    (bench_kirag_batched r5 lever run). Callers pass a bucketed
+    max(match_len) so the program count stays bounded."""
     bsz, t_suf = suffix_ids.shape
     pb = (pool["k"][0]["q"] if isinstance(pool["k"][0], dict)
           else pool["k"][0]).shape[1]
+    if prefix_window is not None:
+        pb = min(pb, prefix_window)
     nkv, hd, nl = (config.num_key_value_heads, config.head_dim,
                    config.num_hidden_layers)
     t_cache = pb + t_suf + total_new_tokens
 
-    pk = [_gather_slots(p, slot_idx) for p in pool["k"]]
-    pv = [_gather_slots(p, slot_idx) for p in pool["v"]]
+    def _window(e):
+        if isinstance(e, dict):
+            return {"q": e["q"][:, :pb], "s": e["s"][:, :pb]}
+        return e[:, :pb]
+
+    pk = [_window(_gather_slots(p, slot_idx)) for p in pool["k"]]
+    pv = [_window(_gather_slots(p, slot_idx)) for p in pool["v"]]
     prefix_mask = (jnp.arange(pb)[None, :]
                    < match_len[:, None]).astype(jnp.int32)
     prefix_pos = jnp.broadcast_to(jnp.arange(pb, dtype=jnp.int32)[None, :],
@@ -969,18 +985,22 @@ def _prefixed_prefill_state(params, pool, slot_idx, match_len, suffix_ids,
 
 @functools.partial(jax.jit, static_argnames=("config", "max_new_tokens",
                                              "compute_dtype", "eos_token_id",
-                                             "return_logits"))
+                                             "return_logits",
+                                             "prefix_window"))
 def greedy_decode_prefixed(params: Params, pool, slot_idx, match_len,
                            suffix_ids, suffix_mask, config: LlamaConfig,
                            max_new_tokens: int, compute_dtype=jnp.float32,
                            eos_token_id: Optional[int] = None,
-                           return_logits: bool = True):
+                           return_logits: bool = True,
+                           prefix_window: Optional[int] = None):
     """greedy_decode against per-row cached prefixes — one fused program.
     Same output contract as :func:`greedy_decode` on the equivalent full
-    prompts (ids match; logits agree to reduction-order rounding)."""
+    prompts (ids match; logits agree to reduction-order rounding).
+    ``prefix_window``: see :func:`_prefixed_prefill_state`."""
     next_token, first_logits, state = _prefixed_prefill_state(
         params, pool, slot_idx, match_len, suffix_ids, suffix_mask, config,
-        max_new_tokens, compute_dtype, eos_token_id)
+        max_new_tokens, compute_dtype, eos_token_id,
+        prefix_window=prefix_window)
     if max_new_tokens == 1:
         return next_token[:, None], (first_logits[:, None]
                                      if return_logits else None)
@@ -1152,12 +1172,17 @@ class JaxLlamaBackend:
             s = s[-t_suf:]                            # truncate left if huge
             suf_ids[r, t_suf - len(s):] = s           # LEFT padding
             suf_mask[r, t_suf - len(s):] = 1
+        # bucketed prefix window (256-multiples): the decode cache then
+        # spans ~the true prompt instead of the full pool width — without
+        # this the extra KV read per decode step ate the prefill savings
+        pw = min(self.prefix_cache_tokens,
+                 max(256, -(-max(matches) // 256) * 256))
         ids, logits = greedy_decode_prefixed(
             self.params, self._prefix_pool, jnp.asarray(slots, jnp.int32),
             jnp.asarray(matches, jnp.int32), jnp.asarray(suf_ids),
             jnp.asarray(suf_mask), self.config, max_new_tokens,
             self.compute_dtype, eos_token_id=self.eos_token_id,
-            return_logits=return_logits)
+            return_logits=return_logits, prefix_window=pw)
         return np.asarray(ids), (np.asarray(logits) if return_logits
                                  else None)
 

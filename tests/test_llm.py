@@ -757,6 +757,24 @@ class TestPrefixKVCache:
         assert float(d.mean()) < 0.05
         np.testing.assert_array_equal(ids2, np.asarray(base_ids))
 
+    def test_prefix_window_truncation_matches_plain(self, converted, rng):
+        """With a pool wider than the bucketed window (tokens=512, match
+        ~70 -> window 256), the truncated-prefix program must still match
+        plain greedy exactly — the truncation only drops slots no row
+        matches into."""
+        config, params, _ = converted
+        be = self._backend(params, config, tokens=512)
+        ids, mask = self._rows(rng, prefix_len=70, tails=(10, 25))
+        base, _ = greedy_decode(params, jnp.asarray(ids), jnp.asarray(mask),
+                                config, 5)
+        be.greedy(ids, mask, 5, prefix_groups=["q", "q"])  # seed
+        got, _ = be.greedy(ids, mask, 5, prefix_groups=["q", "q"])
+        np.testing.assert_array_equal(got, np.asarray(base))
+        pool_w = (be._prefix_pool["k"][0]["q"]
+                  if isinstance(be._prefix_pool["k"][0], dict)
+                  else be._prefix_pool["k"][0]).shape[1]
+        assert pool_w == 512  # pool stays full width; only the gather narrows
+
     def test_short_match_falls_back(self, converted, rng):
         """Rows with <16 matching tokens run with match 0 (full suffix)."""
         config, params, _ = converted
