@@ -125,6 +125,8 @@ def main() -> None:
                 "questions_per_hour": round(3600 * len(questions) / wall, 1),
                 "stage_total_s": {k: round(sum(v), 3)
                                   for k, v in sorted(timings.items())},
+                "stage_calls": {k: len(v)
+                                for k, v in sorted(timings.items())},
                 # session context: wall-clock rows vary with relay weather
                 # and host load (r4's 568.8 vs r5's 415.2 same-config
                 # control) — only same-session deltas are comparable

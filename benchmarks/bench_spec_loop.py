@@ -114,7 +114,8 @@ def main() -> None:
                "n_questions": len(questions), "wall_s": round(wall, 2),
                "questions_per_hour": round(3600 * len(questions) / wall, 1),
                "stage_total_s": {k: round(sum(v), 3)
-                                 for k, v in sorted(timings.items())}}
+                                 for k, v in sorted(timings.items())},
+               "stage_calls": {k: len(v) for k, v in sorted(timings.items())}}
         records.append(rec)
         print(json.dumps(rec), flush=True)
     base_wall = records[-1]["wall_s"]
@@ -202,7 +203,9 @@ def main() -> None:
                    "speedup_vs_baseline": round(base_wall / wall, 2)
                    if phase == "steady" else None,
                    "stage_total_s": {k: round(sum(v), 3)
-                                     for k, v in sorted(timings.items())}}
+                                     for k, v in sorted(timings.items())},
+                   "stage_calls": {k: len(v)
+                                   for k, v in sorted(timings.items())}}
             records.append(rec)
             print(json.dumps(rec), flush=True)
             assert out is not None
