@@ -103,22 +103,24 @@ def main() -> None:
         codes_d = jax.device_put(codes_p)
         table_d = jax.device_put(table)
 
-        def search(qs):
-            return exact_topk_mips(qs, codes_d, K_TOP, chunk_size=CHUNK,
+        def search(qs, cd=None, td=None):
+            return exact_topk_mips(qs, codes_d if cd is None else cd,
+                                   K_TOP, chunk_size=CHUNK,
                                    valid_rows=N, interpret=SMOKE,
-                                   scales=table_d, quant="pq4",
-                                   select="hier", impl="stream")
+                                   scales=table_d if td is None else td,
+                                   quant="pq4", select="hier", impl="stream")
 
         # scan-chained windows; per-iteration device-side sanity = overlap
         # of the top-100 with the f32 oracle's top-10 (planted margins make
         # a broken kernel collapse this to ~0)
+        # codes/table/oracle ride as jit ARGS, not closure constants
         @functools.partial(jax.jit, static_argnames=("iters",))
-        def run(qs, iters):
+        def run(qs, cd, td, o10, iters):
             def body(prev, _):
                 p = jax.lax.optimization_barrier(prev)
                 delta = (0.0 * p).astype(qs.dtype)
-                vals, idx = search(qs + delta[None, None])
-                hit = jnp.sum((idx[:, None, :] == oracle10_d[:, :, None])
+                vals, idx = search(qs + delta[None, None], cd, td)
+                hit = jnp.sum((idx[:, None, :] == o10[:, :, None])
                               .any(-1).astype(jnp.int32))
                 return vals[0, 0], hit
             _, aux = jax.lax.scan(body, jnp.float32(0), None, length=iters)
@@ -127,7 +129,8 @@ def main() -> None:
         windows = {}
         for n in SCAN_LENS:
             t0 = time.perf_counter()
-            aux = np.asarray(run(queries_d, iters=n))
+            aux = np.asarray(run(queries_d, codes_d, table_d, oracle10_d,
+                                 iters=n))
             print(f"m={m} iters={n} compile+first "
                   f"{time.perf_counter() - t0:.0f}s",
                   file=sys.stderr, flush=True)
@@ -136,7 +139,8 @@ def main() -> None:
             reps = []
             for _ in range(REPS):
                 t0 = time.perf_counter()
-                aux = np.asarray(run(queries_d, iters=n))
+                aux = np.asarray(run(queries_d, codes_d, table_d,
+                                     oracle10_d, iters=n))
                 reps.append(time.perf_counter() - t0)
                 assert (aux > floor).all(), (m, aux, floor)
             windows[n] = min(reps)

@@ -197,15 +197,15 @@ def run_part(part):
         )(qs, c, valid_arr, s_op)
 
     def make_pass_only():
-        def run_one(qs):
-            gmax_out, cand_out, gid_out = stream_pass(qs, corpus, scales)
+        def run_one(qs, c, s):
+            gmax_out, cand_out, gid_out = stream_pass(qs, c, s)
             return (gmax_out[:, 0, :].sum() + cand_out[:, 0, 0].sum()
                     + gid_out[:, 0, :].sum().astype(jnp.float32))
         return run_one
 
     def make_pass_sel():
-        def run_one(qs):
-            gmax_out, cand_out, gid_out = stream_pass(qs, corpus, scales)
+        def run_one(qs, c, s):
+            gmax_out, cand_out, gid_out = stream_pass(qs, c, s)
             gmax = gmax_out.reshape(groups, Q).T
             gvals, gsel = pe.hier_topk(gmax, K)
             order = jnp.argsort(gsel, axis=-1)
@@ -216,10 +216,10 @@ def run_part(part):
         return run_one
 
     def make_full(chunk_size=chunk):
-        def run_one(qs):
+        def run_one(qs, c, s):
             return pe.exact_topk_mips(
-                qs, corpus, K, chunk_size=chunk_size, valid_rows=n_rows,
-                interpret=SMOKE, select="hier", impl="stream", scales=scales)
+                qs, c, K, chunk_size=chunk_size, valid_rows=n_rows,
+                interpret=SMOKE, select="hier", impl="stream", scales=s)
         return run_one
 
     def time_config(label, run_one, validate):
@@ -227,12 +227,14 @@ def run_part(part):
         if ONLY is not None and label.split(":")[1] not in ONLY:
             return
 
+        # corpus/scales ride as jit ARGS: as closure constants they bloat
+        # the HLO by the full corpus bytes (probe_r6 lesson)
         @functools.partial(jax.jit, static_argnames=("iters",))
-        def run(qs, rows, iters):
+        def run(qs, c, s, rows, iters):
             def body(prev, _):
                 p = jax.lax.optimization_barrier(prev)
                 delta = (0.0 * p).astype(qs.dtype)
-                out = run_one(qs + delta[None, None])
+                out = run_one(qs + delta[None, None], c, s)
                 if validate:
                     vals, idx = out
                     hits = jnp.sum((idx[:, 0] == rows).astype(jnp.int32))
@@ -245,14 +247,15 @@ def run_part(part):
             windows = {}
             for n in SCAN_LENS:
                 t0 = time.perf_counter()
-                np.asarray(run(queries, rows_d, iters=n))
+                np.asarray(run(queries, corpus, scales, rows_d, iters=n))
                 print(f"{label} iters={n} compile+first "
                       f"{time.perf_counter() - t0:.0f}s",
                       file=sys.stderr, flush=True)
                 reps = []
                 for _ in range(REPS):
                     t0 = time.perf_counter()
-                    aux = np.asarray(run(queries, rows_d, iters=n))
+                    aux = np.asarray(run(queries, corpus, scales, rows_d,
+                                         iters=n))
                     reps.append(time.perf_counter() - t0)
                     if validate:
                         assert (aux > 0.95 * Q).all(), aux

@@ -131,16 +131,16 @@ def main() -> None:
                               precision=jax.lax.Precision.HIGHEST)
 
         def make_cappass():
-            def run_one(qs):
-                outs = cap_pass(qs, corpus)
+            def run_one(qs, c):
+                outs = cap_pass(qs, c)
                 return (outs[0][:, 0, :].sum() + outs[1][:, 0, 0].sum()
                         + outs[2][:, 0, :].sum().astype(jnp.float32)
                         + outs[3][:, 0, :].sum() + outs[4][:, 0, :].sum())
             return run_one
 
         def make_capsel():
-            def run_one(qs):
-                outs = cap_pass(qs, corpus)
+            def run_one(qs, c):
+                outs = cap_pass(qs, c)
                 cand_out, cpos, gsel_cap, ok = select_stage(outs)
                 return (cpos.sum().astype(jnp.float32)
                         + gsel_cap.sum().astype(jnp.float32)
@@ -148,8 +148,8 @@ def main() -> None:
             return run_one
 
         def make_capasm():
-            def run_one(qs):
-                outs = cap_pass(qs, corpus)
+            def run_one(qs, c):
+                outs = cap_pass(qs, c)
                 cand_out, cpos, gsel_cap, ok = select_stage(outs)
                 cand = assemble_stage(cand_out, cpos)
                 return (cand[:, 0, 0].sum() + ok.astype(jnp.float32)
@@ -157,9 +157,9 @@ def main() -> None:
             return run_one
 
         def make_full():
-            def run_one(qs):
+            def run_one(qs, c):
                 return pe.exact_topk_mips(
-                    qs, corpus, K, chunk_size=chunk, valid_rows=N_CORPUS,
+                    qs, c, K, chunk_size=chunk, valid_rows=N_CORPUS,
                     interpret=False, select="capdom", impl="stream")
             return run_one
 
@@ -168,12 +168,14 @@ def main() -> None:
             if ONLY is not None and label.split(":")[1] not in ONLY:
                 return
 
+            # corpus rides as a jit ARG: captured as a closure constant it
+            # bloats the HLO by 2 GB (probe_r6 lesson) and chokes compile
             @functools.partial(jax.jit, static_argnames=("iters",))
-            def run(qs, rows, iters):
+            def run(qs, c, rows, iters):
                 def body(prev, _):
                     p = jax.lax.optimization_barrier(prev)
                     delta = (0.0 * p).astype(qs.dtype)
-                    out = run_one(qs + delta[None, None])
+                    out = run_one(qs + delta[None, None], c)
                     if validate:
                         vals, idx = out
                         hits = jnp.sum((idx[:, 0] == rows).astype(jnp.int32))
@@ -187,14 +189,15 @@ def main() -> None:
                 windows = {}
                 for n in SCAN_LENS:
                     t0 = time.perf_counter()
-                    np.asarray(run(queries, rows_d, iters=n))
+                    np.asarray(run(queries, corpus, rows_d, iters=n))
                     print(f"{label} iters={n} compile+first "
                           f"{time.perf_counter() - t0:.0f}s",
                           file=sys.stderr, flush=True)
                     reps = []
                     for _ in range(REPS):
                         t0 = time.perf_counter()
-                        aux = np.asarray(run(queries, rows_d, iters=n))
+                        aux = np.asarray(run(queries, corpus, rows_d,
+                                             iters=n))
                         reps.append(time.perf_counter() - t0)
                         if validate:
                             assert (aux > 0.99 * Q).all(), aux
