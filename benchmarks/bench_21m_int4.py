@@ -35,7 +35,7 @@ D = 1024
 Q = 256
 K = 100
 BLOCK = 1 << 20
-GRID = 16384  # pre-pad target: both benched chunk sizes divide it
+GRID = 32768  # pre-pad target: every benched chunk size (8k/16k/32k) divides it
 CACHE = f"/tmp/bench21m_int4_{N}_{D}_{Q}.npz"
 ORACLE_CACHE = f"/tmp/bench21m_oracle_{N}_{D}_{Q}.npz"
 OUT = "benchmarks/bench_21m_results.jsonl"
@@ -292,6 +292,14 @@ def main() -> None:
             lambda qq: exact_topk_mips(qq, c, K, chunk_size=8192, scales=s,
                                        valid_rows=N, interpret=False,
                                        select="merge", impl="stream")),
+        # half the chunk steps (1283 -> 642) of capdom16k: probe_r7's 8.4M
+        # attribution shows the stream pass itself (capture peels x steps)
+        # dominating, so fewer/bigger steps is the first structural lever
+        "capdom32k": lambda: guarded(
+            "exact_stream_capdom_c32k_int4_21m",
+            lambda qq: exact_topk_mips(qq, c, K, chunk_size=32768, scales=s,
+                                       valid_rows=N, interpret=False,
+                                       select="capdom", impl="stream")),
         "twopass16k": lambda: guarded(
             "exact_twopass_hier_c16k_int4_21m",
             lambda qq: exact_topk_mips(qq, c, K, chunk_size=16384, scales=s,

@@ -105,23 +105,41 @@ def main() -> None:
     from kirag_tpu.ops.pallas_exact import exact_topk_mips
     from kirag_tpu.ops.pallas_mips import approx_topk_mips
 
-    # 8.2 GB int8 corpus + [256, 8M] f32 scores (8.6 GB) exceed HBM, so the
-    # product auto path picks the corpus-read-twice kernel here; hier
-    # selection replaces the wide sorts (65k groups at 8M rows)
-    timed("exact_twopass_hier_c16k_int8_8m",
-          lambda qq: exact_topk_mips(qq, c, K, chunk_size=16384, scales=s,
-                                     interpret=False, select="hier",
-                                     impl="auto"))
-    timed("exact_twopass_hier_int8_8m",
-          lambda qq: exact_topk_mips(qq, c, K, chunk_size=8192, scales=s,
-                                     interpret=False, select="hier",
-                                     impl="auto"))
-    timed("approx_pallas_c16k_int8_8m",
-          lambda qq: approx_topk_mips(qq, c, K, chunk_size=16384, scales=s,
-                                      interpret=False))
-    timed("approx_pallas_int8_8m",
-          lambda qq: approx_topk_mips(qq, c, K, chunk_size=8192, scales=s,
-                                      interpret=False))
+    jobs = {
+        # 8.2 GB int8 corpus + [256, 8M] f32 scores (8.6 GB) exceed HBM, so
+        # the product auto path picks the corpus-read-twice kernel here; hier
+        # selection replaces the wide sorts (65k groups at 8M rows)
+        "twopass16k": ("exact_twopass_hier_c16k_int8_8m",
+                       lambda qq: exact_topk_mips(
+                           qq, c, K, chunk_size=16384, scales=s,
+                           interpret=False, select="hier", impl="auto")),
+        "twopass8k": ("exact_twopass_hier_int8_8m",
+                      lambda qq: exact_topk_mips(
+                          qq, c, K, chunk_size=8192, scales=s,
+                          interpret=False, select="hier", impl="auto")),
+        # the round-4 stream kernel (scores never leave VMEM) at this scale:
+        # probe_r7 attribution showed it ~2x the twopass rows above
+        "stream16k": ("exact_stream_capdom_c16k_int8_8m",
+                      lambda qq: exact_topk_mips(
+                          qq, c, K, chunk_size=16384, scales=s,
+                          interpret=False, select="capdom", impl="stream")),
+        "stream32k": ("exact_stream_capdom_c32k_int8_8m",
+                      lambda qq: exact_topk_mips(
+                          qq, c, K, chunk_size=32768, scales=s,
+                          interpret=False, select="capdom", impl="stream")),
+        "approx16k": ("approx_pallas_c16k_int8_8m",
+                      lambda qq: approx_topk_mips(
+                          qq, c, K, chunk_size=16384, scales=s,
+                          interpret=False)),
+        "approx8k": ("approx_pallas_int8_8m",
+                     lambda qq: approx_topk_mips(
+                         qq, c, K, chunk_size=8192, scales=s,
+                         interpret=False))}
+    selected = os.environ.get(
+        "BENCH_JOBS", "twopass16k,twopass8k,approx16k,approx8k").split(",")
+    for key in selected:
+        name, fn = jobs[key.strip()]
+        timed(name, fn)
 
 
 if __name__ == "__main__":

@@ -163,6 +163,19 @@ def main() -> None:
                     interpret=False, select="capdom", impl="stream")
             return run_one
 
+        def make_capfin():
+            # capasm + _final_select, WITHOUT the lax.cond fallback wrapper:
+            # full - capfin isolates what the cond's mere presence costs
+            def run_one(qs, c):
+                outs = cap_pass(qs, c)
+                cand_out, cpos, gsel_cap, ok = select_stage(outs)
+                cand = assemble_stage(cand_out, cpos)
+                vals, idx = pe._final_select(
+                    cand.reshape(Q, K, pe.LANES), gsel_cap, K, N_CORPUS, Q,
+                    "hier", False)
+                return vals, idx
+            return run_one
+
         def time_config(label, run_one, validate):
             label = f"c{chunk}:{label}"
             if ONLY is not None and label.split(":")[1] not in ONLY:
@@ -221,6 +234,7 @@ def main() -> None:
         time_config("cappass", make_cappass(), validate=False)
         time_config("capsel", make_capsel(), validate=False)
         time_config("capasm", make_capasm(), validate=False)
+        time_config("capfin", make_capfin(), validate=True)
 
 
 if __name__ == "__main__":
