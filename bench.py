@@ -48,6 +48,12 @@ IMPL = os.environ.get("BENCH_IMPL", "stream")
 CHUNK = int(os.environ.get("BENCH_CHUNK", 8192 if IMPL == "stream" else 16384))
 SELECT = os.environ.get("BENCH_SELECT",
                         "capdom" if IMPL == "stream" else "hier")
+# "flag" = the product search_knn path (r5): no in-program lax.cond fallback;
+# the exactness flag is fetched with the results and asserted after each
+# window (a False flag would make the host re-dispatch the checked program —
+# never observed on non-adversarial corpora; the cond's presence alone
+# measured ~0.7 ms/batch, probe_r8 capfin vs full)
+ON_MISS = os.environ.get("BENCH_ONMISS", "flag")
 
 BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "benchmarks", "cpu_baseline.json")
@@ -96,16 +102,18 @@ def tpu_qps() -> float:
             # decouple iterations silently; ADVICE r3)
             prev = jax.lax.optimization_barrier(prev_vals)
             delta = (0.0 * prev[:, :1]).astype(qs.dtype)
-            vals, idx = exact_topk_mips(qs + delta, c, TOPK, chunk_size=CHUNK,
-                                        valid_rows=N_CORPUS,
-                                        interpret=False, select=SELECT,
-                                        impl=IMPL)
+            out = exact_topk_mips(qs + delta, c, TOPK, chunk_size=CHUNK,
+                                  valid_rows=N_CORPUS,
+                                  interpret=False, select=SELECT,
+                                  impl=IMPL, on_miss=ON_MISS)
+            vals, idx = out[:2]
+            ok = out[2] if ON_MISS == "flag" else jnp.asarray(True)
             hits = jnp.sum((idx[:, 0] == rows).astype(jnp.int32))
-            return vals, hits
+            return vals, (hits, ok)
 
         init = jnp.zeros((N_QUERIES, TOPK), dtype=jnp.float32)
-        last_vals, hits = jax.lax.scan(body, init, None, length=iters)
-        return last_vals, hits
+        last_vals, (hits, oks) = jax.lax.scan(body, init, None, length=iters)
+        return last_vals, hits, oks
 
     def measure_windows():
         windows = {}
@@ -115,15 +123,20 @@ def tpu_qps() -> float:
             reps = []
             for _ in range(int(os.environ.get("BENCH_REPS", 3))):
                 t0 = time.perf_counter()
-                vals, hits = run(queries, corpus, rows_d, iters=n)
+                vals, hits, oks = run(queries, corpus, rows_d, iters=n)
                 hits_h = np.asarray(hits)            # fetched inside window
                 vals_h = np.asarray(vals)
+                oks_h = np.asarray(oks)
                 reps.append(time.perf_counter() - t0)
                 # every timed iteration: queries sampled from the corpus must
                 # retrieve themselves top-1 (bf16 rounding can flip the odd
                 # near-tie, hence 0.99 not 1.0)
                 assert (hits_h > 0.99 * N_QUERIES).all(), hits_h
                 assert np.isfinite(vals_h).all()
+                # flag mode: every timed iteration's capture must be exact
+                # (a miss would require the checked re-dispatch the product
+                # path performs — that run would not be this benchmark)
+                assert oks_h.all(), "capture miss inside timed window"
             # min over repetitions: the differencing assumes the dispatch+
             # fetch constant is CONSTANT — a relay hiccup inside one window
             # otherwise gets billed to the kernel (+150ms observed once)

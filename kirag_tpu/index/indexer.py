@@ -552,6 +552,15 @@ class TPUIndexer:
                     select=self.pallas_select, quant="pq4")
             from kirag_tpu.ops.pallas_exact import exact_topk_mips
 
+            # same flag-mode host check as the exact branch below
+            vals, idx, ok = exact_topk_mips(
+                queries, corpus, k, chunk_size=self.pallas_chunk_size,
+                valid_rows=self._device_rows, scales=self._device_scales,
+                select=self.pallas_select, quant="pq4", on_miss="flag")
+            if bool(ok):
+                return vals, idx
+            logger.info("pq capture missed a selected group; re-dispatching "
+                        "the checked exact program")
             return exact_topk_mips(queries, corpus, k,
                                    chunk_size=self.pallas_chunk_size,
                                    valid_rows=self._device_rows,
@@ -571,6 +580,19 @@ class TPUIndexer:
                     select=self.pallas_select)
             from kirag_tpu.ops.pallas_exact import exact_topk_mips
 
+            # single-device host entry: run WITHOUT the in-program exactness
+            # fallback (its lax.cond alone costs ~0.7 ms/batch at 1M x 1024,
+            # probe_r8) and check the flag here — results reach host right
+            # after anyway. The rare miss (adversarial chunk-clustered ties)
+            # re-dispatches the checked program, which stays bitwise exact.
+            vals, idx, ok = exact_topk_mips(
+                queries, corpus, k, chunk_size=self.pallas_chunk_size,
+                valid_rows=self._device_rows, scales=scales,
+                select=self.pallas_select, on_miss="flag")
+            if bool(ok):
+                return vals, idx
+            logger.info("stream capture missed a selected group; "
+                        "re-dispatching the checked exact program")
             return exact_topk_mips(queries, corpus, k,
                                    chunk_size=self.pallas_chunk_size,
                                    valid_rows=self._device_rows, scales=scales,

@@ -843,7 +843,8 @@ def _capture_budget(k_eff: int, num_chunks: int, groups_per_chunk: int) -> int:
 
 def _exact_body(queries, corpus, k_eff: int, chunk_size: int, n_valid,
                 interpret: bool, scales, select: str = "flat",
-                impl: str = "single", quant: Optional[str] = None):
+                impl: str = "single", quant: Optional[str] = None,
+                on_miss: str = "fallback"):
     """Shared by the jitted single-chip entry and the shard_map local body
     (``n_valid`` may be a traced scalar). ``select`` picks the selection
     stages: "flat" = lax.top_k, "hier" = two-level :func:`hier_topk`.
@@ -852,7 +853,17 @@ def _exact_body(queries, corpus, k_eff: int, chunk_size: int, n_valid,
     twopass gather keeps it exact on adversarial inputs); "single" = one
     corpus read, scores materialized to HBM, candidates gathered from the
     score matrix; "twopass" = the round-2 kernel pair that re-scores the
-    corpus to gather candidates (never materializes [Q, N] scores)."""
+    corpus to gather candidates (never materializes [Q, N] scores).
+
+    ``on_miss="flag"`` returns ``(vals, idx, ok)`` instead of embedding the
+    stream impl's exactness fallback as an in-program lax.cond: the capture
+    path runs unconditionally and ``ok`` (scalar bool) reports whether its
+    results are exact. Measured on chip (probe_r8 capfin vs full, 1M x 1024):
+    the mere presence of the cond costs ~0.7 ms/batch at Q=256 even when the
+    fallback never executes. Callers that fetch results to host anyway (the
+    indexer's search_knn) check ``ok`` for free and re-dispatch the checked
+    program on the rare miss; in-jit compositions keep the default. Impls
+    with no fallback (single/twopass/tiny-corpus) report ok=True."""
     if select in ("capdom", "merge") and impl != "stream":
         # capture-domain / running-window selection only exists in the
         # stream kernels; the other impls have no capture to select over
@@ -867,6 +878,12 @@ def _exact_body(queries, corpus, k_eff: int, chunk_size: int, n_valid,
     groups = n_pad // LANES
     groups_per_chunk = chunk_size // LANES
 
+    def _tag(vals, idx):
+        # exact by construction: no fallback exists, so flag mode reports ok
+        if on_miss == "flag":
+            return vals, idx, jnp.asarray(True)
+        return vals, idx
+
     if groups < 2 or k_eff >= groups:
         # tiny corpus: one matmul + direct sort is optimal and the grouped
         # exactness argument needs k < groups
@@ -874,7 +891,7 @@ def _exact_body(queries, corpus, k_eff: int, chunk_size: int, n_valid,
         vals, idx = jax.lax.top_k(scores, k_eff)
         # invalid (-inf masked) slots report row 0 like _final_select and
         # the numpy/scan oracles — never an out-of-range padded row id
-        return vals, jnp.where(jnp.isfinite(vals), idx, 0)
+        return _tag(vals, jnp.where(jnp.isfinite(vals), idx, 0))
 
     valid_arr = jnp.asarray(n_valid, dtype=jnp.int32).reshape(1, 1)
     operands = [queries, corpus, valid_arr]
@@ -891,12 +908,16 @@ def _exact_body(queries, corpus, k_eff: int, chunk_size: int, n_valid,
             if qb * br * LANES * 4 > 24 * 1024 * 1024:
                 select = "capdom"
             else:
-                return _merge_body(queries, corpus, scales, quant, k_eff,
-                                   chunk_size, n_valid, interpret, n_q,
-                                   num_chunks, groups, groups_per_chunk)
+                # merge keeps its in-kernel window + device cond (exact as
+                # returned), so flag mode truthfully reports ok
+                return _tag(*_merge_body(queries, corpus, scales, quant,
+                                         k_eff, chunk_size, n_valid,
+                                         interpret, n_q, num_chunks, groups,
+                                         groups_per_chunk))
         return _stream_body(queries, corpus, scales, quant, k_eff, chunk_size,
                             n_valid, interpret, select, n_q, num_chunks,
-                            groups, groups_per_chunk, operands)
+                            groups, groups_per_chunk, operands,
+                            on_miss=on_miss)
 
     # ---- specs for the 1-D-grid fused scoring pass (the stream/merge
     # bodies above build their own 2-D-grid specs)
@@ -991,7 +1012,8 @@ def _exact_body(queries, corpus, k_eff: int, chunk_size: int, n_valid,
                                chunk_size, num_chunks, groups_per_chunk,
                                k_eff, interpret)
 
-    return _final_select(cand, gsel, k_eff, n_valid, n_q, select, interpret)
+    return _tag(*_final_select(cand, gsel, k_eff, n_valid, n_q, select,
+                               interpret))
 
 
 def _twopass_gather(queries, corpus, gsel, scales, quant, chunk_size,
@@ -1039,25 +1061,31 @@ def _twopass_gather(queries, corpus, gsel, scales, quant, chunk_size,
 def _final_select(cand, gsel, k_eff, n_valid, n_q, select, interpret):
     """Shared tail: mask padded/invalid rows, exact top-k over the S*128
     candidates (S = k_eff for the capture/gather impls, the window width
-    for select="merge"), map candidate positions back to global row ids."""
+    for select="merge"), map candidate positions back to global row ids.
+
+    Round-5 shape (probe_r9, chip, [256, 100, 128]): hier block=32 beats the
+    former block-16 default (1.04 vs 1.22 ms) and the positions map back to
+    rows ARITHMETICALLY through a tiny [Q, k] gather of ``gsel`` instead of
+    materializing + gathering the [Q, S*128] row-id iota (ship vs arith)."""
     s = gsel.shape[-1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (n_q, s, LANES), 2)
-    rows = (gsel[:, :, None] * LANES + lane).reshape(n_q, s * LANES)
-    cand = cand.reshape(n_q, s * LANES)
-    cand = jnp.where(rows < n_valid, cand, -jnp.inf)
+    rows3 = gsel[:, :, None] * LANES + lane
+    cand = jnp.where(rows3 < n_valid, cand.reshape(n_q, s, LANES),
+                     -jnp.inf).reshape(n_q, s * LANES)
 
     if select == "hier":
-        vals, pos = hier_topk(cand, k_eff)
+        vals, pos = hier_topk(cand, k_eff, block=32)
     else:
         vals, pos = topk_lastdim(cand, k_eff, interpret=interpret)
-    idx = jnp.take_along_axis(rows, pos, axis=-1)
+    gsel_win = jnp.take_along_axis(gsel, pos // LANES, axis=-1)
+    idx = gsel_win * LANES + pos % LANES
     idx = jnp.where(jnp.isfinite(vals), idx, 0)
     return vals, idx
 
 
 def _stream_body(queries, corpus, scales, quant, k_eff, chunk_size, n_valid,
                  interpret, select, n_q, num_chunks, groups,
-                 groups_per_chunk, operands):
+                 groups_per_chunk, operands, on_miss: str = "fallback"):
     """impl="stream": one pallas pass emits gmax + per-chunk top-B capture;
     candidates are assembled from the capture when the on-device membership
     check passes, else a lax.cond re-scores the corpus (exact either way).
@@ -1133,7 +1161,8 @@ def _stream_body(queries, corpus, scales, quant, k_eff, chunk_size, n_valid,
     if capdom:
         return _capdom_tail(outs, gids, queries, corpus, scales, quant,
                             k_eff, chunk_size, n_valid, interpret, n_q,
-                            num_chunks, groups, groups_per_chunk, b)
+                            num_chunks, groups, groups_per_chunk, b,
+                            on_miss=on_miss)
 
     gmax = gmax_out.reshape(groups, n_q).T               # [Q, groups]
     if select == "hier":
@@ -1172,19 +1201,22 @@ def _stream_body(queries, corpus, scales, quant, k_eff, chunk_size, n_valid,
                                chunk_size, num_chunks, groups_per_chunk,
                                k_eff, interpret)
 
-    if _STREAM_ASSERT_CAPTURE:
-        # test hook: bypass the fallback so oracle-parity failures expose a
-        # capture budget that would silently (and correctly, but slowly)
-        # fall back on data it should handle
+    if _STREAM_ASSERT_CAPTURE or on_miss == "flag":
+        # test hook / flag mode: capture path unconditionally (flag callers
+        # re-dispatch the checked program themselves when ok is False)
         cand = from_capture(None)
     else:
         cand = jax.lax.cond(ok, from_capture, from_corpus, None)
-    return _final_select(cand, gsel, k_eff, n_valid, n_q, select, interpret)
+    vals, idx = _final_select(cand, gsel, k_eff, n_valid, n_q, select,
+                              interpret)
+    if on_miss == "flag":
+        return vals, idx, ok
+    return vals, idx
 
 
 def _capdom_tail(outs, gids, queries, corpus, scales, quant, k_eff,
                  chunk_size, n_valid, interpret, n_q, num_chunks, groups,
-                 groups_per_chunk, b):
+                 groups_per_chunk, b, on_miss: str = "fallback"):
     """select="capdom": group selection in the CAPTURE domain.
 
     Instead of a top-k over all ``groups`` maxima followed by a membership
@@ -1249,11 +1281,15 @@ def _capdom_tail(outs, gids, queries, corpus, scales, quant, k_eff,
                                k_eff, interpret)
         return cand, gsel
 
-    if _STREAM_ASSERT_CAPTURE:
+    if _STREAM_ASSERT_CAPTURE or on_miss == "flag":
         cand, gsel = from_capture(None)
     else:
         cand, gsel = jax.lax.cond(ok, from_capture, from_global, None)
-    return _final_select(cand, gsel, k_eff, n_valid, n_q, "hier", interpret)
+    vals, idx = _final_select(cand, gsel, k_eff, n_valid, n_q, "hier",
+                              interpret)
+    if on_miss == "flag":
+        return vals, idx, ok
+    return vals, idx
 
 
 def _merge_geometry(k_eff: int, num_chunks: int, groups_per_chunk: int,
@@ -1387,13 +1423,16 @@ STREAM_QTILE = 4
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "chunk_size", "valid_rows",
-                                    "interpret", "select", "impl", "quant"))
+                                    "interpret", "select", "impl", "quant",
+                                    "on_miss"))
 def _exact_topk_jit(queries, corpus, k, chunk_size, valid_rows, interpret,
-                    scales, select="flat", impl="single", quant=None):
+                    scales, select="flat", impl="single", quant=None,
+                    on_miss="fallback"):
     n = corpus.shape[0]
     n_valid = n if valid_rows is None else valid_rows
     k_eff = min(k, n)
     n_q = queries.shape[0]
+    ok = jnp.asarray(True)
     if n_q > QUERY_BLOCK and n_q % QUERY_BLOCK == 0:
         # large query batches: queries are independent. The stream kernel
         # tiles query blocks on its own grid's minor axis (one corpus read
@@ -1414,25 +1453,37 @@ def _exact_topk_jit(queries, corpus, k, chunk_size, valid_rows, interpret,
             group = 1
         tile = QUERY_BLOCK * group
         if tile == n_q:
-            vals, idx = _exact_body(queries, corpus, k_eff, chunk_size,
-                                    n_valid, interpret, scales,
-                                    select=select, impl=impl, quant=quant)
+            out = _exact_body(queries, corpus, k_eff, chunk_size,
+                              n_valid, interpret, scales,
+                              select=select, impl=impl, quant=quant,
+                              on_miss=on_miss)
+            vals, idx = out[:2]
+            if on_miss == "flag":
+                ok = out[2]
         else:
             blocks = queries.reshape(n_q // tile, tile, -1)
-            vals, idx = jax.lax.map(
+            out = jax.lax.map(
                 lambda q: _exact_body(q, corpus, k_eff, chunk_size, n_valid,
                                       interpret, scales, select=select,
-                                      impl=impl, quant=quant), blocks)
-            vals = vals.reshape(n_q, k_eff)
-            idx = idx.reshape(n_q, k_eff)
+                                      impl=impl, quant=quant,
+                                      on_miss=on_miss), blocks)
+            vals = out[0].reshape(n_q, k_eff)
+            idx = out[1].reshape(n_q, k_eff)
+            if on_miss == "flag":
+                ok = jnp.all(out[2])
     else:
-        vals, idx = _exact_body(queries, corpus, k_eff, chunk_size, n_valid,
-                                interpret, scales, select=select, impl=impl,
-                                quant=quant)
+        out = _exact_body(queries, corpus, k_eff, chunk_size, n_valid,
+                          interpret, scales, select=select, impl=impl,
+                          quant=quant, on_miss=on_miss)
+        vals, idx = out[:2]
+        if on_miss == "flag":
+            ok = out[2]
     if k_eff < k:
         vals = jnp.pad(vals, ((0, 0), (0, k - k_eff)),
                        constant_values=-jnp.inf)
         idx = jnp.pad(idx, ((0, 0), (0, k - k_eff)))
+    if on_miss == "flag":
+        return vals, idx, ok
     return vals, idx
 
 
@@ -1443,7 +1494,8 @@ def exact_topk_mips(queries: jnp.ndarray, corpus: jnp.ndarray, k: int,
                     scales: Optional[jnp.ndarray] = None,
                     select: str = "flat",
                     impl: str = "auto",
-                    quant: Optional[str] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                    quant: Optional[str] = None,
+                    on_miss: str = "fallback") -> Tuple[jnp.ndarray, ...]:
     """Exact top-k inner-product search, fully fused on TPU.
 
     Same contract as :func:`kirag_tpu.ops.mips.topk_mips` (which is the test
@@ -1462,9 +1514,18 @@ def exact_topk_mips(queries: jnp.ndarray, corpus: jnp.ndarray, k: int,
     matrix (HBM cost: corpus bytes + 2x 4*Q*N score traffic).
     ``impl="twopass"``: the round-2 kernel pair (corpus read twice) for
     query batches whose [Q, chunk] score window busts the VMEM envelope.
+
+    ``on_miss="flag"`` returns ``(vals, idx, ok)``: the stream impl skips its
+    in-program lax.cond fallback (whose presence alone costs ~0.7 ms/batch at
+    the 1M x 1024 flagship shape — probe_r8 capfin) and instead reports
+    exactness in the scalar bool ``ok``. A False flag means the caller must
+    re-dispatch with ``on_miss="fallback"`` to get exact results (the
+    indexer's host-side search_knn does; see TPUIndexer._run_mips).
     """
     interpret = _resolve_interpret(interpret)
     _check_select(select)
+    if on_miss not in ("fallback", "flag"):
+        raise ValueError(f"on_miss must be fallback|flag, got {on_miss!r}")
     if quant == "pq4":
         # scales = the [16, D] level table (ops/pq.pq_level_table); the
         # query dim and the per-plane slice widths must stay lane-aligned
@@ -1504,7 +1565,7 @@ def exact_topk_mips(queries: jnp.ndarray, corpus: jnp.ndarray, k: int,
                          corpus.nbytes, chunk_size)
     return _exact_topk_jit(queries, corpus, k, chunk_size, valid_rows,
                            interpret, scales, select=select, impl=impl,
-                           quant=quant)
+                           quant=quant, on_miss=on_miss)
 
 
 def _clamp_chunk_for_queries(chunk_size: int, n_queries: int) -> int:

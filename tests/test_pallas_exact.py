@@ -1204,3 +1204,99 @@ class TestFuzzVsOracle:
             for qi in range(n_q):
                 ov = len(set(idx[qi].tolist()) & set(oidx[qi].tolist()))
                 assert ov >= max(1, int(0.9 * k_eff)), (label, qi, ov)
+
+
+class TestOnMissFlag:
+    """on_miss="flag" (round 5): the stream impl without its in-program
+    lax.cond fallback — returns (vals, idx, ok). probe_r8 measured the cond's
+    presence alone at ~0.7 ms/batch on the 1M flagship shape, so the product
+    search_knn path runs flag mode and re-dispatches the checked program on a
+    False flag (TPUIndexer._run_mips)."""
+
+    @pytest.mark.parametrize("select", ["capdom", "hier"])
+    def test_ok_and_exact_on_random(self, rng, select):
+        q = rng.randn(5, 32).astype(np.float32)
+        c = rng.randn(4096, 32).astype(np.float32)
+        vals, idx, ok = exact_topk_mips(jnp.asarray(q), jnp.asarray(c), 13,
+                                        chunk_size=1024, interpret=True,
+                                        impl="stream", select=select,
+                                        on_miss="flag")
+        assert bool(ok)
+        ovals, oidx = numpy_topk(q @ c.T, 13)
+        np.testing.assert_array_equal(np.asarray(idx), oidx)
+        np.testing.assert_allclose(np.asarray(vals), ovals, rtol=1e-4,
+                                   atol=1e-4)
+
+    @pytest.mark.parametrize("select", ["capdom", "hier"])
+    def test_reports_miss_on_adversarial_cluster(self, rng, select):
+        # top-k rows spread over MORE groups of one chunk than the capture
+        # budget holds (b = max(8, ceil(2k/chunks)) here: 8 < 15 hot groups),
+        # so flag mode must say so instead of silently returning the capture
+        c = (rng.randn(65536, 16) * 0.01).astype(np.float32)
+        hot = np.arange(30) * 64  # 30 hot rows across 15 groups of chunk 0
+        c[hot] = (rng.randn(30, 16) + 5.0).astype(np.float32)
+        q = np.ones((3, 16), dtype=np.float32)
+        _, _, ok = exact_topk_mips(jnp.asarray(q), jnp.asarray(c), 30,
+                                   chunk_size=2048, interpret=True,
+                                   impl="stream", select=select,
+                                   on_miss="flag")
+        assert not bool(ok)
+
+    def test_unconditional_impls_report_true(self, rng):
+        q = rng.randn(4, 16).astype(np.float32)
+        c = rng.randn(2048, 16).astype(np.float32)
+        for impl in ("single", "twopass"):
+            vals, idx, ok = exact_topk_mips(jnp.asarray(q), jnp.asarray(c), 9,
+                                            chunk_size=512, interpret=True,
+                                            impl=impl, on_miss="flag")
+            assert bool(ok)
+            _, oidx = numpy_topk(q @ c.T, 9)
+            np.testing.assert_array_equal(np.asarray(idx), oidx)
+
+    def test_tiny_corpus_reports_true(self, rng):
+        q = rng.randn(2, 8).astype(np.float32)
+        c = rng.randn(96, 8).astype(np.float32)
+        vals, idx, ok = exact_topk_mips(jnp.asarray(q), jnp.asarray(c), 90,
+                                        chunk_size=128, interpret=True,
+                                        impl="stream", on_miss="flag")
+        assert bool(ok)
+        _, oidx = numpy_topk(q @ c.T, 90)
+        np.testing.assert_array_equal(np.asarray(idx), oidx)
+
+    def test_blocked_query_batch_ands_flags(self, rng, monkeypatch):
+        from kirag_tpu.ops import pallas_exact as pe
+
+        jax.clear_caches()
+        monkeypatch.setattr(pe, "QUERY_BLOCK", 4)
+        monkeypatch.setattr(pe, "STREAM_QTILE", 1)
+        try:
+            q = rng.randn(8, 16).astype(np.float32)
+            c = rng.randn(2048, 16).astype(np.float32)
+            vals, idx, ok = exact_topk_mips(
+                jnp.asarray(q), jnp.asarray(c), 7, chunk_size=512,
+                interpret=True, impl="stream", on_miss="flag")
+            assert bool(ok)
+            _, oidx = numpy_topk(q @ c.T, 7)
+            np.testing.assert_array_equal(np.asarray(idx), oidx)
+        finally:
+            jax.clear_caches()
+
+    def test_indexer_redispatches_to_exact_on_miss(self, rng):
+        # the PRODUCT contract: search_knn stays oracle-exact even on the
+        # adversarial corpus whose capture must miss — via the host-side
+        # re-dispatch of the checked program
+        from kirag_tpu.index import TPUIndexer
+
+        c = (rng.randn(65536, 16) * 0.01).astype(np.float32)
+        hot = np.arange(30) * 64  # 30 hot rows across 15 groups of chunk 0
+        c[hot] = (rng.randn(30, 16) + 5.0).astype(np.float32)
+        q = np.ones((3, 16), dtype=np.float32)
+        indexer = TPUIndexer(16, exact_impl="pallas", pallas_chunk_size=2048,
+                             pallas_select="capdom")
+        indexer.index_data([str(i) for i in range(65536)], c)
+        results = indexer.search_knn(q, top_docs=30)
+        ovals, oidx = numpy_topk(q @ c.T, 30)
+        for row, (db_ids, scores) in enumerate(results):
+            assert db_ids == [str(i) for i in oidx[row]]
+            np.testing.assert_allclose(scores, ovals[row], rtol=1e-4,
+                                       atol=1e-4)
