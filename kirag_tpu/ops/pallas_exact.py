@@ -64,6 +64,7 @@ All kernels run in interpret mode on CPU (tests) and compiled on TPU.
 from __future__ import annotations
 
 import functools
+import logging
 import os
 from typing import Optional, Tuple
 
@@ -76,6 +77,16 @@ try:
     from jax.experimental.pallas import tpu as pltpu
 except ImportError:  # pragma: no cover
     pltpu = None
+
+logger = logging.getLogger(__name__)
+
+
+@functools.lru_cache(maxsize=64)
+def _warn_chunk_clamped(requested: int, clamped: int, why: str) -> None:
+    """Once per (requested, clamped) pair: a silently-clamped chunk makes
+    "bigger chunk" A/Bs time the SAME program twice (the r5 stream32k row
+    compiled in 0.1 s because Q=256 clamps 32768 back to 16384)."""
+    logger.info("chunk_size %d clamped to %d (%s)", requested, clamped, why)
 
 try:  # jax>=0.4.35 exposes shard_map at top level
     shard_map = jax.shard_map
@@ -1549,6 +1560,7 @@ def exact_topk_mips(queries: jnp.ndarray, corpus: jnp.ndarray, k: int,
                 f"got packed {corpus.shape} with scales {scales.shape}")
     # round DOWN to a LANES multiple (a stray chunk like 1000 would break the
     # in-kernel [Q, G, LANES] reshape with an opaque trace error), then clamp
+    requested_chunk = chunk_size
     chunk_size = max(LANES, (chunk_size // LANES) * LANES)
     chunk_size = min(chunk_size, -(-corpus.shape[0] // LANES) * LANES)
     chunk_size = _clamp_chunk_for_corpus_window(chunk_size, corpus)
@@ -1561,6 +1573,12 @@ def exact_topk_mips(queries: jnp.ndarray, corpus: jnp.ndarray, k: int,
     eff_q = (QUERY_BLOCK if n_q > QUERY_BLOCK and n_q % QUERY_BLOCK == 0
              else n_q)
     chunk_size = _clamp_chunk_for_queries(chunk_size, eff_q)
+    if chunk_size != requested_chunk:
+        _warn_chunk_clamped(
+            requested_chunk, chunk_size,
+            f"corpus rows {corpus.shape[0]}, eff queries {eff_q}: the "
+            "[Q, chunk] score block + corpus window must fit the validated "
+            "VMEM envelope")
     impl = _resolve_impl(impl, eff_q, corpus.shape[0],
                          corpus.nbytes, chunk_size)
     return _exact_topk_jit(queries, corpus, k, chunk_size, valid_rows,
