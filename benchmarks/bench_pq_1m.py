@@ -171,6 +171,16 @@ def main() -> None:
                 f.write(json.dumps(rec) + "\n")
 
     for m in MS:
+        if not SMOKE and m % 256 != 0:
+            # on-TPU pq4 packs m/2 uint8 columns, which Mosaic window
+            # slicing needs lane-aligned (128): m=128 (64x compression) is
+            # structurally out with the strided packing — 32x (m=256) is
+            # the measured compression floor (r5; the ValueError from
+            # exact_topk_mips is the same constraint, surfaced earlier)
+            print(json.dumps({"bench": f"pq4_m{m}_1m", "skipped":
+                              "m % 256 != 0: packed columns below the "
+                              "128-lane Mosaic window"}), flush=True)
+            continue
         run_point(m)
 
 
