@@ -574,10 +574,17 @@ def _attention_block(x, layer_p, config: LlamaConfig, positions, k_cache, v_cach
         t_cache = k_cache.shape[1]
         keys = jnp.concatenate([k_cache, k], axis=1).astype(x.dtype)
         values = jnp.concatenate([v_cache, v], axis=1).astype(x.dtype)
-        keys_r = jnp.repeat(keys, group, axis=2)
-        values_r = jnp.repeat(values, group, axis=2)
-        logits = jnp.einsum("bqnd,bknd->bnqk", q, keys_r,
-                            preferred_element_type=jnp.float32)
+        # GQA by splitting the query head axis (nkv, group) — the former
+        # jnp.repeat(cache, group) materialized a group-times-bigger cache
+        # copy in HBM EVERY step (measured r5: 34.8 -> ~5 ms/step at
+        # b16 x 2k, 1.1B group=8). Same contraction per element, so decode
+        # streams stay bitwise identical; (nkv, group) -> nh merge order
+        # matches jnp.repeat's head layout (kv head n serves query heads
+        # [n*group, (n+1)*group)).
+        q5 = q.reshape(bsz, t_new, nkv, group, hd)
+        logits = jnp.einsum("bqngd,bknd->bngqk", q5, keys,
+                            preferred_element_type=jnp.float32).reshape(
+                                bsz, nh, t_new, t_cache + t_new)
 
     scale = config.query_pre_attn_scalar if config.query_pre_attn_scalar else hd
     logits = logits / np.sqrt(scale)
@@ -617,8 +624,9 @@ def _attention_block(x, layer_p, config: LlamaConfig, positions, k_cache, v_cach
         ctx = ctx.astype(x.dtype).reshape(bsz, t_new, nh * hd)
     else:
         probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-        ctx = jnp.einsum("bnqk,bknd->bqnd", probs,
-                         values_r).reshape(bsz, t_new, nh * hd)
+        p5 = probs.reshape(bsz, nkv, group, t_new, t_cache + t_new)
+        ctx = jnp.einsum("bngqk,bknd->bqngd", p5,
+                         values).reshape(bsz, t_new, nh * hd)
     return _dense(ctx, layer_p["o_proj"], config.int4_impl), k, v
 
 
