@@ -137,7 +137,8 @@ def main() -> None:
     backend.spec_gamma = GAMMA
     backend.spec_acc_hist = np.zeros((GAMMA,), np.int64)
 
-    state = {"p": ACCEPTS[0], "misses": 0, "rows": 0}
+    state = {"p": ACCEPTS[0], "misses": 0, "rows": 0, "diverged": 0,
+             "div_pos": []}
 
     def script_fn(input_ids, attention_mask):
         keys = _row_keys(input_ids, attention_mask)
@@ -158,6 +159,14 @@ def main() -> None:
     backend.draft_script_fn = script_fn
 
     def verifying_greedy(input_ids, attention_mask, max_new, **kw):
+        # Identity accounting, not an assert (r5 chip lesson): the verify
+        # pass computes target logits window-fed (gamma+1 tokens/forward)
+        # while plain greedy is cache-fed (1 token/step). At bf16 those are
+        # different matmul shapes, and with RANDOM-INIT weights the logit
+        # margins are noise-level — argmax near-ties flip between the two
+        # formulations, so exact stream equality is a property of f32 (where
+        # tests pin it) or of real trained weights (margins >> 1 ulp), not
+        # of this rig's random models. Count divergences; report them.
         b_ids, b_mask = backend._bucket_inputs(np.asarray(input_ids),
                                                np.asarray(attention_mask))
         keys = _row_keys(b_ids, b_mask)
@@ -166,8 +175,10 @@ def main() -> None:
             want = streams.get(k)
             if want is not None:
                 n = min(len(want), row.shape[0])
-                assert (row[:n] == want[:n]).all(), \
-                    "speculative stream diverged from recorded greedy"
+                if not (row[:n] == want[:n]).all():
+                    state["diverged"] += 1
+                    first = int(np.argmax(row[:n] != want[:n]))
+                    state["div_pos"].append(first)
         return ids, lg
 
     backend.greedy = verifying_greedy
@@ -178,6 +189,8 @@ def main() -> None:
             state["p"] = p
             state["misses"] = 0
             state["rows"] = 0
+            state["diverged"] = 0
+            state["div_pos"] = []
             backend.spec_acc_hist = np.zeros((GAMMA,), np.int64)
             _reset(kirag)
             timings.clear()
@@ -200,6 +213,8 @@ def main() -> None:
                    else None,
                    "script_misses": state["misses"],
                    "script_rows": state["rows"],
+                   "diverged_rows": state["diverged"],
+                   "first_divergence_positions": state["div_pos"][:16],
                    "speedup_vs_baseline": round(base_wall / wall, 2)
                    if phase == "steady" else None,
                    "stage_total_s": {k: round(sum(v), 3)
