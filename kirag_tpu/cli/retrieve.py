@@ -76,21 +76,26 @@ def setup_parser():
                              "halves KV HBM traffic and residency — the "
                              "capacity lever for large decode batches; not "
                              "composable with --draft_llm")
-    parser.add_argument("--llm_prefix_cache_groups", type=int, default=16,
-                        help="prefix KV cache slots (0 disables): the "
-                             "constructor's (instruction + examplars) K/V is "
-                             "computed once per question and reused across "
-                             "its turns/beams — the constructor stage is "
-                             "prefill-bound. ~46 MB/slot at 1.1B geometry "
-                             "(half with --llm_kv_quant_bits 8)")
+    parser.add_argument("--llm_prefix_cache_groups", type=int, default=0,
+                        help="prefix KV cache slots (0 disables — the r5 "
+                             "measured default): reuses the constructor's "
+                             "(instruction + examplars) K/V across a "
+                             "question's turns/beams. MEASURED LOSS at loop "
+                             "geometry on this hardware (bench_prefix_micro, "
+                             "fp16 AND int8 KV: the pool gather + window "
+                             "bucketing cost more than the skipped prefill); "
+                             "kept for geometries with far longer shared "
+                             "prefixes. ~46 MB/slot at 1.1B (half with "
+                             "--llm_kv_quant_bits 8)")
     parser.add_argument("--llm_prefix_cache_tokens", type=int, default=2048,
                         help="cached prefix length cap per slot")
     parser.add_argument("--draft_llm", type=str, default=None,
                         help="optional DRAFT model path: enables greedy "
                              "speculative decoding (same tokenizer as "
-                             "--llm; output stream is bit-identical to "
-                             "plain greedy, typically 2-3x faster when "
-                             "decode-bound)")
+                             "--llm). Output stream matches plain greedy "
+                             "exactly at f32; at bf16 the window-fed verify "
+                             "can flip argmax near-ties vs stepwise decode "
+                             "(negligible with trained-weight margins)")
     parser.add_argument("--spec_gamma", type=int, default=4,
                         help="speculative fed-window length per round "
                              "(gamma-1 draft proposals + 1 correction)")
