@@ -1254,17 +1254,32 @@ def _capdom_tail(outs, gids, queries, corpus, scales, quant, k_eff,
     cb = num_chunks * b
     capmax = capmax_out.transpose(2, 0, 1).reshape(n_q, cb)  # [Q, C*B]
     cvals, cpos = jax.lax.top_k(capmax, k_eff)
-    gsel_cap = jnp.take_along_axis(gids, cpos, axis=-1)
     resid = jnp.max(resid_out[:, 0, :], axis=0)              # [Q]
     # resid <= FIN_MIN: nothing real was left uncaptured anywhere (fully
     # captured chunks peel to -inf; fully-masked tails clamp to FIN_MIN and
     # carry no valid rows), so the capture holds every real group
     ok = jnp.all((cvals[:, -1] > resid) | (resid <= FIN_MIN))
 
-    # ascending group order => stable final top-k ties to the lower row id
-    order = jnp.argsort(gsel_cap, axis=-1)
-    gsel_cap = jnp.take_along_axis(gsel_cap, order, axis=-1)
-    cpos = jnp.take_along_axis(cpos, order, axis=-1)
+    # ascending group order => stable final top-k ties to the lower row id.
+    # probe_r9b: lax.top_k here is 0.05 ms but the former gid plumbing
+    # (gather gids + argsort + two reorder gathers) was 0.68 ms of
+    # small-gather latency. Pack (gid * PACK + position) ELEMENTWISE before
+    # selection, then one gather + one sort + arithmetic unpack does the
+    # same reorder: gids are non-negative and unique per query (a group is
+    # captured at most once), so sorting the packed keys sorts by gid.
+    pack = 1 << (cb - 1).bit_length()                        # static
+    if groups * pack < 2 ** 31:
+        packed = gids * pack + jax.lax.broadcasted_iota(
+            jnp.int32, (n_q, cb), 1)
+        sel = jnp.take_along_axis(packed, cpos, axis=-1)
+        sel = jnp.sort(sel, axis=-1)
+        gsel_cap = sel // pack
+        cpos = sel % pack
+    else:  # >2M-group shards would overflow int32 packing: original path
+        gsel_cap = jnp.take_along_axis(gids, cpos, axis=-1)
+        order = jnp.argsort(gsel_cap, axis=-1)
+        gsel_cap = jnp.take_along_axis(gsel_cap, order, axis=-1)
+        cpos = jnp.take_along_axis(cpos, order, axis=-1)
 
     def from_capture(_):
         if CAPDOM_ASSEMBLY == "pallas":
